@@ -1,0 +1,14 @@
+"""py_stringsimjoin_ray — a Ray-Data-native record-linkage / string
+similarity join engine with the query surface of anhaidgroup/py_stringsimjoin,
+re-designed (not ported) around ray.data.Dataset pipelines.
+
+Reference checkout (read-only, semantics source): /root/reference
+"""
+
+__version__ = '0.1.0'
+
+from .core.tokenizers import (AlphanumericTokenizer, DelimiterTokenizer,  # noqa: F401
+                              QgramTokenizer, Tokenizer, WhitespaceTokenizer)
+from .pipelines.join import (cosine_join, dice_join, edit_distance_join,  # noqa: F401
+                             jaccard_join, overlap_coefficient_join,
+                             overlap_join)

@@ -1,0 +1,149 @@
+"""Tokenizers with py_stringsimjoin-compatible semantics.
+
+The reference delegates tokenization to the ``py_stringmatching`` package
+(used at e.g. ``/root/reference/py_stringsimjoin/join/set_sim_join.py:72-73``).
+We implement the same observable behavior from scratch with no external
+dependency, so the tokenizers can ship to Ray actors as plain picklable
+objects and run vectorized over Arrow string columns.
+
+Pinned semantics (validated by tests/test_core_tokenizers.py):
+
+- ``return_set=True`` deduplicates tokens preserving FIRST-occurrence order
+  (bag → set conversion); ``return_set=False`` keeps duplicates in order.
+- Whitespace tokenization == ``str.split()`` (runs of whitespace, no empties).
+- Delimiter tokenization splits on the delimiter set and drops empty tokens.
+- Qgram tokenization defaults to ``qval=2`` with padding: the string is
+  padded with ``(qval-1)`` ``prefix_pad`` chars ('#') on the left and
+  ``(qval-1)`` ``suffix_pad`` chars ('$') on the right; an empty input with
+  padding therefore yields one qgram ('#$' for qval=2).  Without padding a
+  string shorter than qval yields no tokens.
+- Alphanumeric tokenization == regex ``[a-z0-9]+`` findall, case-insensitive
+  matching of alphanumeric runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _dedup_preserving_order(tokens: list[str]) -> list[str]:
+    seen = set()
+    out = []
+    for t in tokens:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+class Tokenizer:
+    """Base tokenizer protocol (mirrors the reference's tokenizer contract:
+    ``.tokenize(str) -> list``, ``.get_return_set()``, ``.set_return_set()``;
+    see ``/root/reference/py_stringsimjoin/utils/validation.py:80-98``)."""
+
+    def __init__(self, return_set: bool = False):
+        self.return_set = bool(return_set)
+
+    def get_return_set(self) -> bool:
+        return self.return_set
+
+    def set_return_set(self, flag: bool) -> bool:
+        self.return_set = bool(flag)
+        return True
+
+    def _raw_tokenize(self, s: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def tokenize(self, s) -> list[str]:
+        if s is None:
+            raise TypeError("input is None")
+        if not isinstance(s, str):
+            raise TypeError("input is not a string: %r" % (s,))
+        tokens = self._raw_tokenize(s)
+        if self.return_set:
+            return _dedup_preserving_order(tokens)
+        return tokens
+
+    def tokenize_many(self, strings) -> list[list[str]]:
+        """Vectorized entry point used inside map_batches; None → []... the
+        caller is responsible for null masking (nulls are dropped pre-join,
+        ``/root/reference/py_stringsimjoin/utils/generic_helper.py:73-81``)."""
+        tok = self.tokenize
+        return [tok(s) for s in strings]
+
+
+class WhitespaceTokenizer(Tokenizer):
+    """Split on runs of whitespace (``str.split()`` semantics)."""
+
+    def _raw_tokenize(self, s: str) -> list[str]:
+        return s.split()
+
+
+class DelimiterTokenizer(Tokenizer):
+    """Split on a set of single-char/multi-char delimiters, dropping empty
+    tokens."""
+
+    def __init__(self, delim_set=None, return_set: bool = False):
+        super().__init__(return_set)
+        self.delim_set = set(delim_set) if delim_set else {' '}
+        pattern = '|'.join(re.escape(d) for d in sorted(self.delim_set, key=len, reverse=True))
+        self._re = re.compile(pattern)
+
+    def _raw_tokenize(self, s: str) -> list[str]:
+        return [t for t in self._re.split(s) if t != '']
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop('_re', None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        pattern = '|'.join(re.escape(x) for x in sorted(self.delim_set, key=len, reverse=True))
+        self._re = re.compile(pattern)
+
+
+class QgramTokenizer(Tokenizer):
+    """Character q-grams with optional '#'/'$' padding (the default), matching
+    the tokenizer the reference mandates for EDIT_DISTANCE
+    (``/root/reference/py_stringsimjoin/utils/validation.py:93-96``; default
+    ``qval=2`` per ``join/edit_distance_join.py:12``)."""
+
+    def __init__(self, qval: int = 2, padding: bool = True,
+                 prefix_pad: str = '#', suffix_pad: str = '$',
+                 return_set: bool = False):
+        super().__init__(return_set)
+        if qval < 1:
+            raise AssertionError('qval cannot be less than 1')
+        if len(prefix_pad) != 1 or len(suffix_pad) != 1:
+            raise AssertionError('pad characters should be single characters')
+        self.qval = qval
+        self.padding = padding
+        self.prefix_pad = prefix_pad
+        self.suffix_pad = suffix_pad
+
+    def _raw_tokenize(self, s: str) -> list[str]:
+        q = self.qval
+        if self.padding:
+            s = self.prefix_pad * (q - 1) + s + self.suffix_pad * (q - 1)
+        n = len(s)
+        if n < q:
+            return []
+        return [s[i:i + q] for i in range(n - q + 1)]
+
+
+class AlphanumericTokenizer(Tokenizer):
+    """Maximal runs of alphanumeric characters."""
+
+    _re = re.compile('[a-zA-Z0-9]+')
+
+    def _raw_tokenize(self, s: str) -> list[str]:
+        return self._re.findall(s)
+
+
+def whitespace(return_set: bool = False) -> WhitespaceTokenizer:
+    return WhitespaceTokenizer(return_set=return_set)
+
+
+def qgram(qval: int = 2, return_set: bool = False, padding: bool = True) -> QgramTokenizer:
+    return QgramTokenizer(qval=qval, padding=padding, return_set=return_set)

@@ -1,0 +1,426 @@
+"""Public join API — reference-parity surface on Ray Data.
+
+Each join mirrors the 15-argument surface of the reference's dispatchers
+(e.g. ``/root/reference/py_stringsimjoin/join/jaccard_join.py:3-112``) but
+executes as a Ray Data pipeline (SURVEY.md §7.0):
+
+    read → tokenize(map_batches) → token-frequency groupby → ordering
+    artifact (broadcast) → rank+prefix(map_batches) → prefix-token postings
+    (+ heavy-token grid salting) → groupby(bucket).map_groups(pair-gen +
+    exact verify) → matches
+
+Inputs may be ``pandas.DataFrame`` or ``ray.data.Dataset``.  With
+``output='pandas'`` (default, reference parity) the result is a DataFrame
+with a dense ``_id`` column; with ``output='dataset'`` a Dataset of match
+rows (no ``_id`` — dense global numbering is a deliberate non-goal at web
+scale, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from math import floor
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core import validation as V
+from ..core.tokenizers import QgramTokenizer
+from ..stages.pairgen import PairGenVerify
+from ..stages.postings import PostingsStage, RankPrefixStage, heavy_token_table
+from ..stages.tokenize import (TokenizeStage, build_global_ordering,
+                               token_frequencies)
+
+DEFAULT_NUM_BUCKETS = 128
+DEFAULT_SALT_DF_THRESHOLD = 20000
+
+
+def _to_dataset(table) -> ray.data.Dataset:
+    if isinstance(table, pd.DataFrame):
+        return ray.data.from_pandas(table.reset_index(drop=True))
+    return table
+
+
+def _remove_redundant_attrs(out_attrs, key_attr):
+    if out_attrs is None:
+        return None
+    uniq, seen = [], set()
+    for a in out_attrs:
+        if a == key_attr or a in seen:
+            continue
+        seen.add(a)
+        uniq.append(a)
+    return uniq
+
+
+def output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+                  l_out_prefix, r_out_prefix):
+    header = [l_out_prefix + l_key_attr, r_out_prefix + r_key_attr]
+    if l_out_attrs:
+        header += [l_out_prefix + a for a in l_out_attrs]
+    if r_out_attrs:
+        header += [r_out_prefix + a for a in r_out_attrs]
+    return header
+
+
+class _JoinConfig:
+    def __init__(self, sim_type, tokenizer, threshold, comp_op, allow_empty,
+                 allow_missing, out_sim_score, mode='join',
+                 num_buckets=DEFAULT_NUM_BUCKETS,
+                 salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
+                 self_join=False):
+        self.sim_type = sim_type
+        self.tokenizer = tokenizer
+        self.threshold = threshold
+        self.comp_op = comp_op
+        self.allow_empty = allow_empty
+        self.allow_missing = allow_missing
+        self.out_sim_score = out_sim_score
+        self.mode = mode
+        self.num_buckets = num_buckets
+        self.salt_df_threshold = salt_df_threshold
+        self.self_join = self_join
+        self.qval = getattr(tokenizer, 'qval', None)
+        self.keep_string = sim_type == 'EDIT_DISTANCE'
+        self.full_prefix = mode == 'overlap_candidates'
+
+
+def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
+                        l_join_attr, r_join_attr, cfg: _JoinConfig):
+    """Core distributed pipeline → Dataset[(l_key, r_key[, _sim_score])],
+    plus the empty-record key lists needed for the allow_empty fast path."""
+    l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
+
+    tok_l = l_ds.select_columns(list(dict.fromkeys([l_key_attr, l_join_attr]))) \
+        .map_batches(TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
+                                   keep_string=cfg.keep_string),
+                     batch_format='pyarrow').materialize()
+    tok_r = r_ds.select_columns(list(dict.fromkeys([r_key_attr, r_join_attr]))) \
+        .map_batches(TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
+                                   keep_string=cfg.keep_string),
+                     batch_format='pyarrow').materialize()
+
+    # corpus-wide ordering over BOTH join columns (token_ordering.py:24-42
+    # semantics; one global artifact instead of per-worker rebuilds)
+    freq = token_frequencies(tok_l.union(tok_r))
+    ordering = build_global_ordering(freq)
+    ordering_ref = ray.put(ordering)
+    heavy = heavy_token_table(freq, ordering, cfg.salt_df_threshold)
+    heavy_ref = ray.put(heavy) if heavy else None
+
+    def ranked(tok_ds):
+        stage = RankPrefixStage(ordering_ref,
+                                'OVERLAP_COEFFICIENT' if cfg.full_prefix else cfg.sim_type,
+                                cfg.threshold, cfg.qval,
+                                keep_string=cfg.keep_string)
+        return tok_ds.map_batches(stage, batch_format='pyarrow')
+
+    ranked_l, ranked_r = ranked(tok_l), ranked(tok_r)
+
+    post_l = ranked_l.map_batches(
+        PostingsStage(0, cfg.num_buckets, heavy_ref, cfg.keep_string),
+        batch_format='pyarrow')
+    post_r = ranked_r.map_batches(
+        PostingsStage(1, cfg.num_buckets, heavy_ref, cfg.keep_string),
+        batch_format='pyarrow')
+
+    pair_fn = PairGenVerify(cfg.sim_type, cfg.threshold, cfg.comp_op,
+                            qval=cfg.qval, mode=cfg.mode,
+                            out_sim_score=True, self_join=cfg.self_join)
+    pairs = post_l.union(post_r).groupby('bucket') \
+        .map_groups(pair_fn, batch_format='pandas')
+
+    empties = {}
+    if cfg.allow_empty and cfg.sim_type not in ('OVERLAP', 'EDIT_DISTANCE') \
+            and cfg.mode != 'overlap_candidates':
+        for name, tds in (('l', tok_l), ('r', tok_r)):
+            def empty_keys(batch: pa.Table) -> pa.Table:
+                lens = pa.compute.list_value_length(batch['tokens'])
+                m = pa.compute.equal(lens, 0)
+                return pa.table({'key': batch['key'].filter(m)})
+            empties[name] = [r['key'] for r in
+                             tds.map_batches(empty_keys, batch_format='pyarrow')
+                             .take_all()]
+    return pairs, empties
+
+
+def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
+                          l_join_attr, r_join_attr,
+                          l_out_attrs, r_out_attrs,
+                          l_out_prefix, r_out_prefix, out_sim_score):
+    """allow_missing cross products, reproducing
+    ``utils/missing_value_handler.py:10-92``: L-null × (all R), plus
+    R-null × (L non-null); every missing pair carries a NaN score when
+    ``out_sim_score``."""
+    header = output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+                           l_out_prefix, r_out_prefix)
+    rows = []
+
+    def cross(ldf, rdf):
+        for _, lr in ldf.iterrows():
+            for _, rr in rdf.iterrows():
+                row = [lr[l_key_attr], rr[r_key_attr]]
+                if l_out_attrs:
+                    row += [lr[a] for a in l_out_attrs]
+                if r_out_attrs:
+                    row += [rr[a] for a in r_out_attrs]
+                rows.append(row)
+
+    # L-null × all R (first loop of the reference)
+    cross(l_pd[pd.isnull(l_pd[l_join_attr])], r_pd)
+    # R-null × L-non-null (second loop) — null×null emitted exactly once
+    for _, rr in r_pd[pd.isnull(r_pd[r_join_attr])].iterrows():
+        for _, lr in l_pd[pd.notnull(l_pd[l_join_attr])].iterrows():
+            row = [lr[l_key_attr], rr[r_key_attr]]
+            if l_out_attrs:
+                row += [lr[a] for a in l_out_attrs]
+            if r_out_attrs:
+                row += [rr[a] for a in r_out_attrs]
+            rows.append(row)
+
+    out = pd.DataFrame(rows, columns=header)
+    if out_sim_score:
+        out['_sim_score'] = np.nan
+    return out
+
+
+def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
+                     r_key_attr, l_join_attr, r_join_attr, cfg,
+                     l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                     out_sim_score, score_dtype=None):
+    """Materialize matches, add allow_empty / allow_missing pairs, attach
+    output attrs, set the reference output header and dense _id."""
+    l_pd = l_table if isinstance(l_table, pd.DataFrame) else l_table.to_pandas()
+    r_pd = r_table if isinstance(r_table, pd.DataFrame) else r_table.to_pandas()
+
+    pairs = pairs_ds.to_pandas()
+    if len(pairs) == 0:
+        pairs = pd.DataFrame({'l_key': [], 'r_key': [], '_sim_score': []})
+    if '_sim_score' not in pairs.columns:
+        pairs['_sim_score'] = np.nan
+
+    # allow_empty fast path: (∅,∅) pairs, score 1.0, comp_op bypassed —
+    # bug-compatible with set_sim_join.py:81-96
+    le, re_ = empties.get('l', []), empties.get('r', [])
+    if le and re_:
+        el = np.repeat(np.asarray(le, dtype=object), len(re_))
+        er = np.tile(np.asarray(re_, dtype=object), len(le))
+        pairs = pd.concat([pairs, pd.DataFrame(
+            {'l_key': el, 'r_key': er, '_sim_score': 1.0})], ignore_index=True)
+
+    header = output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+                           l_out_prefix, r_out_prefix)
+    out = pd.DataFrame({header[0]: pairs['l_key'], header[1]: pairs['r_key']})
+    if l_out_attrs:
+        lmap = l_pd.set_index(l_key_attr)
+        for a in l_out_attrs:
+            out[l_out_prefix + a] = lmap[a].reindex(pairs['l_key']).to_numpy()
+    if r_out_attrs:
+        rmap = r_pd.set_index(r_key_attr)
+        for a in r_out_attrs:
+            out[r_out_prefix + a] = rmap[a].reindex(pairs['r_key']).to_numpy()
+    if out_sim_score:
+        score = pairs['_sim_score']
+        if score_dtype is not None and not score.isna().any():
+            score = score.astype(score_dtype)
+        out['_sim_score'] = score.to_numpy()
+
+    if cfg.allow_missing:
+        miss = _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
+                                     l_join_attr, r_join_attr,
+                                     l_out_attrs, r_out_attrs,
+                                     l_out_prefix, r_out_prefix, out_sim_score)
+        out = pd.concat([out, miss], ignore_index=True)
+
+    out.insert(0, '_id', range(len(out)))
+    return out
+
+
+def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
+                  l_join_attr, r_join_attr, tokenizer, threshold,
+                  comp_op='>=', allow_empty=True, allow_missing=False,
+                  l_out_attrs=None, r_out_attrs=None,
+                  l_out_prefix='l_', r_out_prefix='r_',
+                  out_sim_score=True, output='pandas', self_join=False,
+                  num_buckets=DEFAULT_NUM_BUCKETS,
+                  salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
+                  validate_keys=None, score_dtype=None):
+    # ---- validation (mirrors jaccard_join_py.py:107-142) ----
+    V.validate_input_table(ltable, 'left table')
+    V.validate_input_table(rtable, 'right table')
+    l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+    V.validate_attr(l_key_attr, l_cols, 'key attribute', 'left table')
+    V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
+    V.validate_attr(l_join_attr, l_cols, 'join attribute', 'left table')
+    V.validate_attr(r_join_attr, r_cols, 'join attribute', 'right table')
+    V.validate_attr_type(l_join_attr, V.get_attr_type(ltable, l_join_attr),
+                         'join attribute', 'left table')
+    V.validate_attr_type(r_join_attr, V.get_attr_type(rtable, r_join_attr),
+                         'join attribute', 'right table')
+    if sim_type == 'OVERLAP':
+        V.validate_tokenizer(tokenizer)
+    else:
+        V.validate_tokenizer_for_sim_measure(tokenizer, sim_type)
+    V.validate_threshold(threshold, 'JACCARD' if sim_type == 'OVERLAP_COEFFICIENT'
+                         else sim_type)
+    V.validate_comp_op_for_sim_measure(comp_op, sim_type)
+    V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+    if validate_keys is None:
+        validate_keys = isinstance(ltable, pd.DataFrame)
+    if validate_keys:
+        V.validate_key_attr(l_key_attr, ltable, 'left table')
+        V.validate_key_attr(r_key_attr, rtable, 'right table')
+
+    # set-measure joins force set semantics and restore the flag afterwards
+    # (jaccard_join_py.py:144-148, 213-215)
+    revert = False
+    if not tokenizer.get_return_set():
+        tokenizer.set_return_set(True)
+        revert = True
+    try:
+        l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+        r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
+        cfg = _JoinConfig(sim_type, tokenizer, threshold, comp_op, allow_empty,
+                          allow_missing, out_sim_score, self_join=self_join,
+                          num_buckets=num_buckets,
+                          salt_df_threshold=salt_df_threshold)
+        pairs, empties = match_pairs_dataset(
+            ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
+        if output == 'dataset':
+            return pairs
+        return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
+                                r_key_attr, l_join_attr, r_join_attr, cfg,
+                                l_out_attrs, r_out_attrs, l_out_prefix,
+                                r_out_prefix, out_sim_score,
+                                score_dtype=score_dtype)
+    finally:
+        if revert:
+            tokenizer.set_return_set(False)
+
+
+def jaccard_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                 r_join_attr, tokenizer, threshold, comp_op='>=',
+                 allow_empty=True, allow_missing=False, l_out_attrs=None,
+                 r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                 out_sim_score=True, **kw):
+    """Jaccard join (reference: ``join/jaccard_join.py`` + py/cy twins)."""
+    return _set_sim_join('JACCARD', ltable, rtable, l_key_attr, r_key_attr,
+                         l_join_attr, r_join_attr, tokenizer, threshold,
+                         comp_op, allow_empty, allow_missing, l_out_attrs,
+                         r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, **kw)
+
+
+def cosine_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                r_join_attr, tokenizer, threshold, comp_op='>=',
+                allow_empty=True, allow_missing=False, l_out_attrs=None,
+                r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                out_sim_score=True, **kw):
+    """Cosine join (reference: ``join/cosine_join.py``)."""
+    return _set_sim_join('COSINE', ltable, rtable, l_key_attr, r_key_attr,
+                         l_join_attr, r_join_attr, tokenizer, threshold,
+                         comp_op, allow_empty, allow_missing, l_out_attrs,
+                         r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, **kw)
+
+
+def dice_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+              r_join_attr, tokenizer, threshold, comp_op='>=',
+              allow_empty=True, allow_missing=False, l_out_attrs=None,
+              r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+              out_sim_score=True, **kw):
+    """Dice join (reference: ``join/dice_join.py``)."""
+    return _set_sim_join('DICE', ltable, rtable, l_key_attr, r_key_attr,
+                         l_join_attr, r_join_attr, tokenizer, threshold,
+                         comp_op, allow_empty, allow_missing, l_out_attrs,
+                         r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, **kw)
+
+
+def overlap_coefficient_join(ltable, rtable, l_key_attr, r_key_attr,
+                             l_join_attr, r_join_attr, tokenizer, threshold,
+                             comp_op='>=', allow_empty=True,
+                             allow_missing=False, l_out_attrs=None,
+                             r_out_attrs=None, l_out_prefix='l_',
+                             r_out_prefix='r_', out_sim_score=True, **kw):
+    """Overlap-coefficient join (reference:
+    ``join/overlap_coefficient_join_py.py``; full inverted index, unrounded
+    score)."""
+    return _set_sim_join('OVERLAP_COEFFICIENT', ltable, rtable, l_key_attr,
+                         r_key_attr, l_join_attr, r_join_attr, tokenizer,
+                         threshold, comp_op, allow_empty, allow_missing,
+                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, **kw)
+
+
+def overlap_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                 r_join_attr, tokenizer, threshold, comp_op='>=',
+                 allow_empty=True, allow_missing=False, l_out_attrs=None,
+                 r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                 out_sim_score=True, **kw):
+    """Overlap join (reference: ``join/overlap_join_py.py`` — delegates to
+    OverlapFilter; integer overlap count is the score).  ``allow_empty`` is
+    ignored for OVERLAP (reference treats it per measure)."""
+    return _set_sim_join('OVERLAP', ltable, rtable, l_key_attr, r_key_attr,
+                         l_join_attr, r_join_attr, tokenizer, threshold,
+                         comp_op, False, allow_missing, l_out_attrs,
+                         r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, score_dtype=np.int64, **kw)
+
+
+def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                       r_join_attr, threshold, comp_op='<=',
+                       allow_missing=False, l_out_attrs=None,
+                       r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                       out_sim_score=True, tokenizer=None, **kw):
+    """Edit-distance join (reference: ``join/edit_distance_join_py.py``).
+
+    Like the reference this is APPROXIMATE by design: only pairs sharing at
+    least one qgram between their ordered prefixes are found
+    (``edit_distance_join_py.py:45-56``).  The threshold is floored to int
+    (``:160-161``) and the qgram tokenizer is forced to bag semantics
+    (``:163-167``)."""
+    if tokenizer is None:
+        tokenizer = QgramTokenizer(qval=2)
+    V.validate_tokenizer_for_sim_measure(tokenizer, 'EDIT_DISTANCE')
+    V.validate_threshold(threshold, 'EDIT_DISTANCE')
+    V.validate_comp_op_for_sim_measure(comp_op, 'EDIT_DISTANCE')
+    threshold = int(floor(threshold))
+
+    revert = False
+    if tokenizer.get_return_set():
+        tokenizer.set_return_set(False)
+        revert = True
+    try:
+        V.validate_input_table(ltable, 'left table')
+        V.validate_input_table(rtable, 'right table')
+        l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+        V.validate_attr(l_key_attr, l_cols, 'key attribute', 'left table')
+        V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
+        V.validate_attr(l_join_attr, l_cols, 'join attribute', 'left table')
+        V.validate_attr(r_join_attr, r_cols, 'join attribute', 'right table')
+        V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+        if isinstance(ltable, pd.DataFrame):
+            V.validate_key_attr(l_key_attr, ltable, 'left table')
+            V.validate_key_attr(r_key_attr, rtable, 'right table')
+
+        l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+        r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
+        cfg = _JoinConfig('EDIT_DISTANCE', tokenizer, threshold, comp_op,
+                          False, allow_missing, out_sim_score,
+                          **{k: kw[k] for k in ('num_buckets', 'salt_df_threshold',
+                                                'self_join') if k in kw})
+        pairs, empties = match_pairs_dataset(
+            ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
+        if kw.get('output') == 'dataset':
+            return pairs
+        return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
+                                r_key_attr, l_join_attr, r_join_attr, cfg,
+                                l_out_attrs, r_out_attrs, l_out_prefix,
+                                r_out_prefix, out_sim_score)
+    finally:
+        if revert:
+            tokenizer.set_return_set(True)

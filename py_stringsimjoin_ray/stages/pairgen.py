@@ -1,0 +1,270 @@
+"""Per-bucket candidate generation + verification.
+
+Runs inside ``postings.groupby("bucket").map_groups(...)`` — the single
+all-to-all exchange of the join.  Re-expresses the probe loops of
+``/root/reference/py_stringsimjoin/filter/position_filter.py:307-366``
+(position filter), ``filter/prefix_filter.py:293-309`` (prefix filter) and
+``filter/overlap_filter.py:256-267`` (full inverted index) in group-parallel
+form.
+
+Cross-bucket pair dedup uses the min-common-token rule: a pair sharing
+several (prefix) tokens is processed ONLY in the group of its smallest-rank
+shared token, so no second shuffle is needed for distinct-pairs.  (The
+reference dedups per probe with an in-memory dict; any dedup rule yields the
+same pair set because verification is exact — SURVEY.md §7.1 step 4.)
+
+Records with identical token-rank signatures are collapsed into signature
+CLASSES: filtering + verification run once per class pair, and the
+(vectorized) emission expands class pairs into record pairs.  This turns
+workloads dominated by exact duplicates (the common case in dedup corpora)
+from O(|pairs|) python work into O(|distinct signatures|²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..core import bounds
+from ..core.comp_ops import COMP_OP_MAP
+from ..core.measures import bag_product_overlap_sorted
+
+_SET_MEASURES = ('JACCARD', 'COSINE', 'DICE')
+
+
+def _lev_many(l_strings, r_strings):
+    """Vectorized Levenshtein over pair lists via DuckDB's C++ kernel, with a
+    numpy-DP fallback.  One cached in-process connection per worker."""
+    try:
+        import duckdb
+        global _DUCK
+        try:
+            con = _DUCK
+        except NameError:
+            con = _DUCK = duckdb.connect()
+        import pyarrow as pa
+        tbl = pa.table({'a': pa.array(l_strings, type=pa.string()),
+                        'b': pa.array(r_strings, type=pa.string())})
+        res = con.execute(
+            'SELECT levenshtein(a, b) FROM tbl').fetchnumpy()
+        return next(iter(res.values())).astype(np.int64)
+    except ImportError:  # pragma: no cover
+        from ..core.measures import levenshtein
+        return np.array([levenshtein(a, b) for a, b in zip(l_strings, r_strings)],
+                        dtype=np.int64)
+
+
+class _Class:
+    __slots__ = ('ranks', 'uniq', 'sz', 'plen', 'prefix_uniq', 's',
+                 'l_keys', 'r_keys')
+
+    def __init__(self, ranks, sz, plen, s):
+        self.ranks = ranks
+        self.uniq = None      # unique'd ranks (bag measures); == ranks for sets
+        self.sz = int(sz)
+        self.plen = int(plen)
+        self.prefix_uniq = np.unique(ranks[:plen]) if plen > 0 else ranks[:0]
+        self.s = s
+        self.l_keys = []
+        self.r_keys = []
+
+
+class PairGenVerify:
+    """Group function for one shuffle bucket.
+
+    mode:
+      'join'                — filter + exact verify, emit (l, r, score)
+      'prefix_candidates'   — pairs sharing ≥1 prefix token
+      'position_candidates' — reference PositionFilter.filter_tables survivors
+      'overlap_candidates'  — full-token postings, overlap count vs comp_op
+                              (bag-product counting, OverlapFilter semantics)
+    """
+
+    def __init__(self, sim_type: str, threshold, comp_op: str = '>=',
+                 qval=None, mode: str = 'join', out_sim_score: bool = True,
+                 self_join: bool = False, round_score: bool = True):
+        self.__name__ = 'PairGenVerify'  # map_groups wraps plain functions
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.comp_op = comp_op
+        self.comp_fn = COMP_OP_MAP[comp_op]
+        self.qval = qval
+        self.mode = mode
+        self.out_sim_score = out_sim_score
+        self.self_join = self_join
+        self.round_score = round_score
+        self._apply_size_bounds = (
+            mode in ('join', 'position_candidates')
+            and sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP'))
+        self._apply_position = (
+            mode in ('join', 'position_candidates')
+            and sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP'))
+
+    # -------------------------------------------------------------- helpers
+
+    def _build_classes(self, df: pd.DataFrame):
+        """Collapse postings into signature classes + per-token run lists."""
+        keys = df['key'].to_numpy()
+        sides = df['side'].to_numpy()
+        toks = df['tok'].to_numpy()
+        szs = df['sz'].to_numpy()
+        plens = df['plen'].to_numpy()
+        ranks_col = df['ranks'].to_numpy()
+        s_col = df['s'].to_numpy() if 's' in df.columns else None
+
+        classes: list[_Class] = []
+        sig_index: dict = {}
+        row_class = np.empty(len(df), dtype=np.int64)
+        seen_member: set = set()
+        for i in range(len(df)):
+            ranks = np.asarray(ranks_col[i], dtype=np.int64)
+            s_val = s_col[i] if s_col is not None else None
+            sig = (ranks.tobytes(), int(szs[i]), s_val)
+            ci = sig_index.get(sig)
+            if ci is None:
+                ci = len(classes)
+                sig_index[sig] = ci
+                classes.append(_Class(ranks, szs[i], plens[i], s_val))
+            row_class[i] = ci
+            mk = (sides[i], keys[i])
+            if mk not in seen_member:
+                seen_member.add(mk)
+                (classes[ci].l_keys if sides[i] == 0 else classes[ci].r_keys).append(keys[i])
+
+        # token runs: distinct (tok, class, side)
+        run_df = pd.DataFrame({'tok': toks, 'cls': row_class, 'side': sides})
+        run_df = run_df.drop_duplicates()
+        return classes, run_df
+
+    def _size_ok(self, l_sz: int, r_sz: int) -> bool:
+        st, t = self.sim_type, self.threshold
+        return (bounds.size_lower_bound(r_sz, st, t) <= l_sz
+                <= bounds.size_upper_bound(r_sz, st, t))
+
+    def _position_ok(self, L: _Class, R: _Class, shared: np.ndarray) -> bool:
+        """Reference find_candidates accumulation: for the i-th shared prefix
+        token (rank order), require
+        i + min(r_sz - r_pos_i, l_sz - l_pos_i) >= overlap_threshold
+        (``filter/position_filter.py:340-362``)."""
+        T = bounds.overlap_threshold(L.sz, R.sz, self.sim_type, self.threshold,
+                                     self.qval)
+        l_pos = np.searchsorted(L.ranks, shared)
+        r_pos = np.searchsorted(R.ranks, shared)
+        bound = np.minimum(R.sz - r_pos, L.sz - l_pos)
+        return bool(np.all(np.arange(len(shared)) + bound >= T))
+
+    def _verify_score(self, L: _Class, R: _Class):
+        st = self.sim_type
+        if st == 'EDIT_DISTANCE':
+            raise RuntimeError('ED handled separately')
+        if st in _SET_MEASURES or st == 'OVERLAP_COEFFICIENT' or (
+                st == 'OVERLAP' and self.mode == 'join'):
+            o = np.intersect1d(L.uniq, R.uniq, assume_unique=True).size
+            n1 = len(L.uniq)
+            n2 = len(R.uniq)
+            if st == 'JACCARD':
+                score = 1.0 if (n1 == 0 and n2 == 0) else (
+                    0.0 if (n1 == 0 or n2 == 0) else o / (n1 + n2 - o))
+            elif st == 'COSINE':
+                score = 1.0 if (n1 == 0 and n2 == 0) else (
+                    0.0 if (n1 == 0 or n2 == 0) else o / float(np.sqrt(n1 * n2)))
+            elif st == 'DICE':
+                score = 1.0 if (n1 == 0 and n2 == 0) else (
+                    0.0 if (n1 == 0 or n2 == 0) else 2.0 * o / (n1 + n2))
+            elif st == 'OVERLAP_COEFFICIENT':
+                # reference divides by min of the RAW token counts
+                # (``join/overlap_coefficient_join_py.py:299-303``)
+                o = bag_product_overlap_sorted(L.ranks, R.ranks)
+                score = float(o) / float(min(L.sz, R.sz))
+            else:  # OVERLAP join: set semantics forced by the join wrapper
+                score = float(o)
+            if self.round_score and st in _SET_MEASURES:
+                score = round(score, 4)
+            return score
+        if st == 'OVERLAP':  # overlap_candidates mode: bag-product counting
+            return float(bag_product_overlap_sorted(L.ranks, R.ranks))
+        raise ValueError(st)
+
+    # ---------------------------------------------------------------- main
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ed = self.sim_type == 'EDIT_DISTANCE'
+        classes, run_df = self._build_classes(df)
+        for c in classes:
+            c.uniq = np.unique(c.ranks)
+        full_postings = self.mode == 'overlap_candidates' or \
+            self.sim_type == 'OVERLAP_COEFFICIENT'
+
+        # class pair -> score bookkeeping
+        out_l, out_r, out_s = [], [], []
+        ed_pending = []  # (L, R) class pairs awaiting batched levenshtein
+
+        grouped = run_df.groupby('tok', sort=False)
+        for tok, sub in grouped:
+            lcls = sub.loc[sub['side'] == 0, 'cls'].to_numpy()
+            rcls = sub.loc[sub['side'] == 1, 'cls'].to_numpy()
+            if len(lcls) == 0 or len(rcls) == 0:
+                continue
+            for a in lcls:
+                L = classes[a]
+                if not L.l_keys:
+                    continue
+                for b in rcls:
+                    R = classes[b]
+                    if not R.r_keys:
+                        continue
+                    # min-common-token dedup (unique prefix arrays are sorted)
+                    if full_postings:
+                        common = np.intersect1d(L.uniq, R.uniq, assume_unique=True)
+                    else:
+                        common = np.intersect1d(L.prefix_uniq, R.prefix_uniq,
+                                                assume_unique=True)
+                    if len(common) == 0 or common[0] != tok:
+                        continue
+                    if ed:
+                        if abs(len(L.s) - len(R.s)) > self.threshold:
+                            continue
+                        ed_pending.append((L, R))
+                        continue
+                    if self._apply_size_bounds and not self._size_ok(L.sz, R.sz):
+                        continue
+                    if self._apply_position and not self._position_ok(L, R, common):
+                        continue
+                    if self.mode in ('prefix_candidates', 'position_candidates'):
+                        self._emit(L, R, None, out_l, out_r, out_s)
+                        continue
+                    score = self._verify_score(L, R)
+                    if self.comp_fn(score, self.threshold):
+                        self._emit(L, R, score, out_l, out_r, out_s)
+
+        if ed_pending:
+            dists = _lev_many([p[0].s for p in ed_pending],
+                              [p[1].s for p in ed_pending])
+            for (L, R), d in zip(ed_pending, dists):
+                if self.comp_fn(d, self.threshold):
+                    self._emit(L, R, float(d), out_l, out_r, out_s)
+
+        cols = {
+            'l_key': np.concatenate(out_l) if out_l else np.array([], dtype=object),
+            'r_key': np.concatenate(out_r) if out_r else np.array([], dtype=object),
+        }
+        if self.out_sim_score and self.mode not in ('prefix_candidates',
+                                                    'position_candidates'):
+            cols['_sim_score'] = (np.concatenate(out_s) if out_s
+                                  else np.array([], dtype=np.float64))
+        return pd.DataFrame(cols)
+
+    def _emit(self, L: _Class, R: _Class, score, out_l, out_r, out_s):
+        lk = np.asarray(L.l_keys, dtype=object)
+        rk = np.asarray(R.r_keys, dtype=object)
+        ll = np.repeat(lk, len(rk))
+        rr = np.tile(rk, len(lk))
+        if self.self_join:
+            keep = ll < rr
+            ll, rr = ll[keep], rr[keep]
+            if len(ll) == 0:
+                return
+        out_l.append(ll)
+        out_r.append(rr)
+        if score is not None:
+            out_s.append(np.full(len(ll), score, dtype=np.float64))

@@ -1,0 +1,177 @@
+"""Rank/prefix stage and prefix-token postings generation.
+
+This is the Ray-Data re-expression of the reference's broadcast in-process
+indexes (``index/position_index.py``, ``index/prefix_index.py``,
+``index/inverted_index.py``): instead of copying an index over L into every
+worker, each record emits one posting per PREFIX token (rarest ``plen``
+tokens), postings are hash-bucketed on the token, and candidate generation
+happens inside per-bucket groups (VernicaJoin-style; the full rank array
+rides along on the posting so verification is local to the group — one
+shuffle end to end).
+
+Skew handling ("license headers, boilerplate" per the north star): tokens
+whose document frequency exceeds ``salt_df_threshold`` get a g×g grid of
+dedicated cells — L-side postings are salted by ``hash(key) % g`` into a
+grid row and replicated across the g columns, R-side postings into a grid
+column and replicated across rows, so any (L,R) pair meets in exactly one
+cell and no single group sees df_L × df_R pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import bounds
+
+KNUTH = np.uint64(2654435761)
+
+
+def bucket_of(tok_ranks: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((tok_ranks.astype(np.uint64) * KNUTH) >> np.uint64(7)) % np.uint64(num_buckets)
+
+
+def _stable_key_hash(keys) -> np.ndarray:
+    """Deterministic per-key hash for grid salting (independent of Python
+    hash randomization)."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        h = np.uint64(1469598103934665603)
+        for b in str(k).encode():
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+class RankPrefixStage:
+    """(key, tokens[, s]) → (key, sz, ranks, plen[, s]).
+
+    The ordering dict is fetched from the object store once per actor
+    (``__init__``), not per batch.  ``sz`` is the token count under the
+    tokenizer's set/bag semantics; ``ranks`` is the sorted rank array
+    (rarest first) — the applied-ordering representation of
+    ``utils/token_ordering.py:45-55``.
+    """
+
+    def __init__(self, ordering_ref, sim_type: str, threshold, qval=None,
+                 keep_string: bool = False):
+        import ray
+        self.ordering = ray.get(ordering_ref) if isinstance(ordering_ref, ray.ObjectRef) \
+            else ordering_ref
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.qval = qval
+        self.keep_string = keep_string
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ordering = self.ordering
+        token_lists = batch['tokens'].to_pylist()
+        ranks_lists, sizes, plens = [], [], []
+        for toks in token_lists:
+            r = sorted(ordering[t] for t in toks if t in ordering)
+            ranks_lists.append(r)
+            sizes.append(len(toks))
+            plens.append(bounds.prefix_length(len(toks), self.sim_type,
+                                              self.threshold, self.qval))
+        cols = {'key': batch['key'],
+                'sz': pa.array(sizes, type=pa.int32()),
+                'ranks': pa.array(ranks_lists, type=pa.list_(pa.int64())),
+                'plen': pa.array(plens, type=pa.int32())}
+        if self.keep_string:
+            cols['s'] = batch['s']
+        return pa.table(cols)
+
+
+class PostingsStage:
+    """Explode each record into one posting per prefix token and assign
+    shuffle buckets (with grid salting for heavy tokens).
+
+    Output columns: bucket:int64, tok:int64, side:int8,
+    key, sz:int32, ranks:list<int64>, plen:int32 [, s:string].
+    (Token positions are NOT carried: the verify/position-filter kernels
+    recompute them by binary search on the sorted rank arrays.)
+    """
+
+    def __init__(self, side: int, num_buckets: int,
+                 heavy_ref=None, keep_string: bool = False):
+        import ray
+        self.side = side
+        self.num_buckets = num_buckets
+        heavy = None
+        if heavy_ref is not None:
+            heavy = ray.get(heavy_ref) if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref
+        # heavy: dict rank -> (heavy_index, grid_size)
+        self.heavy = heavy or {}
+        self.keep_string = keep_string
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranks_col = batch['ranks'].combine_chunks()
+        plen = batch['plen'].to_numpy()
+        nrows = len(batch)
+        offsets = ranks_col.offsets.to_numpy()
+        flat = ranks_col.values.to_numpy() if len(ranks_col.values) else np.empty(0, np.int64)
+
+        # indices of prefix elements: for row i, offsets[i] .. offsets[i]+plen[i]-1
+        reps = np.minimum(plen, (offsets[1:] - offsets[:-1])).astype(np.int64)
+        row_idx = np.repeat(np.arange(nrows), reps)
+        starts = np.repeat(offsets[:-1], reps)
+        pos = (np.arange(len(row_idx)) -
+               np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)).astype(np.int32)
+        tok = flat[starts + pos]
+
+        bucket = bucket_of(tok, self.num_buckets).astype(np.int64)
+        out_row_idx, out_tok, out_pos, out_bucket = row_idx, tok, pos, bucket
+
+        if self.heavy:
+            hmask = np.fromiter((int(t) in self.heavy for t in tok),
+                                dtype=bool, count=len(tok))
+            if hmask.any():
+                keys = batch['key'].to_pylist()
+                key_hash = _stable_key_hash(keys)
+                keep_parts = [~hmask]
+                add_rows, add_tok, add_pos, add_bucket = [], [], [], []
+                for j in np.nonzero(hmask)[0]:
+                    hidx, g = self.heavy[int(tok[j])]
+                    base = self.num_buckets + hidx * g * g
+                    kh = int(key_hash[row_idx[j]]) % g
+                    if self.side == 0:      # L: grid row kh, all columns
+                        cells = [base + kh * g + c for c in range(g)]
+                    else:                   # R: grid column kh, all rows
+                        cells = [base + r * g + kh for r in range(g)]
+                    for cell in cells:
+                        add_rows.append(row_idx[j]); add_tok.append(tok[j])
+                        add_pos.append(pos[j]); add_bucket.append(cell)
+                out_row_idx = np.concatenate([row_idx[~hmask], np.array(add_rows, np.int64)])
+                out_tok = np.concatenate([tok[~hmask], np.array(add_tok, np.int64)])
+                out_pos = np.concatenate([pos[~hmask], np.array(add_pos, np.int32)])
+                out_bucket = np.concatenate([bucket[~hmask], np.array(add_bucket, np.int64)])
+                del keep_parts
+
+        take_idx = pa.array(out_row_idx)
+        cols = {
+            'bucket': pa.array(out_bucket, type=pa.int64()),
+            'tok': pa.array(out_tok, type=pa.int64()),
+            'side': pa.array(np.full(len(out_row_idx), self.side, dtype=np.int8)),
+            'key': batch['key'].take(take_idx),
+            'sz': batch['sz'].take(take_idx),
+            'ranks': ranks_col.take(take_idx),
+            'plen': batch['plen'].take(take_idx),
+        }
+        if self.keep_string:
+            cols['s'] = batch['s'].take(take_idx)
+        return pa.table(cols)
+
+
+def heavy_token_table(freq_table: pa.Table, ordering: dict,
+                      salt_df_threshold: int, max_grid: int = 16) -> dict:
+    """rank → (heavy_index, grid_size) for tokens with df above threshold."""
+    heavy: dict = {}
+    tokens = freq_table['token'].to_pylist()
+    counts = freq_table['count'].to_pylist()
+    hidx = 0
+    for t, c in zip(tokens, counts):
+        if c >= salt_df_threshold:
+            g = int(min(max_grid, max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
+            heavy[ordering[t]] = (hidx, g)
+            hidx += 1
+    return heavy
