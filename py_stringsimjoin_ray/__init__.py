@@ -9,6 +9,11 @@ __version__ = '0.1.0'
 
 from .core.tokenizers import (AlphanumericTokenizer, DelimiterTokenizer,  # noqa: F401
                               QgramTokenizer, Tokenizer, WhitespaceTokenizer)
+from .functions.converter import dataframe_column_to_str, series_to_str  # noqa: F401
+from .functions.profiler import profile_counts, profile_table_for_join  # noqa: F401
+from .pipelines.filters import (Filter, OverlapFilter, PositionFilter,  # noqa: F401
+                                PrefixFilter, SizeFilter, SuffixFilter)
 from .pipelines.join import (cosine_join, dice_join, edit_distance_join,  # noqa: F401
                              jaccard_join, overlap_coefficient_join,
                              overlap_join)
+from .pipelines.matcher import apply_matcher  # noqa: F401

@@ -1,0 +1,624 @@
+"""Blocking filters — reference-parity classes on Ray Data.
+
+Mirrors ``/root/reference/py_stringsimjoin/filter/*.py``: each filter offers
+``filter_pair`` (single-pair predicate, pair-local token ordering),
+``filter_tables`` (table×table candidate generation, global ordering) and the
+inherited ``filter_candset`` (re-check a candidate set).  ``filter_tables``
+runs on the same Ray pipeline as the joins (postings shuffle +
+groupby(bucket) pair generation); ``filter_pair`` and the suffix filter's
+recursive bound are pure Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core import bounds
+from ..core import validation as V
+from ..core.comp_ops import COMP_OP_MAP
+from ..core.measures import overlap as set_overlap
+from ..core.ordering import apply_ordering, build_ordering_for_lists
+from .join import (_JoinConfig, _assemble_pandas, _remove_redundant_attrs,
+                   _to_dataset, match_pairs_dataset, output_header,
+                   DEFAULT_NUM_BUCKETS, DEFAULT_SALT_DF_THRESHOLD)
+
+
+class Filter:
+    """Base: allow_missing + filter_candset
+    (``/root/reference/py_stringsimjoin/filter/filter.py:11-137``)."""
+
+    def __init__(self, allow_missing=False):
+        self.allow_missing = allow_missing
+
+    def filter_pair(self, lstring, rstring) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def filter_candset(self, candset, candset_l_key_attr, candset_r_key_attr,
+                       ltable, rtable, l_key_attr, r_key_attr,
+                       l_filter_attr, r_filter_attr, n_jobs=1,
+                       show_progress=False):
+        V.validate_input_table(candset, 'candset')
+        V.validate_attr(candset_l_key_attr, candset.columns,
+                        'left key attribute', 'candset')
+        V.validate_attr(candset_r_key_attr, candset.columns,
+                        'right key attribute', 'candset')
+        V.validate_input_table(ltable, 'left table')
+        V.validate_input_table(rtable, 'right table')
+        l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+        V.validate_attr(l_key_attr, l_cols, 'key attribute', 'left table')
+        V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
+        V.validate_attr(l_filter_attr, l_cols, 'filter attribute', 'left table')
+        V.validate_attr(r_filter_attr, r_cols, 'filter attribute', 'right table')
+        V.validate_attr_type(l_filter_attr, V.get_attr_type(ltable, l_filter_attr),
+                             'filter attribute', 'left table')
+        V.validate_attr_type(r_filter_attr, V.get_attr_type(rtable, r_filter_attr),
+                             'filter attribute', 'right table')
+        V.validate_key_attr(l_key_attr, ltable, 'left table')
+        V.validate_key_attr(r_key_attr, rtable, 'right table')
+
+        if isinstance(candset, pd.DataFrame) and candset.empty:
+            return candset
+
+        l_pd = ltable if isinstance(ltable, pd.DataFrame) else ltable.to_pandas()
+        r_pd = rtable if isinstance(rtable, pd.DataFrame) else rtable.to_pandas()
+        cand_pd = candset if isinstance(candset, pd.DataFrame) else candset.to_pandas()
+
+        lmap = dict(zip(l_pd[l_key_attr], l_pd[l_filter_attr]))
+        rmap = dict(zip(r_pd[r_key_attr], r_pd[r_filter_attr]))
+        keep = [not self.filter_pair(lmap[lk], rmap[rk])
+                for lk, rk in zip(cand_pd[candset_l_key_attr],
+                                  cand_pd[candset_r_key_attr])]
+        return cand_pd[np.asarray(keep, dtype=bool)]
+
+    # shared filter_tables driver over the join pipeline
+    def _tables_via_pipeline(self, mode, sim_type, threshold, comp_op,
+                             allow_empty, tokenizer, ltable, rtable,
+                             l_key_attr, r_key_attr, l_filter_attr,
+                             r_filter_attr, l_out_attrs, r_out_attrs,
+                             l_out_prefix, r_out_prefix, out_sim_score=False,
+                             score_dtype=None, num_buckets=DEFAULT_NUM_BUCKETS,
+                             salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD):
+        V.validate_input_table(ltable, 'left table')
+        V.validate_input_table(rtable, 'right table')
+        l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+        V.validate_attr(l_key_attr, l_cols, 'key attribute', 'left table')
+        V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
+        V.validate_attr(l_filter_attr, l_cols, 'filter attribute', 'left table')
+        V.validate_attr(r_filter_attr, r_cols, 'filter attribute', 'right table')
+        V.validate_attr_type(l_filter_attr, V.get_attr_type(ltable, l_filter_attr),
+                             'filter attribute', 'left table')
+        V.validate_attr_type(r_filter_attr, V.get_attr_type(rtable, r_filter_attr),
+                             'filter attribute', 'right table')
+        V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+        if isinstance(ltable, pd.DataFrame):
+            V.validate_key_attr(l_key_attr, ltable, 'left table')
+            V.validate_key_attr(r_key_attr, rtable, 'right table')
+
+        l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+        r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
+        handle_empty = allow_empty and sim_type not in ('OVERLAP',
+                                                        'EDIT_DISTANCE')
+        cfg = _JoinConfig(sim_type, tokenizer, threshold, comp_op,
+                          handle_empty, self.allow_missing, out_sim_score,
+                          mode=mode, num_buckets=num_buckets,
+                          salt_df_threshold=salt_df_threshold)
+        pairs, empties = match_pairs_dataset(ltable, rtable, l_key_attr,
+                                             r_key_attr, l_filter_attr,
+                                             r_filter_attr, cfg)
+        return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
+                                r_key_attr, l_filter_attr, r_filter_attr, cfg,
+                                l_out_attrs, r_out_attrs, l_out_prefix,
+                                r_out_prefix, out_sim_score,
+                                score_dtype=score_dtype)
+
+
+class OverlapFilter(Filter):
+    """``filter/overlap_filter.py:23-334``.  filter_pair uses SET overlap;
+    filter_tables counts per token occurrence via the inverted index
+    (bag-product when given a bag tokenizer) — both reproduced."""
+
+    def __init__(self, tokenizer, overlap_size=1, comp_op='>=',
+                 allow_missing=False):
+        V.validate_tokenizer(tokenizer)
+        V.validate_threshold(overlap_size, 'OVERLAP')
+        V.validate_comp_op_for_sim_measure(comp_op, 'OVERLAP')
+        self.tokenizer = tokenizer
+        self.overlap_size = overlap_size
+        self.comp_op = comp_op
+        super().__init__(allow_missing)
+
+    def filter_pair(self, lstring, rstring) -> bool:
+        if pd.isnull(lstring) or pd.isnull(rstring):
+            return not self.allow_missing
+        if (not lstring) or (not rstring):
+            return True
+        num_overlap = set_overlap(self.tokenizer.tokenize(lstring),
+                                  self.tokenizer.tokenize(rstring))
+        return not COMP_OP_MAP[self.comp_op](num_overlap, self.overlap_size)
+
+    def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
+                      l_filter_attr, r_filter_attr, l_out_attrs=None,
+                      r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                      out_sim_score=False, n_jobs=1, show_progress=False,
+                      **kw):
+        return self._tables_via_pipeline(
+            'overlap_candidates', 'OVERLAP', self.overlap_size, self.comp_op,
+            False, self.tokenizer, ltable, rtable, l_key_attr, r_key_attr,
+            l_filter_attr, r_filter_attr, l_out_attrs, r_out_attrs,
+            l_out_prefix, r_out_prefix, out_sim_score=out_sim_score,
+            score_dtype=np.int64, **kw)
+
+    def find_candidates(self, probe_tokens, inverted_index):
+        # compatibility shim for code written against the reference surface
+        candidate_overlap = {}
+        for token in probe_tokens:
+            for cand in inverted_index.get(token, ()):
+                candidate_overlap[cand] = candidate_overlap.get(cand, 0) + 1
+        return candidate_overlap
+
+
+class SizeFilter(Filter):
+    """``filter/size_filter.py``: pair survives iff the token-count bounds
+    admit it.  Table mode pairs by SIZE key (no token postings): L records
+    are grouped by exact token count, R probes emit one probe per size in
+    [lb, ub] clipped to the observed L size range."""
+
+    def __init__(self, tokenizer, sim_measure_type, threshold,
+                 allow_empty=True, allow_missing=False):
+        V.validate_sim_measure_type(sim_measure_type)
+        sim_measure_type = sim_measure_type.upper()
+        V.validate_tokenizer_for_sim_measure(tokenizer, sim_measure_type)
+        V.validate_threshold(threshold, sim_measure_type)
+        self.tokenizer = tokenizer
+        self.sim_measure_type = sim_measure_type
+        self.threshold = threshold
+        self.allow_empty = allow_empty
+        super().__init__(allow_missing)
+
+    def filter_pair(self, lstring, rstring) -> bool:
+        if pd.isnull(lstring) or pd.isnull(rstring):
+            return not self.allow_missing
+        l_n = len(self.tokenizer.tokenize(lstring))
+        r_n = len(self.tokenizer.tokenize(rstring))
+        if l_n == 0 and r_n == 0:
+            if self.sim_measure_type == 'OVERLAP':
+                return True
+            if self.sim_measure_type == 'EDIT_DISTANCE':
+                return False
+            return not self.allow_empty
+        lb = bounds.size_lower_bound(l_n, self.sim_measure_type, self.threshold)
+        ub = bounds.size_upper_bound(l_n, self.sim_measure_type, self.threshold)
+        return not (lb <= r_n <= ub)
+
+    def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
+                      l_filter_attr, r_filter_attr, l_out_attrs=None,
+                      r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                      n_jobs=1, show_progress=False):
+        from ..stages.tokenize import TokenizeStage
+        V.validate_input_table(ltable, 'left table')
+        V.validate_input_table(rtable, 'right table')
+        l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+        V.validate_attr(l_key_attr, l_cols, 'key attribute', 'left table')
+        V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
+        V.validate_attr(l_filter_attr, l_cols, 'filter attribute', 'left table')
+        V.validate_attr(r_filter_attr, r_cols, 'filter attribute', 'right table')
+        V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+        if isinstance(ltable, pd.DataFrame):
+            V.validate_key_attr(l_key_attr, ltable, 'left table')
+            V.validate_key_attr(r_key_attr, rtable, 'right table')
+        l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+        r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
+
+        handle_empty = (self.allow_empty and self.sim_measure_type
+                        not in ('OVERLAP', 'EDIT_DISTANCE'))
+        st, t = self.sim_measure_type, self.threshold
+
+        l_ds, r_ds = _to_dataset(ltable), _to_dataset(rtable)
+
+        def sizes(ds, key, attr):
+            return ds.select_columns(list(dict.fromkeys([key, attr]))) \
+                .map_batches(TokenizeStage(key, attr, self.tokenizer),
+                             batch_format='pyarrow') \
+                .map_batches(lambda b: pa.table(
+                    {'key': b['key'],
+                     'sz': pa.compute.list_value_length(b['tokens'])}),
+                    batch_format='pyarrow')
+
+        l_sizes = sizes(l_ds, l_key_attr, l_filter_attr).materialize()
+        r_sizes = sizes(r_ds, r_key_attr, r_filter_attr)
+
+        l_pd_sizes = l_sizes.to_pandas()
+        nonempty = l_pd_sizes[l_pd_sizes['sz'] > 0]
+        l_min = int(nonempty['sz'].min()) if len(nonempty) else 0
+        l_max = int(nonempty['sz'].max()) if len(nonempty) else -1
+
+        def l_post(b: pa.Table) -> pa.Table:
+            m = pa.compute.greater(b['sz'], 0)
+            b = b.filter(m)
+            return pa.table({'size_key': pa.compute.cast(b['sz'], pa.int64()),
+                             'side': pa.array(np.zeros(len(b), np.int8)),
+                             'key': b['key']})
+
+        def r_post(b: pa.Table) -> pa.Table:
+            szs = b['sz'].to_numpy() if not isinstance(b['sz'], pa.ChunkedArray) \
+                else b['sz'].combine_chunks().to_numpy()
+            keys, sk = [], []
+            for i, n in enumerate(szs):
+                if n == 0 and st not in ('EDIT_DISTANCE',):
+                    continue
+                lb = max(bounds.size_lower_bound(int(n), st, t), l_min, 0)
+                ub = min(bounds.size_upper_bound(int(n), st, t), l_max)
+                for s in range(lb, ub + 1):
+                    keys.append(i)
+                    sk.append(s)
+            idx = pa.array(np.asarray(keys, dtype=np.int64))
+            return pa.table({'size_key': pa.array(np.asarray(sk, np.int64)),
+                             'side': pa.array(np.ones(len(sk), np.int8)),
+                             'key': b['key'].take(idx)})
+
+        posts = l_sizes.map_batches(l_post, batch_format='pyarrow').union(
+            r_sizes.map_batches(r_post, batch_format='pyarrow'))
+
+        def pair_group(df: pd.DataFrame) -> pd.DataFrame:
+            lk = df.loc[df['side'] == 0, 'key'].to_numpy()
+            rk = df.loc[df['side'] == 1, 'key'].to_numpy()
+            if len(lk) == 0 or len(rk) == 0:
+                return pd.DataFrame({'l_key': [], 'r_key': []})
+            return pd.DataFrame({'l_key': np.repeat(lk, len(rk)),
+                                 'r_key': np.tile(rk, len(lk))})
+        pair_group.__name__ = 'size_pair_group'
+
+        pairs = posts.groupby('size_key').map_groups(pair_group,
+                                                     batch_format='pandas')
+        empties = {}
+        if handle_empty:
+            empties['l'] = list(l_pd_sizes.loc[l_pd_sizes['sz'] == 0, 'key'])
+            empties['r'] = [row['key'] for row in
+                            r_sizes.map_batches(
+                                lambda b: pa.table(
+                                    {'key': b['key'].filter(
+                                        pa.compute.equal(b['sz'], 0))}),
+                                batch_format='pyarrow').take_all()]
+        cfg = _JoinConfig(st, self.tokenizer, t, '>=', handle_empty,
+                          self.allow_missing, False)
+        return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
+                                r_key_attr, l_filter_attr, r_filter_attr, cfg,
+                                l_out_attrs, r_out_attrs, l_out_prefix,
+                                r_out_prefix, out_sim_score=False)
+
+    def find_candidates(self, probe_num_tokens, size_index):
+        lb = bounds.size_lower_bound(probe_num_tokens, self.sim_measure_type,
+                                     self.threshold)
+        ub = bounds.size_upper_bound(probe_num_tokens, self.sim_measure_type,
+                                     self.threshold)
+        out = set()
+        for size, cands in size_index.items():
+            if lb <= size <= ub:
+                out.update(cands)
+        return out
+
+
+class PrefixFilter(Filter):
+    """``filter/prefix_filter.py``: survive iff the (pair-locally / globally)
+    ordered prefixes share ≥ 1 token."""
+
+    def __init__(self, tokenizer, sim_measure_type, threshold,
+                 allow_empty=True, allow_missing=False):
+        V.validate_sim_measure_type(sim_measure_type)
+        sim_measure_type = sim_measure_type.upper()
+        V.validate_tokenizer_for_sim_measure(tokenizer, sim_measure_type)
+        V.validate_threshold(threshold, sim_measure_type)
+        self.tokenizer = tokenizer
+        self.sim_measure_type = sim_measure_type
+        self.threshold = threshold
+        self.allow_empty = allow_empty
+        super().__init__(allow_missing)
+
+    def _qval(self):
+        return getattr(self.tokenizer, 'qval', None)
+
+    def filter_pair(self, lstring, rstring) -> bool:
+        if pd.isnull(lstring) or pd.isnull(rstring):
+            return not self.allow_missing
+        ltokens = self.tokenizer.tokenize(lstring)
+        rtokens = self.tokenizer.tokenize(rstring)
+        l_n, r_n = len(ltokens), len(rtokens)
+        if l_n == 0 and r_n == 0:
+            if self.sim_measure_type == 'OVERLAP':
+                return True
+            if self.sim_measure_type == 'EDIT_DISTANCE':
+                return False
+            return not self.allow_empty
+        ordering = build_ordering_for_lists([ltokens, rtokens])
+        ol = apply_ordering(ltokens, ordering)
+        orr = apply_ordering(rtokens, ordering)
+        l_p = bounds.prefix_length(l_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        r_p = bounds.prefix_length(r_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        if l_p <= 0 or r_p <= 0:
+            return True
+        return len(set(ol[:l_p]) & set(orr[:r_p])) == 0
+
+    def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
+                      l_filter_attr, r_filter_attr, l_out_attrs=None,
+                      r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                      n_jobs=1, show_progress=False, **kw):
+        return self._tables_via_pipeline(
+            'prefix_candidates', self.sim_measure_type, self.threshold, '>=',
+            self.allow_empty, self.tokenizer, ltable, rtable, l_key_attr,
+            r_key_attr, l_filter_attr, r_filter_attr, l_out_attrs,
+            r_out_attrs, l_out_prefix, r_out_prefix, **kw)
+
+
+class PositionFilter(Filter):
+    """``filter/position_filter.py``: prefix sharing + accumulated positional
+    overlap upper bound must reach the overlap threshold.
+
+    NOTE filter_pair reproduces the reference literally, INCLUDING its quirk
+    of never advancing ``l_pos`` when building the prefix dict
+    (``position_filter.py:128-133`` — all l-positions are 0), because the
+    reference unit tests pin that behavior.  Table mode uses the
+    find_candidates semantics (true positions)."""
+
+    def __init__(self, tokenizer, sim_measure_type, threshold,
+                 allow_empty=True, allow_missing=False):
+        V.validate_sim_measure_type(sim_measure_type)
+        sim_measure_type = sim_measure_type.upper()
+        V.validate_tokenizer_for_sim_measure(tokenizer, sim_measure_type)
+        V.validate_threshold(threshold, sim_measure_type)
+        self.tokenizer = tokenizer
+        self.sim_measure_type = sim_measure_type
+        self.threshold = threshold
+        self.allow_empty = allow_empty
+        super().__init__(allow_missing)
+
+    def _qval(self):
+        return getattr(self.tokenizer, 'qval', None)
+
+    def filter_pair(self, lstring, rstring) -> bool:
+        if pd.isnull(lstring) or pd.isnull(rstring):
+            return not self.allow_missing
+        ltokens = self.tokenizer.tokenize(lstring)
+        rtokens = self.tokenizer.tokenize(rstring)
+        l_n, r_n = len(ltokens), len(rtokens)
+        if l_n == 0 and r_n == 0:
+            if self.sim_measure_type == 'OVERLAP':
+                return True
+            if self.sim_measure_type == 'EDIT_DISTANCE':
+                return False
+            return not self.allow_empty
+        ordering = build_ordering_for_lists([ltokens, rtokens])
+        ol = apply_ordering(ltokens, ordering)
+        orr = apply_ordering(rtokens, ordering)
+        l_p = bounds.prefix_length(l_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        r_p = bounds.prefix_length(r_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        if l_p <= 0 or r_p <= 0:
+            return True
+        l_prefix_dict = {}
+        l_pos = 0
+        for token in ol[:l_p]:
+            l_prefix_dict[token] = l_pos  # reference never increments l_pos
+        T = bounds.overlap_threshold(l_n, r_n, self.sim_measure_type,
+                                     self.threshold, self._qval())
+        current_overlap = 0
+        r_pos = 0
+        for token in orr[:r_p]:
+            l_pos_t = l_prefix_dict.get(token)
+            if l_pos_t is not None:
+                ub = 1 + min(l_n - l_pos_t - 1, r_n - r_pos - 1)
+                if current_overlap + ub < T:
+                    return True
+                current_overlap += 1
+            r_pos += 1
+        return current_overlap == 0
+
+    def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
+                      l_filter_attr, r_filter_attr, l_out_attrs=None,
+                      r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                      n_jobs=1, show_progress=False, **kw):
+        return self._tables_via_pipeline(
+            'position_candidates', self.sim_measure_type, self.threshold,
+            '>=', self.allow_empty, self.tokenizer, ltable, rtable,
+            l_key_attr, r_key_attr, l_filter_attr, r_filter_attr, l_out_attrs,
+            r_out_attrs, l_out_prefix, r_out_prefix, **kw)
+
+
+class SuffixFilter(Filter):
+    """``filter/suffix_filter.py``: recursive Hamming-distance lower bound on
+    the ordered suffixes (max_depth=2).  filter_tables is an O(|L|·|R|)
+    nested loop in the reference; here it broadcasts the prepared L arrays
+    and distributes the loop over R batches."""
+
+    def __init__(self, tokenizer, sim_measure_type, threshold,
+                 allow_empty=True, allow_missing=False):
+        V.validate_sim_measure_type(sim_measure_type)
+        sim_measure_type = sim_measure_type.upper()
+        V.validate_tokenizer_for_sim_measure(tokenizer, sim_measure_type)
+        V.validate_threshold(threshold, sim_measure_type)
+        self.tokenizer = tokenizer
+        self.sim_measure_type = sim_measure_type
+        self.threshold = threshold
+        self.allow_empty = allow_empty
+        self.max_depth = 2
+        super().__init__(allow_missing)
+
+    def _qval(self):
+        return getattr(self.tokenizer, 'qval', None)
+
+    def filter_pair(self, lstring, rstring) -> bool:
+        if pd.isnull(lstring) or pd.isnull(rstring):
+            return not self.allow_missing
+        ltokens = self.tokenizer.tokenize(lstring)
+        rtokens = self.tokenizer.tokenize(rstring)
+        l_n, r_n = len(ltokens), len(rtokens)
+        if l_n == 0 and r_n == 0:
+            if self.sim_measure_type == 'OVERLAP':
+                return True
+            if self.sim_measure_type == 'EDIT_DISTANCE':
+                return False
+            return not self.allow_empty
+        ordering = build_ordering_for_lists([ltokens, rtokens])
+        ol = apply_ordering(ltokens, ordering)
+        orr = apply_ordering(rtokens, ordering)
+        l_p = bounds.prefix_length(l_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        r_p = bounds.prefix_length(r_n, self.sim_measure_type, self.threshold,
+                                   self._qval())
+        if l_p <= 0 or r_p <= 0:
+            return True
+        return self._filter_suffix(ol[l_p:], orr[r_p:], l_p, r_p, l_n, r_n)
+
+    def _filter_suffix(self, l_suffix, r_suffix, l_prefix_n, r_prefix_n,
+                       l_n, r_n) -> bool:
+        T = bounds.overlap_threshold(l_n, r_n, self.sim_measure_type,
+                                     self.threshold, self._qval())
+        if l_prefix_n >= T and r_prefix_n >= T:
+            return False
+        hamming_max = l_n + r_n - 2 * T
+        hd = self._est_hamming_dist_lower_bound(
+            l_suffix, r_suffix, l_n - l_prefix_n, r_n - r_prefix_n,
+            hamming_max, 1)
+        return hd > hamming_max
+
+    def _est_hamming_dist_lower_bound(self, l_suffix, r_suffix, l_n, r_n,
+                                      hamming_max, depth):
+        from math import floor
+        abs_diff = abs(l_n - r_n)
+        if depth > self.max_depth or l_n == 0 or r_n == 0:
+            return abs_diff
+        if l_n == 1 and r_n == 1:
+            return int(not l_suffix[0] == r_suffix[0])
+        r_mid = int(floor(r_n / 2))
+        r_mid_token = r_suffix[r_mid]
+        o = (hamming_max - abs_diff) / 2
+        o_l, o_r = (1, 0) if l_n < r_n else (0, 1)
+        (r_l, r_r, flag, diff) = self._partition(r_suffix, r_mid_token,
+                                                 r_mid, r_mid)
+        (l_l, l_r, flag, diff) = self._partition(
+            l_suffix, r_mid_token,
+            max(0, int(r_mid - o - abs_diff * o_l)),
+            min(l_n - 1, int(r_mid + o + abs_diff * o_r)))
+        if flag == 0:
+            return hamming_max + 1
+        hd = abs(len(l_l) - len(r_l)) + abs(len(l_r) - len(r_r)) + diff
+        if hd > hamming_max:
+            return hd
+        hd_l = self._est_hamming_dist_lower_bound(
+            l_l, r_l, len(l_l), len(r_l),
+            hamming_max - abs(len(l_r) - len(r_r)) - diff, depth + 1)
+        hd = hd_l + abs(len(l_r) - len(r_r)) + diff
+        if hd <= hamming_max:
+            hd_r = self._est_hamming_dist_lower_bound(
+                l_r, r_r, len(l_r), len(r_r),
+                hamming_max - hd_l - diff, depth + 1)
+            return hd_l + hd_r + diff
+        return hd
+
+    def _partition(self, tokens, probe_token, left, right):
+        right = min(right, len(tokens) - 1)
+        if right < left:
+            return [], [], 0, 1
+        if tokens[left] > probe_token:
+            return [], [], 0, 1
+        if tokens[right] < probe_token:
+            return [], [], 0, 1
+        pos = self._binary_search(tokens, probe_token, left, right)
+        tokens_left = tokens[0:pos]
+        if tokens[pos] == probe_token:
+            return tokens_left, tokens[pos + 1:], 1, 0
+        return tokens_left, tokens[pos:], 1, 1
+
+    def _binary_search(self, tokens, probe_token, left, right):
+        from math import floor
+        if left == right:
+            return left
+        mid = int(floor((left + right) / 2))
+        if tokens[mid] == probe_token:
+            return mid
+        if tokens[mid] < probe_token:
+            return self._binary_search(tokens, probe_token, mid + 1, right)
+        return self._binary_search(tokens, probe_token, left, mid)
+
+    def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
+                      l_filter_attr, r_filter_attr, l_out_attrs=None,
+                      r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
+                      n_jobs=1, show_progress=False):
+        from ..stages.tokenize import (TokenizeStage, build_global_ordering,
+                                       token_frequencies)
+        from ..stages.postings import RankPrefixStage
+        V.validate_input_table(ltable, 'left table')
+        V.validate_input_table(rtable, 'right table')
+        l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+        for a, lbl, tbl in ((l_key_attr, 'key attribute', 'left table'),
+                            (l_filter_attr, 'filter attribute', 'left table')):
+            V.validate_attr(a, l_cols, lbl, tbl)
+        for a, lbl, tbl in ((r_key_attr, 'key attribute', 'right table'),
+                            (r_filter_attr, 'filter attribute', 'right table')):
+            V.validate_attr(a, r_cols, lbl, tbl)
+        V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+        if isinstance(ltable, pd.DataFrame):
+            V.validate_key_attr(l_key_attr, ltable, 'left table')
+            V.validate_key_attr(r_key_attr, rtable, 'right table')
+        l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+        r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
+
+        handle_empty = (self.allow_empty and self.sim_measure_type
+                        not in ('OVERLAP', 'EDIT_DISTANCE'))
+        st, t, qv = self.sim_measure_type, self.threshold, self._qval()
+
+        l_ds, r_ds = _to_dataset(ltable), _to_dataset(rtable)
+        tok_l = l_ds.select_columns(list(dict.fromkeys([l_key_attr, l_filter_attr]))) \
+            .map_batches(TokenizeStage(l_key_attr, l_filter_attr, self.tokenizer),
+                         batch_format='pyarrow').materialize()
+        tok_r = r_ds.select_columns(list(dict.fromkeys([r_key_attr, r_filter_attr]))) \
+            .map_batches(TokenizeStage(r_key_attr, r_filter_attr, self.tokenizer),
+                         batch_format='pyarrow').materialize()
+        freq = token_frequencies(tok_l.union(tok_r))
+        ordering = build_global_ordering(freq)
+        ordering_ref = ray.put(ordering)
+
+        ranked_l = tok_l.map_batches(
+            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
+        l_pd_ranked = ranked_l.to_pandas()  # broadcast side (reference copies
+        # L into every worker; we broadcast the prepared arrays once)
+        l_ref = ray.put(l_pd_ranked)
+        ranked_r = tok_r.map_batches(
+            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
+
+        sf = self
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            l_tbl = ray.get(l_ref)
+            out_l, out_r = [], []
+            for _, rrow in batch.iterrows():
+                r_ranks = np.asarray(rrow['ranks'], dtype=np.int64)
+                r_n, r_p = int(rrow['sz']), int(rrow['plen'])
+                for _, lrow in l_tbl.iterrows():
+                    l_ranks = np.asarray(lrow['ranks'], dtype=np.int64)
+                    l_n, l_p = int(lrow['sz']), int(lrow['plen'])
+                    if handle_empty and l_n == 0 and r_n == 0:
+                        out_l.append(lrow['key']); out_r.append(rrow['key'])
+                        continue
+                    if l_p <= 0 or r_p <= 0:
+                        continue
+                    if not sf._filter_suffix(list(l_ranks[l_p:]),
+                                             list(r_ranks[r_p:]),
+                                             l_p, r_p, l_n, r_n):
+                        out_l.append(lrow['key']); out_r.append(rrow['key'])
+            return pd.DataFrame({'l_key': out_l, 'r_key': out_r})
+
+        pairs = ranked_r.map_batches(probe, batch_format='pandas')
+        cfg = _JoinConfig(st, self.tokenizer, t, '>=', False,
+                          self.allow_missing, False)
+        return _assemble_pandas(pairs, {}, ltable, rtable, l_key_attr,
+                                r_key_attr, l_filter_attr, r_filter_attr, cfg,
+                                l_out_attrs, r_out_attrs, l_out_prefix,
+                                r_out_prefix, out_sim_score=False)

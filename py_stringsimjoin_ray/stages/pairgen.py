@@ -94,11 +94,9 @@ class PairGenVerify:
         self.self_join = self_join
         self.round_score = round_score
         self._apply_size_bounds = (
-            mode in ('join', 'position_candidates')
-            and sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP'))
-        self._apply_position = (
-            mode in ('join', 'position_candidates')
-            and sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP'))
+            mode == 'join' and sim_type in ('JACCARD', 'COSINE', 'DICE',
+                                            'OVERLAP'))
+        self._apply_position = self._apply_size_bounds
 
     # -------------------------------------------------------------- helpers
 
@@ -221,6 +219,16 @@ class PairGenVerify:
                                                 assume_unique=True)
                     if len(common) == 0 or common[0] != tok:
                         continue
+                    if self.mode == 'prefix_candidates':
+                        self._emit(L, R, None, out_l, out_r, out_s)
+                        continue
+                    if self.mode == 'position_candidates':
+                        if not self._size_ok(L.sz, R.sz):
+                            continue
+                        if not self._position_ok(L, R, common):
+                            continue
+                        self._emit(L, R, None, out_l, out_r, out_s)
+                        continue
                     if ed:
                         if abs(len(L.s) - len(R.s)) > self.threshold:
                             continue
@@ -229,9 +237,6 @@ class PairGenVerify:
                     if self._apply_size_bounds and not self._size_ok(L.sz, R.sz):
                         continue
                     if self._apply_position and not self._position_ok(L, R, common):
-                        continue
-                    if self.mode in ('prefix_candidates', 'position_candidates'):
-                        self._emit(L, R, None, out_l, out_r, out_s)
                         continue
                     score = self._verify_score(L, R)
                     if self.comp_fn(score, self.threshold):

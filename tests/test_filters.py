@@ -1,0 +1,334 @@
+"""Filter parity tests: filter_pair truth cases + filter_tables against
+reference-probe oracles re-implemented independently in this file (global
+ordering + index/probe double loop, mirroring the reference's
+``_filter_tables_split`` kernels)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray import (OverlapFilter, PositionFilter, PrefixFilter,
+                                  QgramTokenizer, SizeFilter, SuffixFilter,
+                                  WhitespaceTokenizer)
+from py_stringsimjoin_ray.core import bounds
+from py_stringsimjoin_ray.core.comp_ops import COMP_OP_MAP
+from py_stringsimjoin_ray.core.ordering import (apply_ordering,
+                                                build_ordering_for_lists)
+
+WS = WhitespaceTokenizer(return_set=True)
+
+
+# ------------------------------------------------------------------ oracles
+
+def global_ordering(A, B, l_attr, r_attr, tokenizer):
+    lists = []
+    for _, r in A.iterrows():
+        if pd.notnull(r[l_attr]):
+            lists.append(tokenizer.tokenize(r[l_attr]))
+    for _, r in B.iterrows():
+        if pd.notnull(r[r_attr]):
+            lists.append(tokenizer.tokenize(r[r_attr]))
+    return build_ordering_for_lists(lists)
+
+
+def oracle_position_tables(A, B, l_key, r_key, l_attr, r_attr, tokenizer,
+                           sim_type, threshold, allow_empty=True):
+    """Literal re-implementation of PositionIndex build + find_candidates."""
+    qv = getattr(tokenizer, 'qval', None)
+    ordering = global_ordering(A, B, l_attr, r_attr, tokenizer)
+    handle_empty = allow_empty and sim_type not in ('OVERLAP', 'EDIT_DISTANCE')
+    # build index over A
+    index = {}
+    size_cache = {}
+    empties = []
+    l_rows = A[pd.notnull(A[l_attr])].reset_index(drop=True)
+    r_rows = B[pd.notnull(B[r_attr])].reset_index(drop=True)
+    min_len, max_len = 10**9, 0
+    for i, row in l_rows.iterrows():
+        toks = apply_ordering(tokenizer.tokenize(row[l_attr]), ordering)
+        n = len(toks)
+        size_cache[i] = n
+        if n == 0:
+            empties.append(i)
+        min_len, max_len = min(min_len, n), max(max_len, n)
+        p = bounds.prefix_length(n, sim_type, threshold, qv)
+        for pos in range(p):
+            index.setdefault(toks[pos], []).append((i, pos))
+    exp = set()
+    for _, rrow in r_rows.iterrows():
+        rtoks = apply_ordering(tokenizer.tokenize(rrow[r_attr]), ordering)
+        rn = len(rtoks)
+        if handle_empty and rn == 0:
+            for i in empties:
+                exp.add((l_rows.iloc[i][l_key], rrow[r_key]))
+            continue
+        if not index:
+            continue
+        lb = max(bounds.size_lower_bound(rn, sim_type, threshold), min_len)
+        ub = min(bounds.size_upper_bound(rn, sim_type, threshold), max_len)
+        overlap_cache = {}
+        rp = bounds.prefix_length(rn, sim_type, threshold, qv)
+        for rpos in range(rp):
+            for (cand, cpos) in index.get(rtoks[rpos], ()):
+                cur = overlap_cache.get(cand, 0)
+                if cur != -1:
+                    cn = size_cache[cand]
+                    if lb <= cn <= ub:
+                        oub = min(rn - rpos, cn - cpos)
+                        T = bounds.overlap_threshold(cn, rn, sim_type,
+                                                     threshold, qv)
+                        if cur + oub >= T:
+                            overlap_cache[cand] = cur + 1
+                        else:
+                            overlap_cache[cand] = -1
+        for cand, ov in overlap_cache.items():
+            if ov > 0:
+                exp.add((l_rows.iloc[cand][l_key], rrow[r_key]))
+    return exp
+
+
+def oracle_prefix_tables(A, B, l_key, r_key, l_attr, r_attr, tokenizer,
+                         sim_type, threshold, allow_empty=True):
+    qv = getattr(tokenizer, 'qval', None)
+    ordering = global_ordering(A, B, l_attr, r_attr, tokenizer)
+    handle_empty = allow_empty and sim_type not in ('OVERLAP', 'EDIT_DISTANCE')
+    exp = set()
+    for _, la in A.iterrows():
+        if pd.isnull(la[l_attr]):
+            continue
+        ltoks = apply_ordering(tokenizer.tokenize(la[l_attr]), ordering)
+        lp = bounds.prefix_length(len(ltoks), sim_type, threshold, qv)
+        for _, rb in B.iterrows():
+            if pd.isnull(rb[r_attr]):
+                continue
+            rtoks = apply_ordering(tokenizer.tokenize(rb[r_attr]), ordering)
+            rp = bounds.prefix_length(len(rtoks), sim_type, threshold, qv)
+            if len(ltoks) == 0 and len(rtoks) == 0:
+                if handle_empty:
+                    exp.add((la[l_key], rb[r_key]))
+                continue
+            if lp <= 0 or rp <= 0:
+                continue
+            if set(ltoks[:lp]) & set(rtoks[:rp]):
+                exp.add((la[l_key], rb[r_key]))
+    return exp
+
+
+def oracle_overlap_tables(A, B, l_key, r_key, l_attr, r_attr, tokenizer,
+                          overlap_size, comp_op):
+    comp = COMP_OP_MAP[comp_op]
+    exp = {}
+    for _, la in A.iterrows():
+        if pd.isnull(la[l_attr]):
+            continue
+        for _, rb in B.iterrows():
+            if pd.isnull(rb[r_attr]):
+                continue
+            lt = tokenizer.tokenize(la[l_attr])
+            rt = tokenizer.tokenize(rb[r_attr])
+            # inverted-index probe counts occurrence pairs (bag product)
+            from collections import Counter
+            cl, cr = Counter(lt), Counter(rt)
+            ov = sum(cl[t] * cr[t] for t in cl.keys() & cr.keys())
+            if ov > 0 and comp(ov, overlap_size):
+                exp[(la[l_key], rb[r_key])] = ov
+    return exp
+
+
+def oracle_size_tables(A, B, l_key, r_key, l_attr, r_attr, tokenizer,
+                       sim_type, threshold, allow_empty=True):
+    handle_empty = allow_empty and sim_type not in ('OVERLAP', 'EDIT_DISTANCE')
+    exp = set()
+    l_rows = A[pd.notnull(A[l_attr])]
+    sizes = {k: len(tokenizer.tokenize(v))
+             for k, v in zip(l_rows[l_key], l_rows[l_attr])}
+    nonzero = [s for s in sizes.values() if s > 0]
+    for _, rb in B.iterrows():
+        if pd.isnull(rb[r_attr]):
+            continue
+        rn = len(tokenizer.tokenize(rb[r_attr]))
+        if rn == 0:
+            if handle_empty:
+                for k, s in sizes.items():
+                    if s == 0:
+                        exp.add((k, rb[r_key]))
+            continue
+        lb = bounds.size_lower_bound(rn, sim_type, threshold)
+        ub = bounds.size_upper_bound(rn, sim_type, threshold)
+        for k, s in sizes.items():
+            if s > 0 and lb <= s <= ub:
+                exp.add((k, rb[r_key]))
+    return exp
+
+
+# -------------------------------------------------------------- pair truth
+
+class TestFilterPair:
+    def test_overlap_filter_pair(self):
+        f = OverlapFilter(WS, 2)
+        assert f.filter_pair('aa bb cc', 'aa bb dd') is False
+        assert f.filter_pair('aa bb cc', 'aa dd ee') is True
+        assert f.filter_pair('', 'aa') is True
+        assert f.filter_pair(np.nan, 'aa') is True
+        assert OverlapFilter(WS, 1, allow_missing=True).filter_pair(np.nan, 'aa') is False
+        assert OverlapFilter(WS, 1, '>').filter_pair('aa bb', 'aa cc') is True
+        assert OverlapFilter(WS, 1, '=').filter_pair('aa bb', 'aa cc') is False
+
+    def test_size_filter_pair(self):
+        f = SizeFilter(WS, 'JACCARD', 0.5)
+        # l_n=4 → bounds [2, 8]
+        assert f.filter_pair('a b c d', 'x y') is False
+        assert f.filter_pair('a b c d', 'x') is True
+        assert f.filter_pair('', '') is False          # allow_empty default
+        assert SizeFilter(WS, 'JACCARD', 0.5, allow_empty=False) \
+            .filter_pair('', '') is True
+
+    def test_prefix_filter_pair(self):
+        f = PrefixFilter(WS, 'JACCARD', 0.8)
+        # 5 tokens, t=0.8 → prefix 2 rarest tokens each; identical strings
+        # share prefix
+        assert f.filter_pair('a b c d e', 'a b c d e') is False
+        f2 = PrefixFilter(WS, 'JACCARD', 0.8)
+        # disjoint strings share nothing
+        assert f2.filter_pair('a b c d e', 'v w x y z') is True
+
+    def test_position_filter_pair(self):
+        f = PositionFilter(WS, 'JACCARD', 0.6)
+        assert f.filter_pair('a b c d e', 'a b c d e') is False
+        assert f.filter_pair('a b c', 'x y z') is True
+        assert f.filter_pair('', '') is False
+        assert PositionFilter(WS, 'JACCARD', 0.6, allow_empty=False) \
+            .filter_pair('', '') is True
+        assert f.filter_pair(np.nan, 'a') is True
+
+    def test_suffix_filter_pair(self):
+        f = SuffixFilter(WS, 'JACCARD', 0.8)
+        assert f.filter_pair('a b c d e', 'a b c d e') is False
+        assert f.filter_pair('a b c d e', 'a v w x y') is True
+
+
+# ------------------------------------------------------------ table parity
+
+@pytest.mark.parametrize('sim_type,threshold', [
+    ('JACCARD', 0.3), ('JACCARD', 0.7), ('COSINE', 0.5), ('DICE', 0.6),
+])
+def test_position_filter_tables(person_tables, sim_type, threshold):
+    A, B = person_tables
+    f = PositionFilter(WhitespaceTokenizer(return_set=True), sim_type, threshold)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    exp = oracle_position_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name',
+                                 WhitespaceTokenizer(return_set=True),
+                                 sim_type, threshold)
+    got = set(zip(out['l_A.ID'], out['r_B.ID']))
+    assert got == exp, got ^ exp
+    assert list(out.columns) == ['_id', 'l_A.ID', 'r_B.ID']
+
+
+@pytest.mark.parametrize('sim_type,threshold,tok', [
+    ('JACCARD', 0.5, WhitespaceTokenizer(return_set=True)),
+    ('DICE', 0.7, WhitespaceTokenizer(return_set=True)),
+    ('JACCARD', 0.5, QgramTokenizer(qval=2, return_set=True)),
+])
+def test_prefix_filter_tables(person_tables, sim_type, threshold, tok):
+    A, B = person_tables
+    f = PrefixFilter(tok, sim_type, threshold)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    exp = oracle_prefix_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok,
+                               sim_type, threshold)
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
+@pytest.mark.parametrize('k,comp', [(1, '>='), (2, '>='), (1, '=')])
+def test_overlap_filter_tables(person_tables, k, comp):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    f = OverlapFilter(tok, k, comp)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.address', 'B.address',
+                          out_sim_score=True)
+    exp = oracle_overlap_tables(A, B, 'A.ID', 'B.ID', 'A.address',
+                                'B.address', tok, k, comp)
+    got = {(l, r): s for l, r, s in
+           zip(out['l_A.ID'], out['r_B.ID'], out['_sim_score'])}
+    assert got == exp
+
+
+def test_overlap_filter_tables_bag_tokenizer(person_tables):
+    """Bag tokenizer → inverted-index probe counts occurrence products."""
+    A, B = person_tables
+    tok = QgramTokenizer(qval=2, return_set=False)
+    f = OverlapFilter(tok, 3)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name',
+                          out_sim_score=True)
+    exp = oracle_overlap_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name',
+                                tok, 3, '>=')
+    got = {(l, r): s for l, r, s in
+           zip(out['l_A.ID'], out['r_B.ID'], out['_sim_score'])}
+    assert got == exp
+
+
+@pytest.mark.parametrize('sim_type,threshold', [
+    ('JACCARD', 0.5), ('COSINE', 0.7), ('DICE', 0.3),
+])
+def test_size_filter_tables(person_tables, sim_type, threshold):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    f = SizeFilter(tok, sim_type, threshold)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    exp = oracle_size_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok,
+                             sim_type, threshold)
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
+def test_suffix_filter_tables(person_tables):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    f = SuffixFilter(tok, 'JACCARD', 0.5)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    # oracle: the filter's own pair kernel under GLOBAL ordering
+    ordering = global_ordering(A, B, 'A.name', 'B.name', tok)
+    exp = set()
+    for _, la in A.iterrows():
+        if pd.isnull(la['A.name']):
+            continue
+        lt = apply_ordering(tok.tokenize(la['A.name']), ordering)
+        lp = bounds.prefix_length(len(lt), 'JACCARD', 0.5)
+        for _, rb in B.iterrows():
+            if pd.isnull(rb['B.name']):
+                continue
+            rt = apply_ordering(tok.tokenize(rb['B.name']), ordering)
+            rp = bounds.prefix_length(len(rt), 'JACCARD', 0.5)
+            if len(lt) == 0 and len(rt) == 0:
+                exp.add((la['A.ID'], rb['B.ID']))
+                continue
+            if lp <= 0 or rp <= 0:
+                continue
+            if not f._filter_suffix(lt[lp:], rt[rp:], lp, rp, len(lt), len(rt)):
+                exp.add((la['A.ID'], rb['B.ID']))
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
+def test_filter_candset(person_tables):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    cand = OverlapFilter(tok, 1).filter_tables(A, B, 'A.ID', 'B.ID',
+                                               'A.name', 'B.name')
+    f = PositionFilter(tok, 'JACCARD', 0.8)
+    out = f.filter_candset(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                           'A.name', 'B.name')
+    lmap = dict(zip(A['A.ID'], A['A.name']))
+    rmap = dict(zip(B['B.ID'], B['B.name']))
+    exp_rows = [i for i, (lk, rk) in
+                enumerate(zip(cand['l_A.ID'], cand['r_B.ID']))
+                if not f.filter_pair(lmap[lk], rmap[rk])]
+    assert list(out.index) == exp_rows
+    assert list(out.columns) == list(cand.columns)
+
+
+def test_allow_missing_filter_tables(person_tables):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    f = PositionFilter(tok, 'JACCARD', 0.8, allow_missing=True)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    got = set(zip(out['l_A.ID'], out['r_B.ID']))
+    for bid in B['B.ID']:
+        assert ('a7', bid) in got

@@ -1,0 +1,148 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray import (OverlapFilter, WhitespaceTokenizer,
+                                  apply_matcher, dataframe_column_to_str,
+                                  profile_counts, profile_table_for_join,
+                                  series_to_str)
+from py_stringsimjoin_ray.core import measures
+
+WS = WhitespaceTokenizer(return_set=True)
+
+
+def make_candset(A, B):
+    return OverlapFilter(WS, 1).filter_tables(A, B, 'A.ID', 'B.ID',
+                                              'A.name', 'B.name')
+
+
+def test_apply_matcher_jaccard(person_tables):
+    A, B = person_tables
+    cand = make_candset(A, B)
+    out = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                        'A.name', 'B.name', WS, measures.jaccard, 0.3)
+    lmap = dict(zip(A['A.ID'], A['A.name']))
+    rmap = dict(zip(B['B.ID'], B['B.name']))
+    exp = {}
+    for _id, lk, rk in zip(cand['_id'], cand['l_A.ID'], cand['r_B.ID']):
+        lv, rv = lmap[lk], rmap[rk]
+        if pd.isnull(lv) or pd.isnull(rv):
+            continue
+        s = measures.jaccard(WS.tokenize(lv), WS.tokenize(rv))
+        if s >= 0.3:
+            exp[(lk, rk)] = (_id, s)
+    got = {(l, r): (i, s) for i, l, r, s in
+           zip(out['_id'], out['l_A.ID'], out['r_B.ID'], out['_sim_score'])}
+    assert got == exp
+    assert list(out.columns) == ['_id', 'l_A.ID', 'r_B.ID', '_sim_score']
+
+
+def test_apply_matcher_no_tokenizer_and_out_attrs(person_tables):
+    A, B = person_tables
+
+    def exact(l, r):
+        return 1.0 if l == r else 0.0
+
+    cand = make_candset(A, B)
+    out = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                        'A.zipcode', 'B.zipcode', None, exact, 1.0, '=',
+                        l_out_attrs=['A.zipcode'], r_out_attrs=['B.zipcode'])
+    assert len(out) > 0
+    assert (out['l_A.zipcode'] == out['r_B.zipcode']).all()
+    assert list(out.columns) == ['_id', 'l_A.ID', 'r_B.ID', 'l_A.zipcode',
+                                 'r_B.zipcode', '_sim_score']
+
+
+def test_apply_matcher_allow_missing(person_tables):
+    A, B = person_tables
+    cand = pd.DataFrame({'_id': [0, 1], 'l_A.ID': ['a7', 'a1'],
+                         'r_B.ID': ['b1', 'b1']})
+    out = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                        'A.name', 'B.name', WS, measures.jaccard, 0.9,
+                        allow_missing=True)
+    assert ('a7', 'b1') in set(zip(out['l_A.ID'], out['r_B.ID']))
+    assert np.isnan(out.loc[out['l_A.ID'] == 'a7', '_sim_score'].iloc[0])
+
+
+def test_apply_matcher_instance_method(person_tables):
+    """The reference needs copyreg pickling hooks for bound methods; Ray's
+    cloudpickle must handle them natively (apply_matcher.py:21-28)."""
+    A, B = person_tables
+
+    class Scorer:
+        def __init__(self, w):
+            self.w = w
+
+        def score(self, l, r):
+            return self.w * measures.jaccard(l, r)
+
+    cand = make_candset(A, B)
+    out = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                        'A.name', 'B.name', WS, Scorer(2.0).score, 1.0)
+    exp = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                        'A.name', 'B.name', WS, measures.jaccard, 0.5)
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == \
+        set(zip(exp['l_A.ID'], exp['r_B.ID']))
+
+
+def test_converter_int_and_float():
+    df = pd.DataFrame({'i': [1, 2], 'f': [1.0, np.nan], 'g': [1.5, np.nan],
+                       's': ['x', 'y']})
+    out = dataframe_column_to_str(df, 'i')
+    assert list(out['i']) == ['1', '2']
+    out = dataframe_column_to_str(df, 'f')
+    assert out['f'][0] == '1' and pd.isnull(out['f'][1])
+    out = dataframe_column_to_str(df, 'g')
+    assert out['g'][0] == '1.5' and pd.isnull(out['g'][1])
+    col = dataframe_column_to_str(df, 'i', return_col=True)
+    assert isinstance(col, pd.Series) and list(col) == ['1', '2']
+    assert dataframe_column_to_str(df, 'i', inplace=True) is True
+    assert list(df['i']) == ['1', '2']
+    with pytest.raises(AssertionError):
+        dataframe_column_to_str(df, 'i', inplace=True, return_col=True)
+    with pytest.raises(AssertionError):
+        dataframe_column_to_str(df, 'nope')
+
+
+def test_series_to_str_empty():
+    s = pd.Series([], dtype=float)
+    out = series_to_str(s)
+    assert out.dtype == object
+
+
+def test_join_on_converted_numeric(person_tables):
+    from py_stringsimjoin_ray import jaccard_join
+    A, B = person_tables
+    A2 = dataframe_column_to_str(A, 'A.birth_year')
+    B2 = dataframe_column_to_str(B, 'B.birth_year')
+    out = jaccard_join(A2, B2, 'A.ID', 'B.ID', 'A.birth_year', 'B.birth_year',
+                       WhitespaceTokenizer(return_set=True), 1.0)
+    exp = {(a, b) for a in A2.index for b in B2.index
+           if A2['A.birth_year'][a] == B2['B.birth_year'][b]}
+    exp = {(A2['A.ID'][a], B2['B.ID'][b]) for a, b in exp}
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
+def test_profiler_pandas(person_tables):
+    A, _ = person_tables
+    out = profile_table_for_join(A)
+    assert out.loc['A.ID', 'Unique values'] == '7 (100.0%)'
+    assert out.loc['A.ID', 'Comments'] == \
+        'This attribute can be used as a key attribute.'
+    assert out.loc['A.name', 'Missing values'].startswith('1 ')
+
+
+def test_profiler_dataset(person_tables):
+    import ray.data
+    A, _ = person_tables
+    ds = ray.data.from_pandas(A)
+    out = profile_table_for_join(ds, ['A.ID', 'A.name', 'A.zipcode'])
+    pd_out = profile_table_for_join(A, ['A.ID', 'A.name', 'A.zipcode'])
+    assert out.equals(pd_out)
+
+
+def test_profile_counts(person_tables):
+    A, _ = person_tables
+    out = profile_counts(A, ['A.ID', 'A.name'])
+    assert list(out['unique_values']) == [7, 7]  # 6 names + NaN
+    assert list(out['missing_values']) == [0, 1]
