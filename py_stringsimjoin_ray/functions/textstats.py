@@ -1,0 +1,104 @@
+"""Text-analysis batch kernels for large-scale corpus pipelines (beyond the
+reference's surface; required engine components for training-data prep):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All are vectorized per-batch functions usable directly in
+``Dataset.map_batches`` (pyarrow in / pyarrow out)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r'\s+')
+_BPEISH_RE = re.compile(r"\w+|[^\w\s]")
+
+# tiny built-in stopword lists for the language-ID heuristic
+STOPWORDS = {
+    'en': {'the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'for', 'that'},
+    'de': {'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu', 'mit'},
+    'fr': {'le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans'},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
+    """whitespace token count + a BPE-ish regex token count per row."""
+    texts = batch[text_col].to_pylist()
+    ws = np.fromiter((len(t.split()) if t is not None else 0 for t in texts),
+                     dtype=np.int64, count=len(texts))
+    bpe = np.fromiter((len(_BPEISH_RE.findall(t)) if t is not None else 0
+                       for t in texts), dtype=np.int64, count=len(texts))
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column('n_tokens', pa.array(ws))
+    out = out.append_column('n_bpeish_tokens', pa.array(bpe))
+    return out
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
+    """Deterministic quality metrics: char/token counts, mean token length,
+    punctuation & uppercase ratios.  Formulas are plain integer counts and a
+    single float division each, so a SQL oracle can reproduce them
+    bit-exactly."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_tok = np.empty(n, np.int64)
+    punct = np.empty(n, np.int64)
+    upper = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ''
+        n_chars[i] = len(t)
+        toks = t.split()
+        n_tok[i] = len(toks)
+        punct[i] = sum(c in '.,;:!?' for c in t)
+        upper[i] = sum('A' <= c <= 'Z' for c in t)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column('n_chars_calc', pa.array(n_chars))
+    out = out.append_column('n_tokens', pa.array(n_tok))
+    out = out.append_column('punct_ratio', pa.array(punct / denom))
+    out = out.append_column('upper_ratio', pa.array(upper / denom))
+    out = out.append_column(
+        'mean_token_len',
+        pa.array((n_chars - np.maximum(n_tok - 1, 0)) /
+                 np.maximum(n_tok, 1).astype(np.float64)))
+    return out
+
+
+def langid_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
+    """Stopword-vote language ID over {en, de, fr}; 'und' (undetermined) when
+    no stopword hits.  Ties broken by language code order."""
+    texts = batch[text_col].to_pylist()
+    langs = []
+    for t in texts:
+        words = set((t or '').lower().split())
+        scores = {lang: len(words & sw) for lang, sw in STOPWORDS.items()}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        langs.append(best if scores[best] > 0 else 'und')
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    return out.append_column('lang_pred', pa.array(langs, pa.string()))
+
+
+_FP_BASE = np.uint64(1000003)
+_FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def fingerprint64(text: str) -> int:
+    """Rolling polynomial hash of the whitespace-token stream — a stable
+    64-bit document fingerprint (order-sensitive, whitespace-insensitive)."""
+    h = np.uint64(1469598103934665603)
+    for tok in text.split():
+        for b in tok.encode():
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        h = np.uint64((int(h) * int(_FP_BASE) + 97) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    fps = np.fromiter((fingerprint64(t or '') for t in texts),
+                      dtype=np.uint64, count=len(texts))
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    return out.append_column('fingerprint', pa.array(fps.astype(np.int64)))

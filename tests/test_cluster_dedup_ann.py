@@ -1,0 +1,170 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from py_stringsimjoin_ray.functions import textstats
+from py_stringsimjoin_ray.stages import ann, cluster, dedup, media
+
+
+class TestConnectedComponents:
+    def assert_cc(self, edges, expected):
+        eds = ray.data.from_arrow(pa.table({
+            'u': pa.array([e[0] for e in edges], pa.int64()),
+            'v': pa.array([e[1] for e in edges], pa.int64())}))
+        got = cluster.connected_components(eds).to_pandas()
+        got_map = dict(zip(got['node'], got['component']))
+        assert got_map == expected
+        # driver fallback agrees
+        pdf = pd.DataFrame({'u': [e[0] for e in edges],
+                            'v': [e[1] for e in edges]})
+        fal = cluster.connected_components_pandas(pdf)
+        assert dict(zip(fal['node'], fal['component'])) == expected
+
+    def test_two_components(self):
+        self.assert_cc([(1, 2), (2, 3), (10, 11)],
+                       {1: 1, 2: 1, 3: 1, 10: 10, 11: 10})
+
+    def test_chain(self):
+        n = 30
+        edges = [(i, i + 1) for i in range(n)]
+        self.assert_cc(edges, {i: 0 for i in range(n + 1)})
+
+    def test_self_loops_and_dups(self):
+        self.assert_cc([(5, 5), (1, 2), (2, 1), (2, 3)],
+                       {1: 1, 2: 1, 3: 1})
+
+    def test_star_and_singleton_merge(self):
+        edges = [(7, 1), (7, 2), (7, 3), (2, 9)]
+        self.assert_cc(edges, {1: 1, 2: 1, 3: 1, 7: 1, 9: 1})
+
+
+@pytest.fixture(scope='module')
+def docs_ds():
+    texts = [
+        'the quick brown fox jumps over the lazy dog again and again',
+        'the quick brown fox jumps over the lazy dog again and again',   # dup of 0
+        'the quick brown fox jumps over the lazy cat again and again',   # near dup
+        'completely different content about ray data pipelines at scale',
+        'der schnelle braune fuchs springt und ist nicht langsam',
+        '',
+    ]
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string())}))
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_ds):
+        out = dedup.exact_dedup(docs_ds, 'doc_id', 'text').to_pandas()
+        reps = dict(zip(out['rep_id'], out['dup_count']))
+        assert reps[0] == 2           # docs 0 and 1 identical
+        assert reps[2] == 1
+        assert len(out) == 5          # 6 docs, one exact dup
+
+    def test_minhash_lsh_pairs(self, docs_ds):
+        out = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
+                                      threshold=0.5, k=3).to_pandas()
+        pairs = set(zip(out['l_id'], out['r_id']))
+        assert (0, 1) in pairs        # exact dup always found
+        for l, r, j in zip(out['l_id'], out['r_id'], out['jaccard']):
+            assert j >= 0.5
+        assert all(l < r for l, r in pairs)
+
+    def test_simhash_pairs(self, docs_ds):
+        out = dedup.simhash_near_dup_pairs(docs_ds, 'doc_id', 'text',
+                                           max_hamming=3).to_pandas()
+        pairs = set(zip(out['l_id'], out['r_id']))
+        assert (0, 1) in pairs        # identical docs → distance 0
+        assert (0, 3) not in pairs    # different docs far apart
+
+    def test_simhash_deterministic(self):
+        h1 = dedup.simhash64('a b c d e f', 2)
+        h2 = dedup.simhash64('a b c d e f', 2)
+        assert h1 == h2 != 0
+
+
+class TestANN:
+    @pytest.fixture(scope='class')
+    def emb_ds(self):
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((200, 16)).astype(np.float32)
+        return X, ray.data.from_arrow(pa.table({
+            'vec_id': pa.array(range(200), pa.int64()),
+            'embedding': pa.array([r.tolist() for r in X],
+                                  pa.list_(pa.float32()))}))
+
+    def test_bruteforce_topk(self, emb_ds):
+        X, ds = emb_ds
+        Q = X[:3].astype(np.float64)
+        out = ann.ann_topk_bruteforce(ds, Q, k=5)
+        assert len(out) == 15
+        # query vector's own row must rank first with cosine ~1
+        for qi in range(3):
+            top1 = out[(out['query_id'] == qi) & (out['rank'] == 1)]
+            assert int(top1['vec_id'].iloc[0]) == qi
+            assert top1['cosine'].iloc[0] == pytest.approx(1.0)
+        # verify against full numpy computation
+        sims = (Q @ X.T.astype(np.float64)) / (
+            np.linalg.norm(Q, axis=1)[:, None] *
+            np.linalg.norm(X.astype(np.float64), axis=1)[None, :])
+        for qi in range(3):
+            exp = set(np.argsort(-sims[qi])[:5])
+            got = set(out[out['query_id'] == qi]['vec_id'])
+            assert got == exp
+
+    def test_lsh_topk_self_recall(self, emb_ds):
+        X, ds = emb_ds
+        Q = X[:5].astype(np.float64)
+        out = ann.ann_topk_lsh(ds, Q, k=3, nbits=4)
+        for qi in range(5):
+            sub = out[out['query_id'] == qi]
+            assert len(sub) >= 1
+            assert int(sub[sub['rank'] == 1]['vec_id'].iloc[0]) == qi
+
+
+class TestTextStats:
+    def test_token_count(self, docs_ds):
+        out = docs_ds.map_batches(textstats.token_count_batch,
+                                  batch_format='pyarrow').to_pandas()
+        m = dict(zip(out['doc_id'], out['n_tokens']))
+        assert m[0] == 12 and m[5] == 0
+
+    def test_quality(self, docs_ds):
+        out = docs_ds.map_batches(textstats.quality_score_batch,
+                                  batch_format='pyarrow').to_pandas()
+        assert (out['punct_ratio'] >= 0).all()
+        assert out.loc[out['doc_id'] == 5, 'n_tokens'].iloc[0] == 0
+
+    def test_langid(self, docs_ds):
+        out = docs_ds.map_batches(textstats.langid_batch,
+                                  batch_format='pyarrow').to_pandas()
+        m = dict(zip(out['doc_id'], out['lang_pred']))
+        assert m[0] == 'en' and m[4] == 'de' and m[5] == 'und'
+
+    def test_fingerprint_whitespace_insensitive(self):
+        assert textstats.fingerprint64('a  b\tc') == \
+            textstats.fingerprint64('a b c')
+        assert textstats.fingerprint64('a b c') != \
+            textstats.fingerprint64('c b a')
+
+
+class TestMedia:
+    def test_pipeline_shape(self, docs_ds):
+        out = media.media_pipeline(docs_ds).to_pandas()
+        assert set(out.columns) == {'doc_id', 'media_type', 'byte_len',
+                                    'payload_md5', 'features'}
+        assert all(len(f) == media.DecodeStage.FEATURE_DIM
+                   for f in out['features'])
+        import hashlib
+        row = out[out['doc_id'] == 3].iloc[0]
+        assert row['payload_md5'] == hashlib.md5(
+            'completely different content about ray data pipelines at scale'
+            .encode()).hexdigest()
+
+    def test_decode_stub_raises_without_fake(self):
+        st = media.DecodeStage()
+        with pytest.raises(NotImplementedError):
+            st.decode_one(b'xx')
