@@ -92,20 +92,27 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                         l_join_attr, r_join_attr, cfg: _JoinConfig):
     """Core distributed pipeline → Dataset[(l_key, r_key[, _sim_score])],
     plus the empty-record key lists needed for the allow_empty fast path."""
+    same_relation = (l_ds is r_ds and l_key_attr == r_key_attr
+                     and l_join_attr == r_join_attr)
     l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
 
     tok_l = l_ds.select_columns(list(dict.fromkeys([l_key_attr, l_join_attr]))) \
         .map_batches(TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
                                    keep_string=cfg.keep_string),
                      batch_format='pyarrow').materialize()
-    tok_r = r_ds.select_columns(list(dict.fromkeys([r_key_attr, r_join_attr]))) \
-        .map_batches(TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
-                                   keep_string=cfg.keep_string),
-                     batch_format='pyarrow').materialize()
+    if same_relation:
+        tok_r = tok_l  # tokenize once; postings are emitted per side below
+    else:
+        tok_r = r_ds.select_columns(list(dict.fromkeys([r_key_attr, r_join_attr]))) \
+            .map_batches(TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
+                                       keep_string=cfg.keep_string),
+                         batch_format='pyarrow').materialize()
 
     # corpus-wide ordering over BOTH join columns (token_ordering.py:24-42
-    # semantics; one global artifact instead of per-worker rebuilds)
-    freq = token_frequencies(tok_l.union(tok_r))
+    # semantics; one global artifact instead of per-worker rebuilds).  For a
+    # self-join doubling every count leaves the ordering unchanged, so the
+    # single tokenized Dataset suffices.
+    freq = token_frequencies(tok_l if same_relation else tok_l.union(tok_r))
     ordering = build_global_ordering(freq)
     ordering_ref = ray.put(ordering)
     heavy = heavy_token_table(freq, ordering, cfg.salt_df_threshold)

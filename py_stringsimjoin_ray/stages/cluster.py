@@ -93,16 +93,19 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 50
             break
         prev = cs
 
-    # at fixpoint all edges are (node, root); add the roots themselves
+    # at fixpoint all edges are (node, root); add (root, root) rows and take
+    # the min label per node — one groupby, no driver round-trip
     def as_membership(batch: pa.Table) -> pa.Table:
-        return pa.table({'node': batch['u'], 'component': batch['v']})
+        u = batch['u'].to_numpy(zero_copy_only=False)
+        v = batch['v'].to_numpy(zero_copy_only=False)
+        return pa.table({'node': np.concatenate([u, v]),
+                         'component': np.concatenate([v, v])})
     members = edges.map_batches(as_membership, batch_format='pyarrow')
-    roots = members.unique('component')
-    root_ds = ray.data.from_arrow(pa.table({
-        'node': pa.array(roots, pa.int64()),
-        'component': pa.array(roots, pa.int64())}))
-    return members.union(root_ds).groupby('node').map_groups(
-        lambda df: df.head(1), batch_format='pandas')
+    out = members.groupby('node').min('component')
+    return out.map_batches(
+        lambda b: pa.table({'node': b['node'],
+                            'component': b['min(component)']}),
+        batch_format='pyarrow')
 
 
 def connected_components_pandas(edges: pd.DataFrame, u: str = 'u',

@@ -1,0 +1,86 @@
+"""End-to-end north-star pipeline tests: F1 vs planted truth, sha256
+invariant, checkpoint/resume."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray.pipelines.linkage import pairwise_f1, record_linkage
+from py_stringsimjoin_ray.sources.repos_corpus import generate_repos_corpus
+from py_stringsimjoin_ray.state import manifests as mf
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp('repos_corpus')
+    repos, truth = generate_repos_corpus(str(d), num_clusters=40,
+                                         max_cluster=4, num_singletons=60,
+                                         tokens_per_file=80, seed=7)
+    return repos, truth
+
+
+def test_generator_deterministic(tmp_path):
+    p1, t1 = generate_repos_corpus(str(tmp_path / 'a'), num_clusters=5,
+                                   num_singletons=5, seed=3)
+    p2, t2 = generate_repos_corpus(str(tmp_path / 'b'), num_clusters=5,
+                                   num_singletons=5, seed=3)
+    a = pd.read_parquet(p1)
+    b = pd.read_parquet(p2)
+    pd.testing.assert_frame_equal(a, b)
+    ta = pd.read_parquet(t1)
+    assert set(ta.columns) == {'repo', 'path', 'commit', 'cluster_id',
+                               'sha256'}
+    # planted sha matches content
+    import hashlib
+    assert ta['sha256'][0] == hashlib.sha256(
+        a['content'][0].encode()).hexdigest()
+
+
+def test_linkage_f1_and_invariant(corpus, tmp_path):
+    repos, truth = corpus
+    ckpt = str(tmp_path / 'ckpt')
+    res = record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7)
+    assert res['counters']['sha256_invariant_ok']
+    clusters = res['clusters'].to_pandas()
+    truth_pd = pd.read_parquet(truth)
+    assert len(clusters) == len(truth_pd)
+    scores = pairwise_f1(clusters, truth_pd)
+    assert scores['f1'] >= 0.99, scores
+    # manifests exist for every stage
+    for stage in ('ingest', 'matches', 'clusters'):
+        m = mf.load_manifest(ckpt, stage)
+        assert m and m['completed'] and m['num_rows'] > 0
+
+
+def test_linkage_resume_skips_completed_stages(corpus, tmp_path):
+    repos, truth = corpus
+    ckpt = str(tmp_path / 'ckpt2')
+    r1 = record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7)
+    r2 = record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7)
+    assert r2['counters'].get('ingest_resumed')
+    assert r2['counters'].get('matches_resumed')
+    assert r2['counters'].get('clusters_resumed')
+    assert r1['counters']['num_matches'] == r2['counters']['num_matches']
+
+
+def test_linkage_resume_after_partial_failure(corpus, tmp_path):
+    """Simulate a crash after the matches stage: delete the clusters
+    artifact; the re-run must reuse ingest+matches and rebuild clusters."""
+    import shutil
+    repos, truth = corpus
+    ckpt = str(tmp_path / 'ckpt3')
+    record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7)
+    shutil.rmtree(os.path.join(ckpt, 'clusters'))
+    r = record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7)
+    assert r['counters'].get('matches_resumed')
+    assert not r['counters'].get('clusters_resumed')
+    assert r['counters']['sha256_invariant_ok']
+
+
+def test_linkage_no_checkpoint(corpus):
+    repos, truth = corpus
+    res = record_linkage(repos, threshold=0.7)
+    assert res['counters']['sha256_invariant_ok']
+    assert res['counters']['num_records'] == len(pd.read_parquet(truth))
