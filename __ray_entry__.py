@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +9,50 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = '/root/testdata/sf0.001'
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: document dedup + transitive clustering —
+    exact dedup, word-5-gram Jaccard near-dup matches via the prefix-filter
+    self-join, connected components, cluster id per document."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from py_stringsimjoin_ray.core.tokenizers import WordQgramTokenizer
+    from py_stringsimjoin_ray.pipelines.join import jaccard_join
+    from py_stringsimjoin_ray.stages.cluster import connected_components
+
+    docs = ray.data.read_parquet(f'{SF0001}/documents.parquet')
+    pairs = jaccard_join(docs, docs, 'doc_id', 'doc_id', 'text', 'text',
+                         WordQgramTokenizer(kval=5, return_set=True), 0.6,
+                         output='dataset')
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({'u': pc.cast(batch['l_key'], pa.int64()),
+                         'v': pc.cast(batch['r_key'], pa.int64())})
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format='pyarrow'))
+    comp = comp.map_batches(
+        lambda b: pa.table({'doc_id': b['node'], 'component': b['component']}),
+        batch_format='pyarrow')
+    base = docs.map_batches(
+        lambda b: pa.table({'doc_id': b['doc_id'], 'component': b['doc_id']}),
+        batch_format='pyarrow')
+    membership = base.union(comp).groupby('doc_id').min('component')
+    return membership.map_batches(
+        lambda b: pa.table({'doc_id': b['doc_id'],
+                            'cluster': b['min(component)']}),
+        batch_format='pyarrow')
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from py_stringsimjoin_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from py_stringsimjoin_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -132,6 +132,28 @@ class QgramTokenizer(Tokenizer):
         return [s[i:i + q] for i in range(n - q + 1)]
 
 
+class WordQgramTokenizer(Tokenizer):
+    """Word-level k-gram shingles (contiguous words joined by a single
+    space).  Not in the reference (its qgrams are character-level); used by
+    the document near-dup pipeline.  A text with fewer than k words yields
+    one shingle of all its words (empty text → no tokens)."""
+
+    def __init__(self, kval: int = 5, return_set: bool = False):
+        super().__init__(return_set)
+        if kval < 1:
+            raise AssertionError('kval cannot be less than 1')
+        self.kval = kval
+
+    def _raw_tokenize(self, s: str) -> list[str]:
+        words = s.split()
+        k = self.kval
+        if not words:
+            return []
+        if len(words) < k:
+            return [' '.join(words)]
+        return [' '.join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
 class AlphanumericTokenizer(Tokenizer):
     """Maximal runs of alphanumeric characters."""
 

@@ -1,0 +1,576 @@
+"""Correctness-gate query registry: one entry per implemented operator
+(SURVEY.md §2), each paired with an ANSI-SQL oracle that DuckDB can run on
+the same parquet tables.  Column names/types match between the Ray pipeline
+output and the SQL so the driver's order-insensitive value-hash compare
+passes iff the semantics match.
+
+Score-rounding note: queries that would emit set-measure scores with
+denominators admitting exact-decimal-half ties (Python banker's rounding vs
+SQL half-away) run with ``out_sim_score=False`` — the PAIR SET is the
+semantic contract; scores are separately pinned by the unit-test oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..core.tokenizers import (QgramTokenizer, WhitespaceTokenizer,
+                               WordQgramTokenizer)
+from ..functions import textstats
+from ..functions.profiler import profile_counts
+from ..stages import ann, cluster, dedup, media
+from . import filters, join, matcher
+
+
+def _t(sf_dir: str, name: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f'{sf_dir}/{name}.parquet')
+
+
+def _ws():
+    return WhitespaceTokenizer(return_set=True)
+
+
+def _keys_int(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+# ------------------------------------------------------------------- joins
+
+def q_jaccard_join_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    out = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                            'p_name', _ws(), 0.5)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_cosine_join_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    out = join.cosine_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                           'p_name', _ws(), 0.7)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_dice_join_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    out = join.dice_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                         'p_name', _ws(), 0.6)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_overlap_join_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    out = join.overlap_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                            'p_name', _ws(), 2)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey', '_sim_score'])
+
+
+def q_overlap_coefficient_join_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    out = join.overlap_coefficient_join(part, part, 'p_partkey', 'p_partkey',
+                                        'p_name', 'p_name', _ws(), 0.7)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_jaccard_join_supplier_qgram3(sf_dir):
+    sup = _t(sf_dir, 'supplier')
+    out = join.jaccard_join(sup, sup, 's_suppkey', 's_suppkey', 's_name',
+                            's_name', QgramTokenizer(qval=3, return_set=True),
+                            0.4, out_sim_score=False)
+    return _keys_int(out[['l_s_suppkey', 'r_s_suppkey']].copy(),
+                     ['l_s_suppkey', 'r_s_suppkey'])
+
+
+def q_edit_distance_join_customer(sf_dir):
+    cust = _t(sf_dir, 'customer')
+    out = join.edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                  'c_name', 'c_name', 2)
+    return _keys_int(out[['l_c_custkey', 'r_c_custkey', '_sim_score']].copy(),
+                     ['l_c_custkey', 'r_c_custkey'])
+
+
+# ----------------------------------------------------------------- filters
+
+def q_overlap_filter_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    f = filters.OverlapFilter(_ws(), 2)
+    out = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                          'p_name', out_sim_score=True)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey', '_sim_score'])
+
+
+def q_size_filter_documents(sf_dir):
+    docs = _t(sf_dir, 'documents')
+    f = filters.SizeFilter(_ws(), 'JACCARD', 0.7)
+    out = f.filter_tables(docs, docs, 'doc_id', 'doc_id', 'text', 'text')
+    return _keys_int(out[['l_doc_id', 'r_doc_id']].copy(),
+                     ['l_doc_id', 'r_doc_id'])
+
+
+def q_prefix_filter_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    f = filters.PrefixFilter(_ws(), 'JACCARD', 0.8)
+    out = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                          'p_name')
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_position_filter_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    f = filters.PositionFilter(_ws(), 'JACCARD', 0.6)
+    out = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                          'p_name')
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_suffix_filter_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    f = filters.SuffixFilter(_ws(), 'JACCARD', 0.6)
+    out = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                          'p_name')
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_apply_matcher_part(sf_dir):
+    from ..core.measures import jaccard
+    part = _t(sf_dir, 'part')
+    cand = filters.OverlapFilter(_ws(), 1).filter_tables(
+        part, part, 'p_partkey', 'p_partkey', 'p_name', 'p_name')
+    out = matcher.apply_matcher(cand, 'l_p_partkey', 'r_p_partkey', part,
+                                part, 'p_partkey', 'p_partkey', 'p_name',
+                                'p_name', _ws(), jaccard, 0.5)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+# ------------------------------------------------------- profiler / utils
+
+def q_profile_part(sf_dir):
+    out = profile_counts(_t(sf_dir, 'part'))
+    out['unique_values'] = out['unique_values'].astype(np.int64)
+    out['missing_values'] = out['missing_values'].astype(np.int64)
+    return out
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_exact_dedup_documents(sf_dir):
+    docs = _t(sf_dir, 'documents')
+    out = dedup.exact_dedup(docs, 'doc_id', 'text').to_pandas()
+    return _keys_int(out, ['rep_id', 'dup_count'])
+
+
+def q_ngram_dedup_documents(sf_dir):
+    docs = _t(sf_dir, 'documents')
+    out = join.jaccard_join(docs, docs, 'doc_id', 'doc_id', 'text', 'text',
+                            WordQgramTokenizer(kval=5, return_set=True), 0.6,
+                            out_sim_score=False)
+    out = out[out['l_doc_id'] < out['r_doc_id']]
+    return _keys_int(out[['l_doc_id', 'r_doc_id']].copy(),
+                     ['l_doc_id', 'r_doc_id'])
+
+
+def q_minhash_lsh_documents(sf_dir):
+    docs = _t(sf_dir, 'documents')
+    out = dedup.minhash_lsh_pairs(docs, 'doc_id', 'text', threshold=0.6,
+                                  k=5).to_pandas()
+    return _keys_int(out[['l_id', 'r_id']].copy(), ['l_id', 'r_id'])
+
+
+def q_simhash_documents(sf_dir):
+    docs = _t(sf_dir, 'documents')
+    out = docs.map_batches(dedup.SimHashStage('doc_id', 'text'),
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out.rename(columns={'id': 'doc_id'}),
+                     ['doc_id', 'simhash'])
+
+
+# ------------------------------------------------------------ text stats
+
+def q_token_count_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = docs.map_batches(textstats.token_count_batch,
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out, ['doc_id', 'n_tokens', 'n_bpeish_tokens'])
+
+
+def q_quality_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = docs.map_batches(textstats.quality_score_batch,
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out, ['doc_id', 'n_chars_calc', 'n_tokens'])
+
+
+def q_langid_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = docs.map_batches(textstats.langid_batch,
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out, ['doc_id'])
+
+
+def q_fingerprint_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = docs.map_batches(textstats.fingerprint_batch,
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out, ['doc_id', 'fingerprint'])
+
+
+# --------------------------------------------------------------- ann
+
+def q_ann_topk_embeddings(sf_dir):
+    emb = _t(sf_dir, 'embeddings')
+    Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                  for r in emb.filter(lambda r: r['vec_id'] < 10).take(10)])
+    out = ann.ann_topk_bruteforce(emb, Q, 'vec_id', 'embedding', k=5)
+    out = out[['query_id', 'vec_id', 'rank']].copy()
+    return _keys_int(out, ['query_id', 'vec_id', 'rank'])
+
+
+# ------------------------------------------------------------- clustering
+
+def q_cluster_components_part(sf_dir):
+    part = _t(sf_dir, 'part')
+    pairs = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                              'p_name', _ws(), 0.5, out_sim_score=False,
+                              output='dataset')
+    import pyarrow as pa
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = pc.cast(batch['l_key'], pa.int64())
+        v = pc.cast(batch['r_key'], pa.int64())
+        return pa.table({'u': u, 'v': v})
+    edges = pairs.map_batches(to_edges, batch_format='pyarrow')
+    out = cluster.connected_components(edges).to_pandas()
+    return _keys_int(out, ['node', 'component'])
+
+
+# ------------------------------------------------------------------ media
+
+def q_media_meta_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    m = docs.map_batches(
+        lambda b: media.encode_text_as_media(b, 'text', 'doc_id'),
+        batch_format='pyarrow')
+    out = m.to_pandas()[['doc_id', 'byte_len', 'payload_md5']]
+    return _keys_int(out.copy(), ['doc_id', 'byte_len'])
+
+
+def q_media_decode_documents(sf_dir):
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = media.media_pipeline(docs).to_pandas()
+    out['feat_sum'] = out['features'].map(
+        lambda f: float(np.round(np.sum(f), 4)))
+    return _keys_int(out[['doc_id', 'byte_len', 'feat_sum']].copy(),
+                     ['doc_id', 'byte_len'])
+
+
+QUERIES = {
+    'jaccard_join_part': q_jaccard_join_part,
+    'cosine_join_part': q_cosine_join_part,
+    'dice_join_part': q_dice_join_part,
+    'overlap_join_part': q_overlap_join_part,
+    'overlap_coefficient_join_part': q_overlap_coefficient_join_part,
+    'jaccard_join_supplier_qgram3': q_jaccard_join_supplier_qgram3,
+    'edit_distance_join_customer': q_edit_distance_join_customer,
+    'overlap_filter_part': q_overlap_filter_part,
+    'size_filter_documents': q_size_filter_documents,
+    'prefix_filter_part': q_prefix_filter_part,
+    'position_filter_part': q_position_filter_part,
+    'suffix_filter_part': q_suffix_filter_part,
+    'apply_matcher_part': q_apply_matcher_part,
+    'profile_part': q_profile_part,
+    'exact_dedup_documents': q_exact_dedup_documents,
+    'ngram_dedup_documents': q_ngram_dedup_documents,
+    'minhash_lsh_documents': q_minhash_lsh_documents,
+    'simhash_documents': q_simhash_documents,
+    'token_count_documents': q_token_count_documents,
+    'quality_documents': q_quality_documents,
+    'langid_documents': q_langid_documents,
+    'fingerprint_documents': q_fingerprint_documents,
+    'ann_topk_embeddings': q_ann_topk_embeddings,
+    'cluster_components_part': q_cluster_components_part,
+    'media_meta_documents': q_media_meta_documents,
+    'media_decode_documents': q_media_decode_documents,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOK_PART = """
+tok as (SELECT p_partkey AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+        FROM part),
+sz as (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov as (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM tok a JOIN tok b ON a.t = b.t GROUP BY 1, 2)
+"""
+
+ORACLE_SQL = {
+    'jaccard_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey,
+       round(o * 1.0 / (sa.n + sb.n - o), 4) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.5
+""",
+    'cosine_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey,
+       round(o / sqrt(sa.n * sb.n), 4) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(o / sqrt(sa.n * sb.n), 4) >= 0.7
+""",
+    'dice_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey,
+       round(2.0 * o / (sa.n + sb.n), 4) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(2.0 * o / (sa.n + sb.n), 4) >= 0.6
+""",
+    'overlap_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
+FROM ov WHERE o >= 2
+""",
+    'overlap_coefficient_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey,
+       o * 1.0 / least(sa.n, sb.n) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE o * 1.0 / least(sa.n, sb.n) >= 0.7
+""",
+    'jaccard_join_supplier_qgram3': """
+WITH padded AS (SELECT s_suppkey AS id, '##' || s_name || '$$' AS s
+                FROM supplier),
+tok AS (SELECT id, t FROM (
+          SELECT id, substr(s, CAST(i AS INT), 3) AS t
+          FROM padded, LATERAL unnest(range(1, length(s) - 1)) AS g(i))
+        GROUP BY id, t),
+sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM tok a JOIN tok b ON a.t = b.t GROUP BY 1, 2)
+SELECT la AS l_s_suppkey, rb AS r_s_suppkey
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.4
+""",
+    'edit_distance_join_customer': """
+SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) AS _sim_score
+FROM customer a, customer b
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    'overlap_filter_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
+FROM ov WHERE o >= 2
+""",
+    'size_filter_documents': """
+WITH sz AS (SELECT doc_id, length(list_distinct(list_filter(
+                string_split_regex(text, '\\s+'), x -> x <> ''))) AS n
+            FROM documents)
+SELECT a.doc_id AS l_doc_id, b.doc_id AS r_doc_id
+FROM sz a, sz b
+WHERE a.n > 0 AND b.n > 0
+  AND a.n >= ceil(round(0.7 * b.n, 4)) AND a.n <= floor(round(b.n / 0.7, 4))
+""",
+    'prefix_filter_part': """
+WITH tok AS (SELECT p_partkey AS id,
+                    unnest(list_distinct(list_filter(
+                        string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+             FROM part),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+rk AS (SELECT t, row_number() OVER (ORDER BY c, t) AS r FROM freq),
+ranked AS (SELECT id, r,
+                  row_number() OVER (PARTITION BY id ORDER BY r) AS pos,
+                  count(*) OVER (PARTITION BY id) AS n
+           FROM tok JOIN rk USING (t)),
+prefix AS (SELECT id, r FROM ranked
+           WHERE pos <= n - ceil(round(0.8 * n, 4)) + 1)
+SELECT DISTINCT a.id AS l_p_partkey, b.id AS r_p_partkey
+FROM prefix a JOIN prefix b ON a.r = b.r
+""",
+    'position_filter_part': """
+WITH tok AS (SELECT p_partkey AS id,
+                    unnest(list_distinct(list_filter(
+                        string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+             FROM part),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+rk AS (SELECT t, row_number() OVER (ORDER BY c, t) AS r FROM freq),
+ranked AS (SELECT id, r,
+                  row_number() OVER (PARTITION BY id ORDER BY r) - 1 AS pos,
+                  count(*) OVER (PARTITION BY id) AS n
+           FROM tok JOIN rk USING (t)),
+prefix AS (SELECT * FROM ranked
+           WHERE pos + 1 <= n - ceil(round(0.6 * n, 4)) + 1),
+shared AS (SELECT a.id AS la, b.id AS rb, a.r AS r,
+                  a.pos AS lpos, b.pos AS rpos, a.n AS ln, b.n AS rn,
+                  row_number() OVER (PARTITION BY a.id, b.id ORDER BY a.r) - 1
+                      AS i
+           FROM prefix a JOIN prefix b ON a.r = b.r),
+checked AS (SELECT la, rb,
+                   bool_and(i + least(rn - rpos, ln - lpos) >=
+                            ceil(round((0.6 / 1.6) * (ln + rn), 4))) AS ok,
+                   max(ln) AS ln, max(rn) AS rn
+            FROM shared GROUP BY la, rb)
+SELECT la AS l_p_partkey, rb AS r_p_partkey
+FROM checked
+WHERE ok
+  AND ln >= ceil(round(0.6 * rn, 4)) AND ln <= floor(round(rn / 0.6, 4))
+""",
+    'apply_matcher_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey,
+       o * 1.0 / (sa.n + sb.n - o) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.5
+""",
+    'profile_part': """
+SELECT 'p_partkey' AS attribute, count(DISTINCT p_partkey) AS unique_values,
+       CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_values FROM part
+UNION ALL SELECT 'p_name', count(DISTINCT p_name),
+       CAST(sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM part
+UNION ALL SELECT 'p_brand', count(DISTINCT p_brand),
+       CAST(sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM part
+UNION ALL SELECT 'p_type', count(DISTINCT p_type),
+       CAST(sum(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM part
+UNION ALL SELECT 'p_size', count(DISTINCT p_size),
+       CAST(sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM part
+UNION ALL SELECT 'p_retailprice', count(DISTINCT p_retailprice),
+       CAST(sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM part
+""",
+    'exact_dedup_documents': """
+SELECT min(doc_id) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY text
+""",
+    'ngram_dedup_documents': """
+WITH words AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN []
+                   WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 3),
+                        i -> array_to_string(w[i:i+4], ' '))
+              END AS shingles
+       FROM words),
+tok AS (SELECT doc_id AS id, unnest(list_distinct(shingles)) AS t FROM sh),
+sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM tok a JOIN tok b ON a.t = b.t WHERE a.id < b.id GROUP BY 1, 2)
+SELECT la AS l_doc_id, rb AS r_doc_id
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.6
+""",
+    'token_count_documents': """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+            AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+           AS n_bpeish_tokens
+FROM documents
+""",
+    'quality_documents': """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+             AS n_punct,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+             AS n_upper
+  FROM documents)
+SELECT doc_id, n_chars_calc, n_tokens,
+       n_punct * 1.0 / greatest(n_chars_calc, 1) AS punct_ratio,
+       n_upper * 1.0 / greatest(n_chars_calc, 1) AS upper_ratio,
+       (n_chars_calc - greatest(n_tokens - 1, 0)) * 1.0
+           / greatest(n_tokens, 1) AS mean_token_len
+FROM base
+""",
+    'langid_documents': """
+WITH w AS (SELECT doc_id,
+                  list_distinct(list_filter(
+                      string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) AS words
+           FROM documents),
+s AS (SELECT doc_id,
+             len(list_intersect(words, ['the','and','of','to','a','in','is',
+                                        'it','for','that'])) AS en,
+             len(list_intersect(words, ['der','die','das','und','ist','nicht',
+                                        'ein','zu','mit'])) AS de,
+             len(list_intersect(words, ['le','la','les','et','est','un','une',
+                                        'pour','dans'])) AS fr
+      FROM w)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= fr THEN 'de'
+            WHEN en >= fr THEN 'en'
+            ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    'ann_topk_embeddings': """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+scored AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(q.qv, e.embedding) AS sim
+           FROM q, embeddings e)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+    'cluster_components_part': """
+WITH tok AS (SELECT p_partkey AS id,
+                    unnest(list_distinct(list_filter(
+                        string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+             FROM part),
+sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM tok a JOIN tok b ON a.t = b.t GROUP BY 1, 2),
+match AS (SELECT la, rb FROM ov JOIN sz sa ON la = sa.id
+          JOIN sz sb ON rb = sb.id
+          WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.5 AND la <> rb),
+edges AS (SELECT la AS src, rb AS dst FROM match
+          UNION SELECT rb, la FROM match),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+SELECT node, min(label) AS component FROM (
+  WITH RECURSIVE walk(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+  ) SELECT node, label FROM walk
+) GROUP BY node
+""",
+    'media_meta_documents': """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5
+FROM documents
+""",
+}
+
+
+def run_query(name: str, sf_dir: str):
+    return QUERIES[name](sf_dir)
