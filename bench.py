@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and
+print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the flagship record-linkage job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same synthetic repos corpus and report
+candidate-pairs-verified/sec at both levels plus the scaling efficiency
+T8/(4·T32) — the sandbox substitute for the N vs 4N node criterion
+(BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS', '/tmp/ssj_bench_corpus')
+CORPUS_ARGS = dict(num_clusters=1500, max_cluster=5, num_singletons=2500,
+                   tokens_per_file=120, seed=42)
+
+
+def _corpus_path() -> str:
+    from py_stringsimjoin_ray.sources.repos_corpus import generate_repos_corpus
+    repos, _ = generate_repos_corpus(CORPUS_DIR, **CORPUS_ARGS)
+    return repos
+
+
+def _bench_queries(sf_dir: str):
+    """Headline pipelines over the testdata tables; each returns a row count
+    so the pipeline executes fully without materializing results on the
+    driver."""
+    import ray.data
+    from py_stringsimjoin_ray.core.tokenizers import (QgramTokenizer,
+                                                      WhitespaceTokenizer,
+                                                      WordQgramTokenizer)
+    from py_stringsimjoin_ray.pipelines import join
+    from py_stringsimjoin_ray.stages import ann, cluster, dedup
+
+    def q_jaccard_part():
+        part = ray.data.read_parquet(f'{sf_dir}/part.parquet')
+        ds = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                               'p_name', WhitespaceTokenizer(return_set=True),
+                               0.5, output='dataset', validate_keys=False)
+        return ds.count()
+
+    def q_edit_distance_customer():
+        cust = ray.data.read_parquet(f'{sf_dir}/customer.parquet')
+        ds = join.edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                     'c_name', 'c_name', 2, output='dataset')
+        return ds.count()
+
+    def q_qgram_jaccard_supplier():
+        sup = ray.data.read_parquet(f'{sf_dir}/supplier.parquet')
+        ds = join.jaccard_join(sup, sup, 's_suppkey', 's_suppkey', 's_name',
+                               's_name', QgramTokenizer(qval=3, return_set=True),
+                               0.4, output='dataset', validate_keys=False)
+        return ds.count()
+
+    def q_ngram_dedup_documents():
+        docs = ray.data.read_parquet(f'{sf_dir}/documents.parquet')
+        ds = join.jaccard_join(docs, docs, 'doc_id', 'doc_id', 'text', 'text',
+                               WordQgramTokenizer(kval=5, return_set=True),
+                               0.6, output='dataset', validate_keys=False)
+        return ds.count()
+
+    def q_minhash_lsh_documents():
+        docs = ray.data.read_parquet(f'{sf_dir}/documents.parquet')
+        return dedup.minhash_lsh_pairs(docs, 'doc_id', 'text',
+                                       threshold=0.6, k=5).count()
+
+    def q_ann_embeddings():
+        import numpy as np
+        emb = ray.data.read_parquet(f'{sf_dir}/embeddings.parquet')
+        rows = emb.take(32)
+        Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                      for r in rows])
+        return len(ann.ann_topk_bruteforce(emb, Q, k=10))
+
+    def q_linkage_flagship():
+        from py_stringsimjoin_ray.pipelines.linkage import record_linkage
+        res = record_linkage(_corpus_path(), checkpoint_dir=None,
+                             threshold=0.7)
+        return res['counters']['num_matches']
+
+    return {
+        'jaccard_part': q_jaccard_part,
+        'edit_distance_customer': q_edit_distance_customer,
+        'qgram_jaccard_supplier': q_qgram_jaccard_supplier,
+        'ngram_dedup_documents': q_ngram_dedup_documents,
+        'minhash_lsh_documents': q_minhash_lsh_documents,
+        'ann_embeddings': q_ann_embeddings,
+        'linkage_flagship': q_linkage_flagship,
+    }
+
+
+def run_default():
+    import ray
+    from ray.data import DataContext
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    _corpus_path()  # generate outside the timed region (cached)
+    times, rows = {}, {}
+    t_all = time.time()
+    for name, fn in _bench_queries(SF_DIR).items():
+        t0 = time.time()
+        rows[name] = fn()
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    ray.shutdown()
+    print(json.dumps({
+        'metric': 'bench_total_wall_sec', 'value': total, 'unit': 'sec',
+        'queries': times, 'rows': rows, 'sf': SF_DIR,
+        'num_cpus': NUM_CPUS}))
+
+
+def run_linkage_once():
+    """Scaling-probe subprocess body: flagship linkage only, with the
+    pairs-verified counter; prints one JSON line."""
+    import ray
+    from ray.data import DataContext
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    DataContext.get_current().enable_progress_bars = False
+
+    from py_stringsimjoin_ray.pipelines.linkage import record_linkage
+
+    @ray.remote(num_cpus=0)
+    class PairCounter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += int(k)
+
+        def get(self):
+            return self.n
+
+    counter = PairCounter.options(name='ssj_pair_counter').remote()
+    repos = _corpus_path()
+    # warm the page cache so both levels measure compute, not first-read I/O
+    import pyarrow.parquet as pq
+    pq.read_table(repos)
+
+    t0 = time.time()
+    res = record_linkage(repos, checkpoint_dir=None, threshold=0.7,
+                         counter_name='ssj_pair_counter')
+    wall = time.time() - t0
+    verified = ray.get(counter.get.remote())
+    out = {'wall_sec': round(wall, 3), 'pairs_verified': int(verified),
+           'num_matches': res['counters']['num_matches'],
+           'num_records': res['counters']['num_records'],
+           'pairs_verified_per_sec': round(verified / wall, 1),
+           'num_cpus': NUM_CPUS}
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def run_scaling():
+    def sub(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            '--linkage-once'], env=env, capture_output=True,
+                           text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise SystemExit(1)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    eff = (lo['wall_sec'] / hi['wall_sec']) / (32 / 8)
+    print(json.dumps({
+        'metric': 'scaling_efficiency', 'value': round(eff, 3),
+        'unit': 'ratio', 'cpus_lo': 8, 'cpus_hi': 32,
+        'wall_sec_lo': lo['wall_sec'], 'wall_sec_hi': hi['wall_sec'],
+        'pairs_verified': lo['pairs_verified'],
+        'throughput_lo_pairs_per_sec': lo['pairs_verified_per_sec'],
+        'throughput_hi_pairs_per_sec': hi['pairs_verified_per_sec'],
+    }))
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        run_scaling()
+    elif '--linkage-once' in sys.argv:
+        run_linkage_once()
+    else:
+        run_default()

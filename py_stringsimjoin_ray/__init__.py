@@ -9,6 +9,7 @@ __version__ = '0.1.0'
 
 from .core.tokenizers import (AlphanumericTokenizer, DelimiterTokenizer,  # noqa: F401
                               QgramTokenizer, Tokenizer, WhitespaceTokenizer)
+from .functions import remove_non_ascii  # noqa: F401
 from .functions.converter import dataframe_column_to_str, series_to_str  # noqa: F401
 from .functions.profiler import profile_counts, profile_table_for_join  # noqa: F401
 from .pipelines.filters import (Filter, OverlapFilter, PositionFilter,  # noqa: F401
@@ -16,4 +17,6 @@ from .pipelines.filters import (Filter, OverlapFilter, PositionFilter,  # noqa: 
 from .pipelines.join import (cosine_join, dice_join, edit_distance_join,  # noqa: F401
                              jaccard_join, overlap_coefficient_join,
                              overlap_join)
+from .pipelines.disk_join import disk_edit_distance_join  # noqa: F401
 from .pipelines.matcher import apply_matcher  # noqa: F401
+from .sources.datasets import load_books_dataset, load_person_dataset  # noqa: F401

@@ -71,7 +71,7 @@ class _JoinConfig:
                  allow_missing, out_sim_score, mode='join',
                  num_buckets=DEFAULT_NUM_BUCKETS,
                  salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
-                 self_join=False):
+                 self_join=False, counter_name=None):
         self.sim_type = sim_type
         self.tokenizer = tokenizer
         self.threshold = threshold
@@ -83,6 +83,7 @@ class _JoinConfig:
         self.num_buckets = num_buckets
         self.salt_df_threshold = salt_df_threshold
         self.self_join = self_join
+        self.counter_name = counter_name
         self.qval = getattr(tokenizer, 'qval', None)
         self.keep_string = sim_type == 'EDIT_DISTANCE'
         self.full_prefix = mode == 'overlap_candidates'
@@ -136,7 +137,8 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
 
     pair_fn = PairGenVerify(cfg.sim_type, cfg.threshold, cfg.comp_op,
                             qval=cfg.qval, mode=cfg.mode,
-                            out_sim_score=True, self_join=cfg.self_join)
+                            out_sim_score=True, self_join=cfg.self_join,
+                            counter_name=cfg.counter_name)
     pairs = post_l.union(post_r).groupby('bucket') \
         .map_groups(pair_fn, batch_format='pandas')
 

@@ -53,7 +53,8 @@ def _ingest_batch(batch: pa.Table) -> pa.Table:
 def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                    threshold: float = 0.7, tokenizer=None,
                    num_buckets: int = 128, salt_df_threshold: int = 20000,
-                   join_num_partitions: int = 16) -> dict:
+                   join_num_partitions: int = 16,
+                   counter_name: str | None = None) -> dict:
     """Run the full pipeline; returns a result dict with the cluster Dataset
     (lazy), per-stage counters, and the sha256 invariant check."""
     tokenizer = tokenizer or WhitespaceTokenizer(return_set=True)
@@ -85,7 +86,8 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                           allow_empty=False, allow_missing=False,
                           out_sim_score=True, self_join=True,
                           num_buckets=num_buckets,
-                          salt_df_threshold=salt_df_threshold)
+                          salt_df_threshold=salt_df_threshold,
+                          counter_name=counter_name)
         pairs, _ = match_pairs_dataset(ingest, ingest, 'record_id',
                                        'record_id', 'content', 'content', cfg)
 

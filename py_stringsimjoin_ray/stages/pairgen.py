@@ -82,8 +82,10 @@ class PairGenVerify:
 
     def __init__(self, sim_type: str, threshold, comp_op: str = '>=',
                  qval=None, mode: str = 'join', out_sim_score: bool = True,
-                 self_join: bool = False, round_score: bool = True):
+                 self_join: bool = False, round_score: bool = True,
+                 counter_name: str | None = None):
         self.__name__ = 'PairGenVerify'  # map_groups wraps plain functions
+        self.counter_name = counter_name
         self.sim_type = sim_type
         self.threshold = threshold
         self.comp_op = comp_op
@@ -187,6 +189,7 @@ class PairGenVerify:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ed = self.sim_type == 'EDIT_DISTANCE'
+        checked_record_pairs = 0
         classes, run_df = self._build_classes(df)
         for c in classes:
             c.uniq = np.unique(c.ranks)
@@ -219,6 +222,7 @@ class PairGenVerify:
                                                 assume_unique=True)
                     if len(common) == 0 or common[0] != tok:
                         continue
+                    checked_record_pairs += len(L.l_keys) * len(R.r_keys)
                     if self.mode == 'prefix_candidates':
                         self._emit(L, R, None, out_l, out_r, out_s)
                         continue
@@ -248,6 +252,13 @@ class PairGenVerify:
             for (L, R), d in zip(ed_pending, dists):
                 if self.comp_fn(d, self.threshold):
                     self._emit(L, R, float(d), out_l, out_r, out_s)
+
+        if self.counter_name and checked_record_pairs:
+            try:
+                import ray as _ray
+                _ray.get_actor(self.counter_name).add.remote(checked_record_pairs)
+            except ValueError:
+                pass  # counter actor gone; counting is best-effort telemetry
 
         cols = {
             'l_key': np.concatenate(out_l) if out_l else np.array([], dtype=object),
