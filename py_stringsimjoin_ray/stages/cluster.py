@@ -68,11 +68,23 @@ def _checksum(edges: ray.data.Dataset) -> tuple:
     return int(agg['n'].sum()), int(agg['h'].sum() % (2**63))
 
 
-def connected_components(edges: ray.data.Dataset, max_rounds: int = 50
+def connected_components(edges: ray.data.Dataset, max_rounds: int = 50,
+                         driver_threshold: int = 2_000_000
                          ) -> ray.data.Dataset:
     """edges: Dataset with int64 columns (u, v) — undirected pairs.
     Returns Dataset (node:int64, component:int64) with component = min node
-    id of the node's component; every node incident to an edge appears."""
+    id of the node's component; every node incident to an edge appears.
+
+    Edge sets below ``driver_threshold`` rows short-circuit to the driver
+    union-find (each star round costs ~2 shuffles of fixed latency — for
+    small graphs that overhead dwarfs the work; pass ``driver_threshold=0``
+    to force the distributed path)."""
+    if driver_threshold:
+        edges = edges.materialize()
+        if edges.count() <= driver_threshold:
+            pdf = edges.to_pandas()
+            out = connected_components_pandas(pdf, 'u', 'v')
+            return ray.data.from_pandas(out)
     # drop self-loops, canonicalize
     def clean(batch: pa.Table) -> pa.Table:
         u = batch['u'].to_numpy(zero_copy_only=False).astype(np.int64)

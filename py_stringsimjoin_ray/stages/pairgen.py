@@ -55,8 +55,8 @@ def _lev_many(l_strings, r_strings):
 
 
 class _Class:
-    __slots__ = ('ranks', 'uniq', 'sz', 'plen', 'prefix_uniq', 's',
-                 'l_keys', 'r_keys')
+    __slots__ = ('ranks', 'uniq', 'sz', 'plen', 'prefix_uniq', 'prefix_list',
+                 'prefix_set', 's', 'l_keys', 'r_keys')
 
     def __init__(self, ranks, sz, plen, s):
         self.ranks = ranks
@@ -64,6 +64,10 @@ class _Class:
         self.sz = int(sz)
         self.plen = int(plen)
         self.prefix_uniq = np.unique(ranks[:plen]) if plen > 0 else ranks[:0]
+        # python-native views for the hot min-common-token scan: a sorted
+        # list to walk ascending and a set for O(1) membership
+        self.prefix_list = self.prefix_uniq.tolist()
+        self.prefix_set = frozenset(self.prefix_list)
         self.s = s
         self.l_keys = []
         self.r_keys = []
@@ -136,6 +140,13 @@ class PairGenVerify:
         run_df = run_df.drop_duplicates()
         return classes, run_df
 
+    @staticmethod
+    def _common(L: _Class, R: _Class) -> np.ndarray:
+        """Shared prefix tokens in ascending rank order (only computed for
+        pairs that already passed the min-common dedup + size bounds)."""
+        return np.fromiter((x for x in L.prefix_list if x in R.prefix_set),
+                           dtype=np.int64)
+
     def _size_ok(self, l_sz: int, r_sz: int) -> bool:
         st, t = self.sim_type, self.threshold
         return (bounds.size_lower_bound(r_sz, st, t) <= l_sz
@@ -191,10 +202,14 @@ class PairGenVerify:
         ed = self.sim_type == 'EDIT_DISTANCE'
         checked_record_pairs = 0
         classes, run_df = self._build_classes(df)
-        for c in classes:
-            c.uniq = np.unique(c.ranks)
         full_postings = self.mode == 'overlap_candidates' or \
             self.sim_type == 'OVERLAP_COEFFICIENT'
+        for c in classes:
+            c.uniq = np.unique(c.ranks)
+            if full_postings:
+                # full-token postings: the dedup scan runs over ALL tokens
+                c.prefix_list = c.uniq.tolist()
+                c.prefix_set = frozenset(c.prefix_list)
 
         # class pair -> score bookkeeping
         out_l, out_r, out_s = [], [], []
@@ -214,13 +229,20 @@ class PairGenVerify:
                     R = classes[b]
                     if not R.r_keys:
                         continue
-                    # min-common-token dedup (unique prefix arrays are sorted)
-                    if full_postings:
-                        common = np.intersect1d(L.uniq, R.uniq, assume_unique=True)
+                    # min-common-token dedup: walk the (ascending) smaller
+                    # prefix; the first element present in the other side's
+                    # set is the minimum shared token — early-exits long
+                    # before an intersect would finish
+                    if len(L.prefix_list) <= len(R.prefix_list):
+                        walk, member = L.prefix_list, R.prefix_set
                     else:
-                        common = np.intersect1d(L.prefix_uniq, R.prefix_uniq,
-                                                assume_unique=True)
-                    if len(common) == 0 or common[0] != tok:
+                        walk, member = R.prefix_list, L.prefix_set
+                    first = -1
+                    for x in walk:
+                        if x in member:
+                            first = x
+                            break
+                    if first != tok:
                         continue
                     checked_record_pairs += len(L.l_keys) * len(R.r_keys)
                     if self.mode == 'prefix_candidates':
@@ -229,7 +251,7 @@ class PairGenVerify:
                     if self.mode == 'position_candidates':
                         if not self._size_ok(L.sz, R.sz):
                             continue
-                        if not self._position_ok(L, R, common):
+                        if not self._position_ok(L, R, self._common(L, R)):
                             continue
                         self._emit(L, R, None, out_l, out_r, out_s)
                         continue
@@ -240,7 +262,8 @@ class PairGenVerify:
                         continue
                     if self._apply_size_bounds and not self._size_ok(L.sz, R.sz):
                         continue
-                    if self._apply_position and not self._position_ok(L, R, common):
+                    if self._apply_position and not self._position_ok(
+                            L, R, self._common(L, R)):
                         continue
                     score = self._verify_score(L, R)
                     if self.comp_fn(score, self.threshold):

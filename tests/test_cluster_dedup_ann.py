@@ -14,9 +14,13 @@ class TestConnectedComponents:
         eds = ray.data.from_arrow(pa.table({
             'u': pa.array([e[0] for e in edges], pa.int64()),
             'v': pa.array([e[1] for e in edges], pa.int64())}))
-        got = cluster.connected_components(eds).to_pandas()
+        # distributed star-rounds path (driver_threshold=0 forces it)
+        got = cluster.connected_components(eds, driver_threshold=0).to_pandas()
         got_map = dict(zip(got['node'], got['component']))
         assert got_map == expected
+        # auto path (driver union-find short-circuit)
+        got2 = cluster.connected_components(eds).to_pandas()
+        assert dict(zip(got2['node'], got2['component'])) == expected
         # driver fallback agrees
         pdf = pd.DataFrame({'u': [e[0] for e in edges],
                             'v': [e[1] for e in edges]})
