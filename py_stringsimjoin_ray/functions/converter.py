@@ -5,6 +5,8 @@ integral render without the ``.0`` suffix; NaNs stay NaN."""
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 
@@ -29,11 +31,12 @@ def dataframe_column_to_str(dataframe, col_name, inplace=False,
         if num_rows == 0 or sum(pd.isnull(dataframe[col_name])) == num_rows:
             dataframe[col_name] = dataframe[col_name].astype(object)
             return True
-        return series_to_str(dataframe[col_name], inplace)
+        dataframe[col_name] = series_to_str(dataframe[col_name], False)
+        return True
     if return_col:
         return series_to_str(dataframe[col_name], inplace)
     dataframe_copy = dataframe.copy()
-    series_to_str(dataframe_copy[col_name], True)
+    dataframe_copy[col_name] = series_to_str(dataframe_copy[col_name], False)
     return dataframe_copy
 
 
@@ -54,7 +57,9 @@ def series_to_str(series, inplace=False):
     if np.issubdtype(col_type, np.integer):
         col_str = series.astype(str)
         if inplace:
-            series.update(col_str)
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore', FutureWarning)
+                series.update(col_str)
             return True
         return col_str
     if np.issubdtype(col_type, np.floating):
@@ -69,7 +74,9 @@ def series_to_str(series, inplace=False):
             col_str = series.apply(
                 lambda v: np.nan if pd.isnull(v) else str(v))
         if inplace:
-            series.update(col_str)
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore', FutureWarning)
+                series.update(col_str)
             return True
         return col_str
     raise TypeError('Invalid column type. '

@@ -32,26 +32,38 @@ from ..core.measures import bag_product_overlap_sorted
 _SET_MEASURES = ('JACCARD', 'COSINE', 'DICE')
 
 
-def _lev_many(l_strings, r_strings):
-    """Vectorized Levenshtein over pair lists via DuckDB's C++ kernel, with a
-    numpy-DP fallback.  One cached in-process connection per worker."""
+def _duck():
+    """One cached in-process DuckDB connection per worker (None if duckdb is
+    unavailable)."""
+    global _DUCK
+    try:
+        return _DUCK
+    except NameError:
+        pass
     try:
         import duckdb
-        global _DUCK
-        try:
-            con = _DUCK
-        except NameError:
-            con = _DUCK = duckdb.connect()
+        _DUCK = duckdb.connect()
+        # each map_groups task is one CPU slot; don't oversubscribe
+        _DUCK.execute('SET threads TO 1')
+    except ImportError:  # pragma: no cover
+        _DUCK = None
+    return _DUCK
+
+
+def _lev_many(l_strings, r_strings):
+    """Vectorized Levenshtein over pair lists via DuckDB's C++ kernel, with a
+    numpy-DP fallback."""
+    con = _duck()
+    if con is not None:
         import pyarrow as pa
         tbl = pa.table({'a': pa.array(l_strings, type=pa.string()),
                         'b': pa.array(r_strings, type=pa.string())})
         res = con.execute(
             'SELECT levenshtein(a, b) FROM tbl').fetchnumpy()
         return next(iter(res.values())).astype(np.int64)
-    except ImportError:  # pragma: no cover
-        from ..core.measures import levenshtein
-        return np.array([levenshtein(a, b) for a, b in zip(l_strings, r_strings)],
-                        dtype=np.int64)
+    from ..core.measures import levenshtein  # pragma: no cover
+    return np.array([levenshtein(a, b) for a, b in zip(l_strings, r_strings)],
+                    dtype=np.int64)
 
 
 class _Class:
@@ -199,6 +211,206 @@ class PairGenVerify:
     # ---------------------------------------------------------------- main
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # The position-candidates mode reproduces the reference
+        # PositionFilter.filter_tables survivor set, whose per-pair
+        # accumulation stays on the row-wise path; everything else goes
+        # through the vectorized kernel (DuckDB hash joins + numpy).
+        if self.mode != 'position_candidates' and _duck() is not None:
+            return self._call_vectorized(df)
+        return self._call_rowwise(df)
+
+    def _call_vectorized(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Same semantics as ``_call_rowwise`` for modes 'join',
+        'prefix_candidates' and 'overlap_candidates', but set up as three
+        relational steps executed by DuckDB's C++ hash joins per bucket:
+
+        1. candidates: distinct (L-class, R-class) pairs sharing a group
+           token, with the MIN shared group token ``gmin``;
+        2. dedup: the global min shared (prefix) token ``mintok`` of the
+           pair must equal ``gmin`` — i.e. this bucket owns the pair
+           (min-common-token responsibility rule, see module docstring);
+        3. verify: exact overlap by joining the exploded rank arrays
+           (count(*) = set intersection for unique ranks, bag-product for
+           bags), then vectorized numpy scoring / threshold / emission.
+
+        Size/position bounds are skipped here: they only prune verify work,
+        and verification is exact + vectorized, so the surviving pair set is
+        identical (SURVEY.md §2.5 PositionFilter note).
+        """
+        import pyarrow as pa
+
+        ed = self.sim_type == 'EDIT_DISTANCE'
+        classes, run_df = self._build_classes(df)
+        full_postings = self.mode == 'overlap_candidates' or \
+            self.sim_type == 'OVERLAP_COEFFICIENT'
+        ncls = len(classes)
+        for c in classes:
+            c.uniq = np.unique(c.ranks)
+
+        empty = self._empty_frame()
+        if ncls == 0:
+            return empty
+
+        con = _duck()
+        runs = pa.table({
+            'tok': run_df['tok'].to_numpy().astype(np.int64),
+            'cls': run_df['cls'].to_numpy().astype(np.int64),
+            'side': run_df['side'].to_numpy().astype(np.int8),
+        })
+        pref_src = [(c.uniq if full_postings else c.prefix_uniq)
+                    for c in classes]
+        pref = pa.table({
+            'cls': np.repeat(np.arange(ncls, dtype=np.int64),
+                             [len(p) for p in pref_src]),
+            'tok': (np.concatenate(pref_src) if pref_src
+                    else np.empty(0, np.int64)).astype(np.int64),
+        })
+        con.register('t_runs', runs)
+        con.register('t_pref', pref)
+
+        resp_sql = """
+        WITH cand AS (
+            SELECT r1.cls AS la, r2.cls AS rb, min(r1.tok) AS gmin
+            FROM t_runs r1 JOIN t_runs r2 ON r1.tok = r2.tok
+            WHERE r1.side = 0 AND r2.side = 1
+            GROUP BY 1, 2
+        ),
+        mins AS (
+            SELECT c.la, c.rb, c.gmin, min(p1.tok) AS mintok
+            FROM cand c
+            JOIN t_pref p1 ON p1.cls = c.la
+            JOIN t_pref p2 ON p2.cls = c.rb AND p2.tok = p1.tok
+            GROUP BY 1, 2, 3
+        )
+        SELECT la, rb FROM mins WHERE mintok = gmin
+        """
+
+        if ed or self.mode == 'prefix_candidates':
+            res = con.execute(resp_sql).arrow()
+            la = res['la'].to_numpy().astype(np.int64)
+            rb = res['rb'].to_numpy().astype(np.int64)
+            o = None
+        else:
+            toks = pa.table({
+                'cls': np.repeat(np.arange(ncls, dtype=np.int64),
+                                 [len(c.ranks) for c in classes]),
+                'tok': (np.concatenate([c.ranks for c in classes])
+                        if classes else np.empty(0, np.int64)).astype(np.int64),
+            })
+            con.register('t_toks', toks)
+            res = con.execute(resp_sql.replace(
+                'SELECT la, rb FROM mins WHERE mintok = gmin', """
+            , resp AS (SELECT la, rb FROM mins WHERE mintok = gmin)
+            SELECT r.la, r.rb, count(*) AS o
+            FROM resp r
+            JOIN t_toks t1 ON t1.cls = r.la
+            JOIN t_toks t2 ON t2.cls = r.rb AND t2.tok = t1.tok
+            GROUP BY 1, 2
+            """)).arrow()
+            con.unregister('t_toks')
+            la = res['la'].to_numpy().astype(np.int64)
+            rb = res['rb'].to_numpy().astype(np.int64)
+            o = res['o'].to_numpy().astype(np.int64)
+        con.unregister('t_runs')
+        con.unregister('t_pref')
+
+        # drop class pairs with no member on the needed side
+        l_cnt = np.array([len(c.l_keys) for c in classes], dtype=np.int64)
+        r_cnt = np.array([len(c.r_keys) for c in classes], dtype=np.int64)
+        keep = (l_cnt[la] > 0) & (r_cnt[rb] > 0)
+        if not keep.all():
+            la, rb = la[keep], rb[keep]
+            o = o[keep] if o is not None else None
+        if len(la) == 0:
+            return empty
+
+        checked = int(np.sum(l_cnt[la] * r_cnt[rb]))
+
+        scores = None
+        if ed:
+            s_len = np.array([len(c.s) for c in classes], dtype=np.int64)
+            keep = np.abs(s_len[la] - s_len[rb]) <= self.threshold
+            la, rb = la[keep], rb[keep]
+            if len(la):
+                dists = _lev_many([classes[a].s for a in la],
+                                  [classes[b].s for b in rb]).astype(np.float64)
+                keep = self.comp_fn(dists, self.threshold)
+                la, rb, scores = la[keep], rb[keep], dists[keep]
+        elif self.mode == 'join' or self.mode == 'overlap_candidates':
+            st = self.sim_type
+            of = o.astype(np.float64)
+            if st == 'OVERLAP':
+                scores = of
+            elif st == 'OVERLAP_COEFFICIENT':
+                # reference divides by min of the RAW token counts
+                # (``join/overlap_coefficient_join_py.py:299-303``), unrounded
+                sz = np.array([c.sz for c in classes], dtype=np.float64)
+                scores = of / np.minimum(sz[la], sz[rb])
+            else:
+                n = np.array([len(c.uniq) for c in classes], dtype=np.float64)
+                n1, n2 = n[la], n[rb]
+                if st == 'JACCARD':
+                    scores = of / (n1 + n2 - of)
+                elif st == 'COSINE':
+                    scores = of / np.sqrt(n1 * n2)
+                else:  # DICE
+                    scores = 2.0 * of / (n1 + n2)
+                if self.round_score:
+                    scores = np.round(scores, 4)
+            keep = self.comp_fn(scores, self.threshold)
+            la, rb, scores = la[keep], rb[keep], scores[keep]
+        # prefix_candidates: all responsible pairs pass, no score column
+
+        if self.counter_name and checked:
+            try:
+                import ray as _ray
+                _ray.get_actor(self.counter_name).add.remote(checked)
+            except ValueError:
+                pass
+
+        if len(la) == 0:
+            return empty
+        return self._emit_many(classes, la, rb, scores, l_cnt, r_cnt)
+
+    def _empty_frame(self) -> pd.DataFrame:
+        cols = {'l_key': np.array([], dtype=object),
+                'r_key': np.array([], dtype=object)}
+        if self.out_sim_score and self.mode not in ('prefix_candidates',
+                                                    'position_candidates'):
+            cols['_sim_score'] = np.array([], dtype=np.float64)
+        return pd.DataFrame(cols)
+
+    def _emit_many(self, classes, la, rb, scores, l_cnt, r_cnt) -> pd.DataFrame:
+        """Expand surviving class pairs into record pairs, fully vectorized:
+        each pair (a,b) contributes the cross product of a's l_keys with b's
+        r_keys."""
+        l_flat = np.array([k for c in classes for k in c.l_keys], dtype=object)
+        r_flat = np.array([k for c in classes for k in c.r_keys], dtype=object)
+        l_off = np.concatenate(([0], np.cumsum(l_cnt)))[:-1]
+        r_off = np.concatenate(([0], np.cumsum(r_cnt)))[:-1]
+        nl, nr = l_cnt[la], r_cnt[rb]
+        tot = nl * nr
+        total = int(tot.sum())
+        pair_idx = np.repeat(np.arange(len(la)), tot)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(tot)))[:-1], tot)
+        nr_p = nr[pair_idx]
+        out_l = l_flat[l_off[la][pair_idx] + off // nr_p]
+        out_r = r_flat[r_off[rb][pair_idx] + off % nr_p]
+        out_s = scores[pair_idx] if scores is not None else None
+        if self.self_join:
+            keep = out_l < out_r
+            out_l, out_r = out_l[keep], out_r[keep]
+            if out_s is not None:
+                out_s = out_s[keep]
+        cols = {'l_key': out_l, 'r_key': out_r}
+        if self.out_sim_score and self.mode not in ('prefix_candidates',
+                                                    'position_candidates'):
+            cols['_sim_score'] = (out_s if out_s is not None
+                                  else np.full(len(out_l), np.nan))
+        return pd.DataFrame(cols)
+
+    def _call_rowwise(self, df: pd.DataFrame) -> pd.DataFrame:
         ed = self.sim_type == 'EDIT_DISTANCE'
         checked_record_pairs = 0
         classes, run_df = self._build_classes(df)
