@@ -34,7 +34,7 @@ from ..stages.postings import PostingsStage, RankPrefixStage, heavy_token_table
 from ..stages.tokenize import (TokenizeStage, build_global_ordering,
                                token_frequencies)
 
-DEFAULT_NUM_BUCKETS = 128
+DEFAULT_NUM_BUCKETS = 512
 DEFAULT_SALT_DF_THRESHOLD = 20000
 
 

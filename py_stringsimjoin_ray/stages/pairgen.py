@@ -268,25 +268,30 @@ class PairGenVerify:
         con.register('t_runs', runs)
         con.register('t_pref', pref)
 
-        resp_sql = """
-        WITH cand AS (
+        # Each statement has exactly ONE join: with no reorder freedom the
+        # planner cannot pick a blow-up order (it otherwise mis-estimates the
+        # tiny registered tables and may join the two exploded token tables
+        # with each other BEFORE the pair semi-filter — observed 100×
+        # regressions on clustered corpora).
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE t_cand AS
             SELECT r1.cls AS la, r2.cls AS rb, min(r1.tok) AS gmin
             FROM t_runs r1 JOIN t_runs r2 ON r1.tok = r2.tok
             WHERE r1.side = 0 AND r2.side = 1
-            GROUP BY 1, 2
-        ),
-        mins AS (
-            SELECT c.la, c.rb, c.gmin, min(p1.tok) AS mintok
-            FROM cand c
-            JOIN t_pref p1 ON p1.cls = c.la
-            JOIN t_pref p2 ON p2.cls = c.rb AND p2.tok = p1.tok
-            GROUP BY 1, 2, 3
-        )
-        SELECT la, rb FROM mins WHERE mintok = gmin
-        """
+            GROUP BY 1, 2""")
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE t_exp AS
+            SELECT c.la, c.rb, c.gmin, p1.tok
+            FROM t_cand c JOIN t_pref p1 ON p1.cls = c.la""")
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE t_resp AS
+            SELECT e.la, e.rb
+            FROM t_exp e JOIN t_pref p2 ON p2.cls = e.rb AND p2.tok = e.tok
+            GROUP BY e.la, e.rb, e.gmin
+            HAVING min(e.tok) = e.gmin""")
 
         if ed or self.mode == 'prefix_candidates':
-            res = con.execute(resp_sql).arrow()
+            res = con.execute('SELECT la, rb FROM t_resp').arrow()
             la = res['la'].to_numpy().astype(np.int64)
             rb = res['rb'].to_numpy().astype(np.int64)
             o = None
@@ -298,19 +303,23 @@ class PairGenVerify:
                         if classes else np.empty(0, np.int64)).astype(np.int64),
             })
             con.register('t_toks', toks)
-            res = con.execute(resp_sql.replace(
-                'SELECT la, rb FROM mins WHERE mintok = gmin', """
-            , resp AS (SELECT la, rb FROM mins WHERE mintok = gmin)
-            SELECT r.la, r.rb, count(*) AS o
-            FROM resp r
-            JOIN t_toks t1 ON t1.cls = r.la
-            JOIN t_toks t2 ON t2.cls = r.rb AND t2.tok = t1.tok
-            GROUP BY 1, 2
-            """)).arrow()
+            con.execute("""
+                CREATE OR REPLACE TEMP TABLE t_oexp AS
+                SELECT r.la, r.rb, t1.tok
+                FROM t_resp r JOIN t_toks t1 ON t1.cls = r.la""")
+            res = con.execute("""
+                SELECT e.la, e.rb, count(*) AS o
+                FROM t_oexp e JOIN t_toks t2 ON t2.cls = e.rb
+                                            AND t2.tok = e.tok
+                GROUP BY 1, 2""").arrow()
+            con.execute('DROP TABLE t_oexp')
             con.unregister('t_toks')
             la = res['la'].to_numpy().astype(np.int64)
             rb = res['rb'].to_numpy().astype(np.int64)
             o = res['o'].to_numpy().astype(np.int64)
+        con.execute('DROP TABLE t_cand')
+        con.execute('DROP TABLE t_exp')
+        con.execute('DROP TABLE t_resp')
         con.unregister('t_runs')
         con.unregister('t_pref')
 

@@ -73,9 +73,12 @@ class RankPrefixStage:
             sizes.append(len(toks))
             plens.append(bounds.prefix_length(len(toks), self.sim_type,
                                               self.threshold, self.qval))
+        # int32 ranks halve the postings shuffle volume; vocabularies beyond
+        # 2^31 distinct tokens are out of scope (documented scale assumption —
+        # qgram vocabs are charset^q-bounded, word vocabs ≪ corpus size)
         cols = {'key': batch['key'],
                 'sz': pa.array(sizes, type=pa.int32()),
-                'ranks': pa.array(ranks_lists, type=pa.list_(pa.int64())),
+                'ranks': pa.array(ranks_lists, type=pa.list_(pa.int32())),
                 'plen': pa.array(plens, type=pa.int32())}
         if self.keep_string:
             cols['s'] = batch['s']
@@ -142,7 +145,7 @@ class PostingsStage:
                         add_rows.append(row_idx[j]); add_tok.append(tok[j])
                         add_pos.append(pos[j]); add_bucket.append(cell)
                 out_row_idx = np.concatenate([row_idx[~hmask], np.array(add_rows, np.int64)])
-                out_tok = np.concatenate([tok[~hmask], np.array(add_tok, np.int64)])
+                out_tok = np.concatenate([tok[~hmask], np.array(add_tok, np.int32)])
                 out_pos = np.concatenate([pos[~hmask], np.array(add_pos, np.int32)])
                 out_bucket = np.concatenate([bucket[~hmask], np.array(add_bucket, np.int64)])
                 del keep_parts
@@ -150,7 +153,7 @@ class PostingsStage:
         take_idx = pa.array(out_row_idx)
         cols = {
             'bucket': pa.array(out_bucket, type=pa.int64()),
-            'tok': pa.array(out_tok, type=pa.int64()),
+            'tok': pa.array(out_tok.astype(np.int32), type=pa.int32()),
             'side': pa.array(np.full(len(out_row_idx), self.side, dtype=np.int8)),
             'key': batch['key'].take(take_idx),
             'sz': batch['sz'].take(take_idx),
