@@ -25,9 +25,13 @@ import time
 
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
-CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS', '/tmp/ssj_bench_corpus')
-CORPUS_ARGS = dict(num_clusters=1500, max_cluster=5, num_singletons=2500,
+# sized so the 8-CPU flagship run is ≥ ~60 s — fixed overheads must not
+# dominate the scaling ratio (BASELINE.md §3)
+CORPUS_ARGS = dict(num_clusters=12000, max_cluster=5, num_singletons=20000,
                    tokens_per_file=120, seed=42)
+_ARGS_TAG = '_'.join(str(v) for v in CORPUS_ARGS.values())
+CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS',
+                            f'/tmp/ssj_bench_corpus_{_ARGS_TAG}')
 
 
 def _corpus_path() -> str:
@@ -131,6 +135,7 @@ def run_linkage_once():
     """Scaling-probe subprocess body: flagship linkage only, with the
     pairs-verified counter; prints one JSON line."""
     import ray
+    import ray.data
     from ray.data import DataContext
     ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level='ERROR')
@@ -154,6 +159,11 @@ def run_linkage_once():
     # warm the page cache so both levels measure compute, not first-read I/O
     import pyarrow.parquet as pq
     pq.read_table(repos)
+    # spin up the Ray worker pool before the timed region: a steady-state
+    # cluster has live workers; local-mode process forking is not the
+    # quantity under test
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
+        .map_batches(lambda b: b).materialize()
 
     t0 = time.time()
     res = record_linkage(repos, checkpoint_dir=None, threshold=0.7,

@@ -72,6 +72,32 @@ def prefix_length(num_tokens: int, sim_type: str, threshold, qval: int | None = 
     raise ValueError(sim_type)
 
 
+def prefix_length_many(num_tokens, sim_type: str, threshold,
+                       qval: int | None = None):
+    """Vectorized ``prefix_length`` over a numpy int array — same float64
+    expressions as the scalar form (math.ceil and np.ceil agree on float64,
+    so e.g. ceil(0.7·120)=85 on both paths)."""
+    import numpy as np
+    n = np.asarray(num_tokens, dtype=np.float64)
+    if sim_type == 'COSINE':
+        p = n - np.ceil(threshold * threshold * n) + 1
+    elif sim_type == 'DICE':
+        p = n - np.ceil((threshold / (2 - threshold)) * n) + 1
+    elif sim_type == 'EDIT_DISTANCE':
+        p = np.minimum(qval * threshold + 1, n)
+    elif sim_type == 'JACCARD':
+        p = n - np.ceil(threshold * n) + 1
+    elif sim_type == 'OVERLAP':
+        p = np.maximum(n - threshold + 1, 0)
+    elif sim_type == 'OVERLAP_COEFFICIENT':
+        p = n
+    else:
+        raise ValueError(sim_type)
+    p = p.astype(np.int64)
+    p[np.asarray(num_tokens) == 0] = 0
+    return p
+
+
 def overlap_threshold(l_num_tokens: int, r_num_tokens: int, sim_type: str,
                       threshold, qval: int | None = None):
     """Minimum |X ∩ Y| a pair must reach to possibly satisfy the threshold."""

@@ -551,7 +551,7 @@ class SuffixFilter(Filter):
                       l_filter_attr, r_filter_attr, l_out_attrs=None,
                       r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
                       n_jobs=1, show_progress=False):
-        from ..stages.tokenize import (TokenizeStage, build_global_ordering,
+        from ..stages.tokenize import (TokenizeStage, build_ordering_table,
                                        token_frequencies)
         from ..stages.postings import RankPrefixStage
         V.validate_input_table(ltable, 'left table')
@@ -582,8 +582,7 @@ class SuffixFilter(Filter):
             .map_batches(TokenizeStage(r_key_attr, r_filter_attr, self.tokenizer),
                          batch_format='pyarrow').materialize()
         freq = token_frequencies(tok_l.union(tok_r))
-        ordering = build_global_ordering(freq)
-        ordering_ref = ray.put(ordering)
+        ordering_ref = ray.put(build_ordering_table(freq))
 
         ranked_l = tok_l.map_batches(
             RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')

@@ -31,7 +31,7 @@ from ..core import validation as V
 from ..core.tokenizers import QgramTokenizer
 from ..stages.pairgen import PairGenVerify
 from ..stages.postings import PostingsStage, RankPrefixStage, heavy_token_table
-from ..stages.tokenize import (TokenizeStage, build_global_ordering,
+from ..stages.tokenize import (TokenizeStage, build_ordering_table,
                                token_frequencies)
 
 DEFAULT_NUM_BUCKETS = 512
@@ -97,24 +97,33 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                      and l_join_attr == r_join_attr)
     l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
 
-    tok_l = l_ds.select_columns(list(dict.fromkeys([l_key_attr, l_join_attr]))) \
-        .map_batches(TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
-                                   keep_string=cfg.keep_string),
-                     batch_format='pyarrow').materialize()
+    def _tokenized(ds, key_attr, join_attr):
+        tok = ds.select_columns(list(dict.fromkeys([key_attr, join_attr]))) \
+            .map_batches(TokenizeStage(key_attr, join_attr, cfg.tokenizer,
+                                       keep_string=cfg.keep_string),
+                         batch_format='pyarrow').materialize()
+        # enough blocks that the downstream groupby(bucket).map_groups stage
+        # gets fine-grained tasks (its task count follows the shuffle's block
+        # count; coarse blocks leave multi-second stragglers), but never
+        # explode tiny tables into empty blocks
+        want = int(min(int(ray.cluster_resources().get('CPU', 8)) * 8,
+                       max(1, tok.count() // 256)))
+        if want > tok.num_blocks():
+            tok = tok.repartition(want).materialize()
+        return tok
+
+    tok_l = _tokenized(l_ds, l_key_attr, l_join_attr)
     if same_relation:
         tok_r = tok_l  # tokenize once; postings are emitted per side below
     else:
-        tok_r = r_ds.select_columns(list(dict.fromkeys([r_key_attr, r_join_attr]))) \
-            .map_batches(TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
-                                       keep_string=cfg.keep_string),
-                         batch_format='pyarrow').materialize()
+        tok_r = _tokenized(r_ds, r_key_attr, r_join_attr)
 
     # corpus-wide ordering over BOTH join columns (token_ordering.py:24-42
     # semantics; one global artifact instead of per-worker rebuilds).  For a
     # self-join doubling every count leaves the ordering unchanged, so the
     # single tokenized Dataset suffices.
     freq = token_frequencies(tok_l if same_relation else tok_l.union(tok_r))
-    ordering = build_global_ordering(freq)
+    ordering = build_ordering_table(freq)
     ordering_ref = ray.put(ordering)
     heavy = heavy_token_table(freq, ordering, cfg.salt_df_threshold)
     heavy_ref = ray.put(heavy) if heavy else None
@@ -126,21 +135,43 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                                 keep_string=cfg.keep_string)
         return tok_ds.map_batches(stage, batch_format='pyarrow')
 
-    ranked_l, ranked_r = ranked(tok_l), ranked(tok_r)
+    # Self-relation joins ship each record's postings ONCE and let every
+    # class act as both sides in the bucket kernel — halves the one shuffle.
+    # (The row-wise position_candidates path still needs two-sided postings.)
+    single_side = same_relation and cfg.mode != 'position_candidates'
 
+    # Adapt bucket count to the input: each bucket group pays a fixed kernel
+    # cost (temp-table statements, class build), so small inputs want fewer,
+    # fuller buckets; large inputs keep cfg.num_buckets for packing/skew.
+    rows_est = tok_l.count() + (0 if single_side else tok_r.count())
+    cfg.num_buckets = int(min(cfg.num_buckets,
+                              max(32,
+                                  int(ray.cluster_resources().get('CPU', 8)) * 4,
+                                  rows_est // 400)))
+
+    ranked_l = ranked(tok_l)
     post_l = ranked_l.map_batches(
-        PostingsStage(0, cfg.num_buckets, heavy_ref, cfg.keep_string),
+        PostingsStage(0, cfg.num_buckets, heavy_ref, cfg.keep_string,
+                      same_relation=single_side),
         batch_format='pyarrow')
-    post_r = ranked_r.map_batches(
-        PostingsStage(1, cfg.num_buckets, heavy_ref, cfg.keep_string),
-        batch_format='pyarrow')
+    if single_side:
+        postings = post_l
+    else:
+        ranked_r = ranked(tok_r)
+        post_r = ranked_r.map_batches(
+            PostingsStage(1, cfg.num_buckets, heavy_ref, cfg.keep_string),
+            batch_format='pyarrow')
+        postings = post_l.union(post_r)
 
     pair_fn = PairGenVerify(cfg.sim_type, cfg.threshold, cfg.comp_op,
                             qval=cfg.qval, mode=cfg.mode,
                             out_sim_score=True, self_join=cfg.self_join,
-                            counter_name=cfg.counter_name)
-    pairs = post_l.union(post_r).groupby('bucket') \
-        .map_groups(pair_fn, batch_format='pandas')
+                            counter_name=cfg.counter_name,
+                            same_relation=single_side)
+    # pyarrow group format: rank arrays reach the kernel as zero-copy slices
+    # of the block's flat values buffer instead of per-row boxed objects
+    pairs = postings.groupby('bucket') \
+        .map_groups(pair_fn, batch_format='pyarrow')
 
     empties = {}
     if cfg.allow_empty and cfg.sim_type not in ('OVERLAP', 'EDIT_DISTANCE') \

@@ -50,6 +50,54 @@ def _ingest_batch(batch: pa.Table) -> pa.Table:
                 .append_column('sha256', pa.array(shas, pa.string()))
 
 
+_KNUTH = np.uint64(2654435761)
+
+
+def _attach_components(ingest_slim, comp, num_buckets: int = 64):
+    """ingest_slim (record_id, repo, path, commit, sha256) ⟕ comp
+    (node, component) on record_id, via one bucket-hash shuffle; records
+    without a component (singletons) get component = record_id."""
+    def tag_left(b: pa.Table) -> pa.Table:
+        ids = b['record_id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ((ids.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return pa.table({
+            'bucket': bk.astype(np.int64), 'side': np.zeros(len(ids), np.int8),
+            'record_id': ids, 'repo': b['repo'], 'path': b['path'],
+            'commit': b['commit'], 'sha256': b['sha256'],
+            'component': pa.nulls(len(ids), pa.int64())})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        ids = b['node'].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ((ids.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        n = len(ids)
+        return pa.table({
+            'bucket': bk.astype(np.int64), 'side': np.ones(n, np.int8),
+            'record_id': ids, 'repo': pa.nulls(n, pa.string()),
+            'path': pa.nulls(n, pa.string()),
+            'commit': pa.nulls(n, pa.string()),
+            'sha256': pa.nulls(n, pa.string()),
+            'component': pa.compute.cast(b['component'], pa.int64())})
+
+    def merge(df):
+        import pandas as pd
+        left = df[df['side'] == 0]
+        right = df[df['side'] == 1]
+        comp_s = pd.Series(right['component'].to_numpy(),
+                           index=right['record_id'].to_numpy())
+        vals = left['record_id'].map(comp_s)
+        vals = vals.fillna(left['record_id']).astype(np.int64)
+        out = left[['record_id', 'repo', 'path', 'commit', 'sha256']].copy()
+        out['component'] = vals.to_numpy()
+        return out
+    merge.__name__ = 'attach_components'
+
+    both = ingest_slim.map_batches(tag_left, batch_format='pyarrow').union(
+        comp.map_batches(tag_right, batch_format='pyarrow'))
+    return both.groupby('bucket').map_groups(merge, batch_format='pandas')
+
+
 def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                    threshold: float = 0.7, tokenizer=None,
                    num_buckets: int = 512, salt_df_threshold: int = 20000,
@@ -57,8 +105,16 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                    counter_name: str | None = None) -> dict:
     """Run the full pipeline; returns a result dict with the cluster Dataset
     (lazy), per-stage counters, and the sha256 invariant check."""
+    import time as _time
     tokenizer = tokenizer or WhitespaceTokenizer(return_set=True)
     counters: dict = {}
+    timings: dict = {}
+    _t0 = _time.time()
+
+    def _mark(stage):
+        nonlocal _t0
+        timings[stage] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
 
     # ---------------- stage 1: ingest --------------------------------
     fp_in = mf.file_fingerprint(repos_path)
@@ -76,6 +132,7 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
     ingest_manifest = (mf.load_manifest(checkpoint_dir, 'ingest')
                        if checkpoint_dir else None)
     fp_ingest = fp_in + ':ingest'
+    _mark('ingest')
 
     # ---------------- stage 2: matches (self-join) -------------------
     if mf.is_complete(checkpoint_dir, 'matches', fp_ingest):
@@ -103,6 +160,7 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         else:
             matches = matches.materialize()
     counters['num_matches'] = matches.count()
+    _mark('matches')
 
     # ---------------- stage 3: clusters ------------------------------
     fp_matches = fp_ingest + ':matches'
@@ -114,27 +172,16 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
             lambda b: pa.table({'u': b['l_id'], 'v': b['r_id']}),
             batch_format='pyarrow')
         comp = connected_components(edges)
-        comp = comp.map_batches(
-            lambda b: pa.table({'record_id': b['node'],
-                                'component': b['component']}),
-            batch_format='pyarrow')
-        # singleton completion: every record not in any component maps to
-        # itself — expressed as a groupby-min over (id→id) ∪ components
-        base = ingest.map_batches(
-            lambda b: pa.table({'record_id': b['record_id'],
-                                'component': b['record_id']}),
-            batch_format='pyarrow')
-        membership = base.union(comp).groupby('record_id').min('component')
-        membership = membership.map_batches(
-            lambda b: pa.table({'record_id': b['record_id'],
-                                'component': b['min(component)']}),
-            batch_format='pyarrow')
-        # hash-join the cluster id back onto the full ingest rows so the
-        # final artifact carries repo/path/commit/sha256 per row
-        clusters = ingest.select_columns(
-            ['record_id', 'repo', 'path', 'commit', 'sha256']).join(
-                membership, join_type='inner',
-                num_partitions=join_num_partitions, on=('record_id',))
+        # Attach component ids to the full ingest rows with ONE bucket
+        # shuffle: both sides hash record_id into a bucket, a groupby
+        # colocates them, and the per-bucket merge defaults absent records
+        # (singletons) to their own id.  (Replaces a Dataset.join + a
+        # groupby-min — two extra exchanges — and sidesteps Dataset.join's
+        # empty-partition schema failures on small inputs.)
+        clusters = _attach_components(
+            ingest.select_columns(
+                ['record_id', 'repo', 'path', 'commit', 'sha256']),
+            comp, num_buckets=max(16, join_num_partitions))
         if checkpoint_dir:
             clusters = mf.write_stage(clusters, checkpoint_dir, 'clusters',
                                       fp_matches, sha_col='sha256')
@@ -142,6 +189,7 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
             clusters = clusters.materialize()
 
     counters['num_records'] = clusters.count()
+    _mark('clusters')
 
     # ---------------- invariant: sha256 preserved end-to-end ---------
     if checkpoint_dir:
@@ -152,10 +200,11 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
     else:
         counters['sha256_invariant_ok'] = (
             mf.sha256_xor_rollup(ingest) == mf.sha256_xor_rollup(clusters))
+    _mark('invariant')
     if ingest_manifest:
         counters['ingest_rows'] = ingest_manifest['num_rows']
 
-    return {'clusters': clusters, 'counters': counters}
+    return {'clusters': clusters, 'counters': counters, 'timings': timings}
 
 
 # ------------------------------------------------------------- evaluation

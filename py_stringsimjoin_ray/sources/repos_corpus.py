@@ -43,25 +43,33 @@ _KEYWORDS = ['def', 'class', 'return', 'if', 'else', 'for', 'while', 'try',
              'import', 'from', 'with', 'lambda', 'yield', 'assert', 'raise']
 
 
-def _rand_ident(rng) -> str:
+def _rand_ident(rng, vocab_scale: int = 0) -> str:
     n = rng.integers(1, 4)
-    return '_'.join(rng.choice(_IDENT_PARTS) for _ in range(n))
+    ident = '_'.join(rng.choice(_IDENT_PARTS) for _ in range(n))
+    # Heaps'-law vocabulary growth: real code corpora mint new identifiers
+    # (unique names, hashes, counters) as they grow — without this the pool
+    # saturates and every "rare" token's document frequency scales with the
+    # corpus, which no blocking scheme survives (and no real corpus shows).
+    if vocab_scale and rng.random() < 0.5:
+        ident = f'{ident}_{rng.integers(0, vocab_scale)}'
+    return ident
 
 
-def _base_content(rng, n_tokens: int) -> list[str]:
+def _base_content(rng, n_tokens: int, vocab_scale: int = 0) -> list[str]:
     toks = []
     while len(toks) < n_tokens:
         r = rng.random()
         if r < 0.25:
             toks.append(str(rng.choice(_KEYWORDS)))
         elif r < 0.9:
-            toks.append(_rand_ident(rng))
+            toks.append(_rand_ident(rng, vocab_scale))
         else:
             toks.append(str(rng.integers(0, 1000)))
     return toks
 
 
-def _mutate(rng, tokens: list[str], target_jaccard: float) -> list[str]:
+def _mutate(rng, tokens: list[str], target_jaccard: float,
+            vocab_scale: int = 0) -> list[str]:
     """Token-level edits: replace ~(1-j)/(1+j)·n tokens so the resulting
     token-set Jaccard lands near the target."""
     n = max(len(tokens), 1)
@@ -72,11 +80,11 @@ def _mutate(rng, tokens: list[str], target_jaccard: float) -> list[str]:
         op = rng.random()
         pos = int(rng.integers(0, len(out))) if out else 0
         if op < 0.5 and out:
-            out[pos] = _rand_ident(rng)
+            out[pos] = _rand_ident(rng, vocab_scale)
         elif op < 0.8 and out:
             del out[pos]
         else:
-            out.insert(pos, _rand_ident(rng))
+            out.insert(pos, _rand_ident(rng, vocab_scale))
     return out
 
 
@@ -95,6 +103,9 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
         return repos_path, truth_path
 
     rng = np.random.default_rng(seed)
+    # vocabulary grows with expected corpus size (see _rand_ident)
+    vocab_scale = max(1000, (num_clusters * (2 + max_cluster) // 2
+                             + num_singletons) * 4)
     rows = {k: [] for k in ('repo', 'path', 'commit', 'lang', 'content')}
     truth = {'repo': [], 'path': [], 'commit': [], 'cluster_id': [],
              'sha256': []}
@@ -139,14 +150,15 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
         # pairs above the blocking threshold
         use_lic = rng.random() < license_fraction
         use_boil = rng.random() < boilerplate_fraction
-        base = _base_content(rng, tokens_per_file)
+        base = _base_content(rng, tokens_per_file, vocab_scale)
         base_doc = decorate(base, use_lic, use_boil)
         add_file(cid, base_doc)
         for _ in range(size - 1):
             level = float(rng.choice([0.95, 0.9, 0.85]))
             doc = None
             for _attempt in range(6):
-                cand = decorate(_mutate(rng, base, level), use_lic, use_boil)
+                cand = decorate(_mutate(rng, base, level, vocab_scale),
+                                use_lic, use_boil)
                 if set_jaccard(cand, base_doc) >= 0.8:
                     doc = cand
                     break
@@ -154,7 +166,7 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
             add_file(cid, doc if doc is not None else base_doc)
         cid += 1
     for _ in range(num_singletons):
-        add_file(cid, decorate(_base_content(rng, tokens_per_file),
+        add_file(cid, decorate(_base_content(rng, tokens_per_file, vocab_scale),
                                rng.random() < license_fraction,
                                rng.random() < boilerplate_fraction))
         cid += 1
@@ -163,8 +175,10 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
         add_file(cid, content)
         cid += 1
 
+    # small row groups so ray.data.read_parquet can split the read across
+    # tasks (a single row group serializes the whole ingest)
     pq.write_table(pa.table({k: pa.array(v) for k, v in rows.items()}),
-                   repos_path)
+                   repos_path, row_group_size=2048)
     pq.write_table(pa.table({k: pa.array(v) for k, v in truth.items()}),
-                   truth_path)
+                   truth_path, row_group_size=4096)
     return repos_path, truth_path

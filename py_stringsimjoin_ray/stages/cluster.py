@@ -4,9 +4,10 @@ NOT in the reference (which stops at pairs) — required by the north star:
 transitive clustering of verified matches into entity clusters.  Implements
 the alternating large-star / small-star algorithm ("Finding connected
 components in map-reduce in logarithmic rounds", Rastogi et al., ICDE 2013 /
-Kiveris et al.), each round expressed as a ``groupby(node).map_groups`` over
-the (symmetrized) edge Dataset.  Converges in O(log n) rounds; at fixpoint
-every node points at its component's minimum node id.
+Kiveris et al.), each round expressed as a ``groupby(node).min`` aggregate
+plus a hash join back onto the (symmetrized) edge Dataset — fully
+vectorized, no per-node Python groups.  Converges in O(log n) rounds; at
+fixpoint every node points at its component's minimum node id.
 
 A driver-side union-find fallback (``connected_components_pandas``) covers
 provably-small edge sets (e.g. unit tests, final cluster assembly).
@@ -30,31 +31,57 @@ def _emit_both(batch: pa.Table) -> pa.Table:
                      'v': np.concatenate([v, u])})
 
 
-def _large_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    u = int(df['u'].iloc[0])
-    nbrs = np.unique(df['v'].to_numpy())
-    m = min(u, int(nbrs[0]))
-    big = nbrs[nbrs > u]
-    return pd.DataFrame({'u': big.astype(np.int64),
-                         'v': np.full(len(big), m, dtype=np.int64)})
+_KNUTH = np.uint64(2654435761)
 
 
-_large_star_group.__name__ = 'large_star'
+def _sym_bucketed(edges: ray.data.Dataset, num_buckets: int
+                  ) -> ray.data.Dataset:
+    """Symmetrize and assign each (u, v) row to bucket hash(u) % P, so every
+    node's full neighbor list lands in exactly one group."""
+    def f(batch: pa.Table) -> pa.Table:
+        u = batch['u'].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch['v'].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        b = ((uu.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
+            % np.uint64(num_buckets)
+        return pa.table({'bucket': b.astype(np.int64), 'u': uu, 'v': vv})
+    return edges.map_batches(f, batch_format='pyarrow')
 
 
-def _small_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    u = int(df['u'].iloc[0])
-    nbrs = np.unique(df['v'].to_numpy())
-    nbrs = nbrs[nbrs < u]
-    if len(nbrs) == 0:
+def _large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """All neighbors of each u in this group are global (bucketed by u):
+    attach every neighbor > u to m(u) = min(u, min nbr)."""
+    df = df.drop_duplicates(['u', 'v'])
+    mins = df.groupby('u')['v'].min()
+    m = pd.Series(np.minimum(mins.to_numpy(), mins.index.to_numpy()),
+                  index=mins.index)
+    big = df[df['v'] > df['u']]
+    return pd.DataFrame({'u': big['v'].to_numpy(),
+                         'v': m[big['u']].to_numpy()})
+
+
+_large_star_bucket.__name__ = 'large_star'
+
+
+def _small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Attach each node's smaller neighbors (and itself) to the min smaller
+    neighbor."""
+    df = df.drop_duplicates(['u', 'v'])
+    lt = df[df['v'] < df['u']]
+    if lt.empty:
         return pd.DataFrame({'u': np.array([], np.int64),
                              'v': np.array([], np.int64)})
-    m = int(nbrs[0])
-    rest = np.concatenate([nbrs[1:], [u]]).astype(np.int64)
-    return pd.DataFrame({'u': rest, 'v': np.full(len(rest), m, np.int64)})
+    mins = lt.groupby('u')['v'].min()
+    mv = mins[lt['u']].to_numpy()
+    vv = lt['v'].to_numpy()
+    keep = vv != mv
+    return pd.DataFrame({
+        'u': np.concatenate([vv[keep], mins.index.to_numpy()]),
+        'v': np.concatenate([mv[keep], mins.to_numpy()])})
 
 
-_small_star_group.__name__ = 'small_star'
+_small_star_bucket.__name__ = 'small_star'
 
 
 def _checksum(edges: ray.data.Dataset) -> tuple:
@@ -93,12 +120,17 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 50,
         return pa.table({'u': u[m], 'v': v[m]})
     edges = edges.map_batches(clean, batch_format='pyarrow')
 
+    # Each star round is ONE bucket shuffle: nodes hash into P buckets so a
+    # node's whole neighbor list is group-local, and the per-group rule is
+    # vectorized pandas — no per-node Python groups, no Dataset.join.
+    num_buckets = max(8, 2 * int(ray.cluster_resources().get('CPU', 8)))
+
     prev = None
     for _ in range(max_rounds):
-        edges = edges.map_batches(_emit_both, batch_format='pyarrow') \
-            .groupby('u').map_groups(_large_star_group, batch_format='pandas')
-        edges = edges.map_batches(_emit_both, batch_format='pyarrow') \
-            .groupby('u').map_groups(_small_star_group, batch_format='pandas')
+        edges = _sym_bucketed(edges, num_buckets).groupby('bucket') \
+            .map_groups(_large_star_bucket, batch_format='pandas')
+        edges = _sym_bucketed(edges, num_buckets).groupby('bucket') \
+            .map_groups(_small_star_bucket, batch_format='pandas')
         edges = edges.materialize()
         cs = _checksum(edges)
         if cs == prev:

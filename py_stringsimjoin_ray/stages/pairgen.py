@@ -32,6 +32,47 @@ from ..core.measures import bag_product_overlap_sorted
 _SET_MEASURES = ('JACCARD', 'COSINE', 'DICE')
 
 
+def _sorted_unique(a: np.ndarray) -> np.ndarray:
+    """unique() for an ALREADY-SORTED array — O(n), no re-sort."""
+    if len(a) < 2:
+        return a
+    return a[np.concatenate(([True], a[1:] != a[:-1]))]
+
+
+def _size_bound_sql(sim_type: str, t, l: str, r: str) -> str:
+    """SQL predicate for size_lower_bound(r.sz) <= l.sz <= size_upper_bound
+    (bounds.py formulas, incl. the reference's round(·,4))."""
+    if sim_type == 'JACCARD':
+        return (f'{l}.sz >= ceil(round({t!r} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({r}.sz / {t!r}, 4))')
+    if sim_type == 'COSINE':
+        tt = t * t
+        return (f'{l}.sz >= ceil(round({tt!r} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({r}.sz / {tt!r}, 4))')
+    if sim_type == 'DICE':
+        lo, hi = t / (2 - t), (2 - t) / t
+        return (f'{l}.sz >= ceil(round({lo!r} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({hi!r} * {r}.sz, 4))')
+    if sim_type == 'OVERLAP':
+        return f'{l}.sz >= {t!r}'
+    raise ValueError(sim_type)
+
+
+def _overlap_threshold_sql(sim_type: str, t, n1: str, n2: str) -> str:
+    """SQL expression for bounds.overlap_threshold(n1, n2)."""
+    if sim_type == 'JACCARD':
+        c = t / (1 + t)
+        return f'ceil(round({c!r} * ({n1} + {n2}), 4))'
+    if sim_type == 'COSINE':
+        return f'ceil(round({t!r} * sqrt({n1} * {n2}), 4))'
+    if sim_type == 'DICE':
+        c = t / 2
+        return f'ceil(round({c!r} * ({n1} + {n2}), 4))'
+    if sim_type == 'OVERLAP':
+        return f'{t!r}'
+    raise ValueError(sim_type)
+
+
 def _duck():
     """One cached in-process DuckDB connection per worker (None if duckdb is
     unavailable)."""
@@ -75,14 +116,18 @@ class _Class:
         self.uniq = None      # unique'd ranks (bag measures); == ranks for sets
         self.sz = int(sz)
         self.plen = int(plen)
-        self.prefix_uniq = np.unique(ranks[:plen]) if plen > 0 else ranks[:0]
-        # python-native views for the hot min-common-token scan: a sorted
-        # list to walk ascending and a set for O(1) membership
-        self.prefix_list = self.prefix_uniq.tolist()
-        self.prefix_set = frozenset(self.prefix_list)
+        self.prefix_uniq = _sorted_unique(ranks[:plen]) if plen > 0 else ranks[:0]
+        # python-native views for the row-wise min-common-token scan — built
+        # lazily (prepare_scan); the vectorized path never needs them
+        self.prefix_list = None
+        self.prefix_set = None
         self.s = s
         self.l_keys = []
         self.r_keys = []
+
+    def prepare_scan(self):
+        self.prefix_list = self.prefix_uniq.tolist()
+        self.prefix_set = frozenset(self.prefix_list)
 
 
 class PairGenVerify:
@@ -99,9 +144,14 @@ class PairGenVerify:
     def __init__(self, sim_type: str, threshold, comp_op: str = '>=',
                  qval=None, mode: str = 'join', out_sim_score: bool = True,
                  self_join: bool = False, round_score: bool = True,
-                 counter_name: str | None = None):
+                 counter_name: str | None = None,
+                 same_relation: bool = False):
         self.__name__ = 'PairGenVerify'  # map_groups wraps plain functions
         self.counter_name = counter_name
+        # same_relation: postings carry ONE copy of each record (side 0);
+        # every class doubles as both sides (halves the shuffle for
+        # self-relation joins)
+        self.same_relation = same_relation
         self.sim_type = sim_type
         self.threshold = threshold
         self.comp_op = comp_op
@@ -118,34 +168,62 @@ class PairGenVerify:
 
     # -------------------------------------------------------------- helpers
 
-    def _build_classes(self, df: pd.DataFrame):
-        """Collapse postings into signature classes + per-token run lists."""
-        keys = df['key'].to_numpy()
-        sides = df['side'].to_numpy()
-        toks = df['tok'].to_numpy()
-        szs = df['sz'].to_numpy()
-        plens = df['plen'].to_numpy()
-        ranks_col = df['ranks'].to_numpy()
-        s_col = df['s'].to_numpy() if 's' in df.columns else None
-
-        classes: list[_Class] = []
-        sig_index: dict = {}
-        row_class = np.empty(len(df), dtype=np.int64)
-        seen_member: set = set()
-        for i in range(len(df)):
-            ranks = np.asarray(ranks_col[i], dtype=np.int64)
-            s_val = s_col[i] if s_col is not None else None
-            sig = (ranks.tobytes(), int(szs[i]), s_val)
-            ci = sig_index.get(sig)
-            if ci is None:
-                ci = len(classes)
-                sig_index[sig] = ci
-                classes.append(_Class(ranks, szs[i], plens[i], s_val))
-            row_class[i] = ci
-            mk = (sides[i], keys[i])
-            if mk not in seen_member:
-                seen_member.add(mk)
-                (classes[ci].l_keys if sides[i] == 0 else classes[ci].r_keys).append(keys[i])
+    def _build_classes(self, df):
+        """Collapse postings into signature classes + per-token run lists.
+        Signature identity = (rank-array bytes, sz, string payload);
+        factorized in C via pandas instead of a per-row dict walk.  Accepts a
+        pyarrow Table (zero-copy rank slices, the map_groups path) or a
+        pandas DataFrame (direct calls)."""
+        import pyarrow as pa
+        if isinstance(df, pa.Table):
+            keys = df['key'].to_numpy(zero_copy_only=False)
+            sides = df['side'].to_numpy(zero_copy_only=False)
+            toks = df['tok'].to_numpy(zero_copy_only=False)
+            szs = df['sz'].to_numpy(zero_copy_only=False)
+            plens = df['plen'].to_numpy(zero_copy_only=False)
+            ranks_arr = df['ranks'].combine_chunks()
+            off = ranks_arr.offsets.to_numpy()
+            flat = ranks_arr.values.to_numpy(zero_copy_only=False)
+            itemsize = flat.dtype.itemsize
+            flat_bytes = flat.tobytes()
+            n = len(df)
+            ranks_col = np.empty(n, dtype=object)
+            rb = [flat_bytes[off[i] * itemsize: off[i + 1] * itemsize]
+                  for i in range(n)]
+            for i in range(n):
+                ranks_col[i] = flat[off[i]:off[i + 1]]
+            s_col = (df['s'].to_numpy(zero_copy_only=False)
+                     if 's' in df.column_names else None)
+        else:
+            keys = df['key'].to_numpy()
+            sides = df['side'].to_numpy()
+            toks = df['tok'].to_numpy()
+            szs = df['sz'].to_numpy()
+            plens = df['plen'].to_numpy()
+            ranks_col = df['ranks'].to_numpy()
+            s_col = df['s'].to_numpy() if 's' in df.columns else None
+            rb = [np.asarray(r).tobytes() for r in ranks_col]
+        if s_col is not None:
+            sig = pd.Series(list(zip(rb, szs.tolist(), s_col)))
+        else:
+            sig = pd.Series(list(zip(rb, szs.tolist())))
+        row_class, _ = pd.factorize(sig, sort=False)
+        # factorize codes are first-appearance-ordered, so np.unique's sorted
+        # codes map back to first occurrence rows positionally
+        _, first_idx = np.unique(row_class, return_index=True)
+        classes = [
+            _Class(np.asarray(ranks_col[i], dtype=np.int64), szs[i], plens[i],
+                   s_col[i] if s_col is not None else None)
+            for i in first_idx
+        ]
+        mem = pd.DataFrame({'side': sides, 'key': keys, 'cls': row_class}) \
+            .drop_duplicates(['side', 'key'])
+        for s_, k_, c_ in zip(mem['side'].to_numpy(), mem['key'].to_numpy(),
+                              mem['cls'].to_numpy()):
+            (classes[c_].l_keys if s_ == 0 else classes[c_].r_keys).append(k_)
+        if self.same_relation:
+            for c in classes:
+                c.r_keys = c.l_keys
 
         # token runs: distinct (tok, class, side)
         run_df = pd.DataFrame({'tok': toks, 'cls': row_class, 'side': sides})
@@ -245,17 +323,36 @@ class PairGenVerify:
             self.sim_type == 'OVERLAP_COEFFICIENT'
         ncls = len(classes)
         for c in classes:
-            c.uniq = np.unique(c.ranks)
+            c.uniq = _sorted_unique(c.ranks)
 
         empty = self._empty_frame()
         if ncls == 0:
             return empty
 
         con = _duck()
+        sz_arr = np.array([c.sz for c in classes], dtype=np.int64)
+        run_cls = run_df['cls'].to_numpy()
+        run_tok = run_df['tok'].to_numpy().astype(np.int64)
+        # position of each run token within its class's sorted rank array —
+        # feeds the first-shared-token positional bound
+        # (position_filter.py:340-344, the i=0 accumulation step)
+        run_pos = np.empty(len(run_cls), dtype=np.int64)
+        order = np.argsort(run_cls, kind='stable')
+        start = 0
+        while start < len(order):
+            ci = run_cls[order[start]]
+            end = start
+            while end < len(order) and run_cls[order[end]] == ci:
+                end += 1
+            idx = order[start:end]
+            run_pos[idx] = np.searchsorted(classes[ci].ranks, run_tok[idx])
+            start = end
         runs = pa.table({
-            'tok': run_df['tok'].to_numpy().astype(np.int64),
-            'cls': run_df['cls'].to_numpy().astype(np.int64),
+            'tok': run_tok,
+            'cls': run_cls.astype(np.int64),
             'side': run_df['side'].to_numpy().astype(np.int8),
+            'sz': sz_arr[run_cls],
+            'pos': run_pos,
         })
         pref_src = [(c.uniq if full_postings else c.prefix_uniq)
                     for c in classes]
@@ -268,27 +365,49 @@ class PairGenVerify:
         con.register('t_runs', runs)
         con.register('t_pref', pref)
 
-        # Each statement has exactly ONE join: with no reorder freedom the
+        # Each statement has at most ONE join: with no reorder freedom the
         # planner cannot pick a blow-up order (it otherwise mis-estimates the
         # tiny registered tables and may join the two exploded token tables
         # with each other BEFORE the pair semi-filter — observed 100×
         # regressions on clustered corpora).
-        con.execute("""
+        #
+        # 1. candidates per group token, with size bounds in the join and the
+        #    first-shared-token positional bound as a HAVING gate — both
+        #    computed from posting-local columns, no prefix explode;
+        # 2. ownership: a pair belongs to this bucket iff no shared prefix
+        #    token ranks below gmin (anti-join over the tokens < gmin only);
+        # 3. exact overlap on the owned survivors.
+        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
+                                               'r1', 'r2')
+                     if self._apply_size_bounds else '')
+        gate = ''
+        if self._apply_position:
+            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
+                                         'any_value(r1.sz)',
+                                         'any_value(r2.sz)')
+            gate = (' HAVING least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
+                    f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
+        side_pred = ('1 = 1' if self.same_relation
+                     else 'r1.side = 0 AND r2.side = 1')
+        con.execute(f"""
             CREATE OR REPLACE TEMP TABLE t_cand AS
             SELECT r1.cls AS la, r2.cls AS rb, min(r1.tok) AS gmin
             FROM t_runs r1 JOIN t_runs r2 ON r1.tok = r2.tok
-            WHERE r1.side = 0 AND r2.side = 1
-            GROUP BY 1, 2""")
+            WHERE {side_pred}{size_pred}
+            GROUP BY 1, 2{gate}""")
         con.execute("""
-            CREATE OR REPLACE TEMP TABLE t_exp AS
-            SELECT c.la, c.rb, c.gmin, p1.tok
-            FROM t_cand c JOIN t_pref p1 ON p1.cls = c.la""")
+            CREATE OR REPLACE TEMP TABLE t_lt AS
+            SELECT c.la, c.rb, p1.tok
+            FROM t_cand c JOIN t_pref p1 ON p1.cls = c.la
+                                        AND p1.tok < c.gmin""")
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE t_bad AS
+            SELECT DISTINCT e.la, e.rb
+            FROM t_lt e JOIN t_pref p2 ON p2.cls = e.rb AND p2.tok = e.tok""")
         con.execute("""
             CREATE OR REPLACE TEMP TABLE t_resp AS
-            SELECT e.la, e.rb
-            FROM t_exp e JOIN t_pref p2 ON p2.cls = e.rb AND p2.tok = e.tok
-            GROUP BY e.la, e.rb, e.gmin
-            HAVING min(e.tok) = e.gmin""")
+            SELECT c.la, c.rb
+            FROM t_cand c ANTI JOIN t_bad b ON c.la = b.la AND c.rb = b.rb""")
 
         if ed or self.mode == 'prefix_candidates':
             res = con.execute('SELECT la, rb FROM t_resp').arrow()
@@ -312,14 +431,10 @@ class PairGenVerify:
                 FROM t_oexp e JOIN t_toks t2 ON t2.cls = e.rb
                                             AND t2.tok = e.tok
                 GROUP BY 1, 2""").arrow()
-            con.execute('DROP TABLE t_oexp')
             con.unregister('t_toks')
             la = res['la'].to_numpy().astype(np.int64)
             rb = res['rb'].to_numpy().astype(np.int64)
             o = res['o'].to_numpy().astype(np.int64)
-        con.execute('DROP TABLE t_cand')
-        con.execute('DROP TABLE t_exp')
-        con.execute('DROP TABLE t_resp')
         con.unregister('t_runs')
         con.unregister('t_pref')
 
@@ -426,11 +541,13 @@ class PairGenVerify:
         full_postings = self.mode == 'overlap_candidates' or \
             self.sim_type == 'OVERLAP_COEFFICIENT'
         for c in classes:
-            c.uniq = np.unique(c.ranks)
+            c.uniq = _sorted_unique(c.ranks)
             if full_postings:
                 # full-token postings: the dedup scan runs over ALL tokens
                 c.prefix_list = c.uniq.tolist()
                 c.prefix_set = frozenset(c.prefix_list)
+            else:
+                c.prepare_scan()
 
         # class pair -> score bookkeeping
         out_l, out_r, out_s = [], [], []

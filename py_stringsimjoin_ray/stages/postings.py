@@ -26,6 +26,31 @@ from ..core import bounds
 
 KNUTH = np.uint64(2654435761)
 
+# Per-worker-process cache of the token→rank lookup structure.  The stage
+# instance is re-deserialized per task, but the worker process persists, so
+# the (expensive) hash-index build over the vocabulary happens once per
+# worker rather than once per batch.
+_ORD_INDEX_CACHE: dict = {}
+
+
+def _ordering_index(ref_or_arr):
+    """pandas Index over the rank-ordered token array (position i ⇔ rank
+    i+1); ``get_indexer`` gives vectorized token→rank-1 with -1 for absent."""
+    import ray
+    if isinstance(ref_or_arr, ray.ObjectRef):
+        key, arr = ref_or_arr.hex(), None
+    else:
+        key, arr = id(ref_or_arr), ref_or_arr
+    idx = _ORD_INDEX_CACHE.get(key)
+    if idx is None:
+        import pandas as pd
+        if arr is None:
+            arr = ray.get(ref_or_arr)
+        idx = pd.Index(arr.to_pandas())
+        _ORD_INDEX_CACHE.clear()  # hold at most one vocabulary per worker
+        _ORD_INDEX_CACHE[key] = idx
+    return idx
+
 
 def bucket_of(tok_ranks: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((tok_ranks.astype(np.uint64) * KNUTH) >> np.uint64(7)) % np.uint64(num_buckets)
@@ -46,40 +71,52 @@ def _stable_key_hash(keys) -> np.ndarray:
 class RankPrefixStage:
     """(key, tokens[, s]) → (key, sz, ranks, plen[, s]).
 
-    The ordering dict is fetched from the object store once per actor
-    (``__init__``), not per batch.  ``sz`` is the token count under the
-    tokenizer's set/bag semantics; ``ranks`` is the sorted rank array
-    (rarest first) — the applied-ordering representation of
-    ``utils/token_ordering.py:45-55``.
+    The ordering artifact (rank-ordered token array, see
+    ``build_ordering_table``) is resolved from the object store ZERO-COPY;
+    token→rank mapping is one vectorized ``pc.index_in`` per batch and the
+    per-row ascending rank sort is a single ``np.lexsort`` over the flattened
+    values — the applied-ordering representation of
+    ``utils/token_ordering.py:45-55`` with no per-token Python work.
+    ``sz`` is the token count under the tokenizer's set/bag semantics.
     """
 
     def __init__(self, ordering_ref, sim_type: str, threshold, qval=None,
                  keep_string: bool = False):
-        import ray
-        self.ordering = ray.get(ordering_ref) if isinstance(ordering_ref, ray.ObjectRef) \
-            else ordering_ref
+        self.ordering_ref = ordering_ref  # resolved lazily via worker cache
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
         self.keep_string = keep_string
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ordering = self.ordering
-        token_lists = batch['tokens'].to_pylist()
-        ranks_lists, sizes, plens = [], [], []
-        for toks in token_lists:
-            r = sorted(ordering[t] for t in toks if t in ordering)
-            ranks_lists.append(r)
-            sizes.append(len(toks))
-            plens.append(bounds.prefix_length(len(toks), self.sim_type,
-                                              self.threshold, self.qval))
+        index = _ordering_index(self.ordering_ref)
+        toks = batch['tokens'].combine_chunks()
+        nrows = len(batch)
+        offsets = toks.offsets.to_numpy()
+        sizes = np.diff(offsets).astype(np.int32)
+        idx = index.get_indexer(toks.values.to_pandas())
+        ranks_flat = idx.astype(np.int64) + 1  # 0 = absent from the ordering
+        row_id = np.repeat(np.arange(nrows), sizes)
+        keep = ranks_flat > 0
+        if not keep.all():
+            ranks_flat, row_id = ranks_flat[keep], row_id[keep]
+        order = np.lexsort((ranks_flat, row_id))
+        sorted_ranks = ranks_flat[order]
+        sorted_rows = row_id[order]
+        cnt = np.bincount(sorted_rows, minlength=nrows)
+        new_off = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
         # int32 ranks halve the postings shuffle volume; vocabularies beyond
         # 2^31 distinct tokens are out of scope (documented scale assumption —
         # qgram vocabs are charset^q-bounded, word vocabs ≪ corpus size)
+        ranks_col = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()),
+            pa.array(sorted_ranks.astype(np.int32), pa.int32()))
+        plens = bounds.prefix_length_many(sizes, self.sim_type,
+                                          self.threshold, self.qval)
         cols = {'key': batch['key'],
                 'sz': pa.array(sizes, type=pa.int32()),
-                'ranks': pa.array(ranks_lists, type=pa.list_(pa.int32())),
-                'plen': pa.array(plens, type=pa.int32())}
+                'ranks': ranks_col,
+                'plen': pa.array(plens.astype(np.int32), type=pa.int32())}
         if self.keep_string:
             cols['s'] = batch['s']
         return pa.table(cols)
@@ -96,7 +133,8 @@ class PostingsStage:
     """
 
     def __init__(self, side: int, num_buckets: int,
-                 heavy_ref=None, keep_string: bool = False):
+                 heavy_ref=None, keep_string: bool = False,
+                 same_relation: bool = False):
         import ray
         self.side = side
         self.num_buckets = num_buckets
@@ -106,6 +144,11 @@ class PostingsStage:
         # heavy: dict rank -> (heavy_index, grid_size)
         self.heavy = heavy or {}
         self.keep_string = keep_string
+        # same_relation: records are emitted once (side 0) and act as both
+        # join sides; heavy tokens use the unordered-grid scheme — record
+        # with hash h covers cells {(min(h,c), max(h,c)) : c < g}, so any
+        # record pair meets in exactly one cell (i=min, j=max)
+        self.same_relation = same_relation
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ranks_col = batch['ranks'].combine_chunks()
@@ -137,7 +180,10 @@ class PostingsStage:
                     hidx, g = self.heavy[int(tok[j])]
                     base = self.num_buckets + hidx * g * g
                     kh = int(key_hash[row_idx[j]]) % g
-                    if self.side == 0:      # L: grid row kh, all columns
+                    if self.same_relation:  # unordered grid cells
+                        cells = [base + min(kh, c) * g + max(kh, c)
+                                 for c in range(g)]
+                    elif self.side == 0:    # L: grid row kh, all columns
                         cells = [base + kh * g + c for c in range(g)]
                     else:                   # R: grid column kh, all rows
                         cells = [base + r * g + kh for r in range(g)]
@@ -165,16 +211,18 @@ class PostingsStage:
         return pa.table(cols)
 
 
-def heavy_token_table(freq_table: pa.Table, ordering: dict,
+def heavy_token_table(freq_table: pa.Table, ranked_tokens: pa.Array,
                       salt_df_threshold: int, max_grid: int = 16) -> dict:
-    """rank → (heavy_index, grid_size) for tokens with df above threshold."""
+    """rank → (heavy_index, grid_size) for tokens with df above threshold.
+    ``ranked_tokens`` is the ordering artifact (``build_ordering_table``)."""
     heavy: dict = {}
-    tokens = freq_table['token'].to_pylist()
-    counts = freq_table['count'].to_pylist()
-    hidx = 0
-    for t, c in zip(tokens, counts):
-        if c >= salt_df_threshold:
-            g = int(min(max_grid, max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
-            heavy[ordering[t]] = (hidx, g)
-            hidx += 1
+    mask = pa.compute.greater_equal(freq_table['count'], salt_df_threshold)
+    hot = freq_table.filter(mask)
+    if len(hot) == 0:
+        return heavy
+    ranks = pa.compute.index_in(hot['token'],
+                                value_set=ranked_tokens).to_pylist()
+    for hidx, (rk, c) in enumerate(zip(ranks, hot['count'].to_pylist())):
+        g = int(min(max_grid, max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
+        heavy[rk + 1] = (hidx, g)
     return heavy

@@ -74,22 +74,46 @@ def partial_token_counts(batch: pa.Table) -> pa.Table:
 
 
 def token_frequencies(tokenized: ray.data.Dataset) -> 'pa.Table':
-    """Global (token, count) table.  The groupby is over the pre-combined
-    per-batch partials, so the all-to-all exchange moves one row per distinct
-    token per batch — not one row per token occurrence."""
-    partial = tokenized.map_batches(partial_token_counts, batch_format='pyarrow')
-    agg = partial.groupby('token').sum('partial')
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    count_col = 'sum(partial)' if 'sum(partial)' in tbl.column_names else tbl.column_names[1]
-    return pa.table({'token': tbl['token'], 'count': tbl[count_col]})
+    """Global (token, count) table.  Per-batch combiners shrink each block to
+    its distinct tokens; the partials are merged on the DRIVER (one vectorized
+    groupby over blocks × vocab rows) — the result is vocab-sized and needed
+    on the driver anyway to build the ordering artifact, so a distributed
+    groupby here would round-trip through an all-to-all shuffle only to be
+    collected right back.  Scale note: partial volume is (num blocks ×
+    vocab); for corpora where that exceeds driver memory, pre-repartition the
+    tokenized Dataset to fewer, larger blocks (the combiner output per block
+    is vocab-bounded regardless of block size)."""
+    partial = tokenized.map_batches(partial_token_counts,
+                                    batch_format='pyarrow', batch_size=None)
+    parts = [pa.table(b) for b in partial.iter_batches(batch_size=None,
+                                                       batch_format='pyarrow')]
+    merged = pa.concat_tables([p for p in parts if len(p)]) if parts else \
+        pa.table({'token': pa.array([], pa.string()),
+                  'partial': pa.array([], pa.int64())})
+    if len(merged) == 0:
+        return pa.table({'token': pa.array([], pa.string()),
+                         'count': pa.array([], pa.int64())})
+    agg = merged.group_by('token').aggregate([('partial', 'sum')])
+    return pa.table({'token': agg['token'], 'count': agg['partial_sum']})
+
+
+def build_ordering_table(freq_table: pa.Table) -> pa.Array:
+    """The ordering artifact: a StringArray where position i holds the token
+    of rank i+1 — rank 1 = rarest, ties broken lexicographically (semantics
+    of ``utils/token_ordering.py:24-42``).  As a plain Arrow array it lives
+    zero-copy in the object store; workers map tokens to ranks with one
+    vectorized ``pc.index_in`` per batch instead of a per-token dict walk
+    (the dict form cost a multi-second unpickle per worker at
+    multi-million-token vocabularies)."""
+    idx = pa.compute.sort_indices(
+        freq_table, sort_keys=[('count', 'ascending'), ('token', 'ascending')])
+    col = freq_table['token'].take(idx)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 def build_global_ordering(freq_table: pa.Table) -> dict:
-    """token→rank dict: rank 1 = rarest; ties broken lexicographically
-    (semantics of ``utils/token_ordering.py:24-42``).  The vocabulary is
-    assumed driver-collectable (qgram vocabularies are bounded by charset^q;
-    word vocabularies are ≪ corpus size — documented scale assumption)."""
-    tokens = freq_table['token'].to_pylist()
-    counts = freq_table['count'].to_pylist()
-    order = sorted(range(len(tokens)), key=lambda i: (counts[i], tokens[i]))
-    return {tokens[i]: rank + 1 for rank, i in enumerate(order)}
+    """token→rank dict view of the ordering — for the pure-Python kernels
+    (SuffixFilter recursion, unit oracles).  Driver-collectable vocabularies
+    only; the distributed join path uses ``build_ordering_table``."""
+    ranked = build_ordering_table(freq_table)
+    return {t: i + 1 for i, t in enumerate(ranked.to_pylist())}

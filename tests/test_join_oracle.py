@@ -250,3 +250,38 @@ def test_dataset_inputs(person_tables):
     exp = expected_pairs_set(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok,
                              measures.jaccard, 0.7)
     assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
+# ----------------------------------------------------- randomized stress
+
+def _random_tables(seed, n_a=45, n_b=55, vocab=14):
+    """Small vocabulary forces heavy token collisions, wide size spread
+    (0..10 tokens incl. empties/dups) stresses the size/position bounds."""
+    rng = np.random.default_rng(seed)
+    words = [f'w{i}' for i in range(vocab)]
+
+    def make(n, prefix):
+        vals = []
+        for i in range(n):
+            k = int(rng.integers(0, 11))
+            vals.append(' '.join(rng.choice(words) for _ in range(k)))
+        return pd.DataFrame({'id': range(n), 'txt': vals})
+    return make(n_a, 'a'), make(n_b, 'b')
+
+
+@pytest.mark.parametrize('seed', [7, 19])
+@pytest.mark.parametrize('measure', list(JOINS))
+@pytest.mark.parametrize('threshold,ov_threshold',
+                         [(0.45, 2), (0.8, 3)])
+def test_random_tables_oracle(seed, measure, threshold, ov_threshold):
+    A, B = _random_tables(seed)
+    join_fn, sim_fn, round4 = JOINS[measure]
+    t = ov_threshold if measure == 'OVERLAP' else threshold
+    tok = WhitespaceTokenizer(return_set=True)
+    out = join_fn(A, B, 'id', 'id', 'txt', 'txt', tok, t)
+    exp = expected_pairs_set(
+        A, B, 'id', 'id', 'txt', 'txt', tok, sim_fn, t, round4=round4,
+        empty_score_one=measure not in ('OVERLAP',))
+    if measure == 'OVERLAP':
+        exp = {p for p in exp}  # no empty-pair fast path for overlap
+    assert set(zip(out['l_id'], out['r_id'])) == exp
