@@ -27,7 +27,7 @@ SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 # sized so the 8-CPU flagship run is ≥ ~60 s — fixed overheads must not
 # dominate the scaling ratio (BASELINE.md §3)
-CORPUS_ARGS = dict(num_clusters=12000, max_cluster=5, num_singletons=20000,
+CORPUS_ARGS = dict(num_clusters=24000, max_cluster=5, num_singletons=40000,
                    tokens_per_file=120, seed=42)
 _ARGS_TAG = '_'.join(str(v) for v in CORPUS_ARGS.values())
 CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS',
@@ -180,7 +180,7 @@ def run_linkage_once():
 
 
 def run_scaling():
-    def sub(ncpu):
+    def sub_once(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             '--linkage-once'], env=env, capture_output=True,
@@ -189,6 +189,12 @@ def run_scaling():
             sys.stderr.write(p.stderr[-4000:])
             raise SystemExit(1)
         return json.loads(p.stdout.strip().splitlines()[-1])
+
+    def sub(ncpu):
+        # best-of-2: single-machine walls on this box vary run-to-run by up
+        # to ±50% (shared VM); min is the standard noise-robust estimator
+        a, b = sub_once(ncpu), sub_once(ncpu)
+        return a if a['wall_sec'] <= b['wall_sec'] else b
 
     lo, hi = sub(8), sub(32)
     eff = (lo['wall_sec'] / hi['wall_sec']) / (32 / 8)

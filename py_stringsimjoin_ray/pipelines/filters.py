@@ -551,9 +551,8 @@ class SuffixFilter(Filter):
                       l_filter_attr, r_filter_attr, l_out_attrs=None,
                       r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
                       n_jobs=1, show_progress=False):
-        from ..stages.tokenize import (TokenizeStage, build_ordering_table,
-                                       token_frequencies)
-        from ..stages.postings import RankPrefixStage
+        from ..stages.tokenize import TokenizeStage, token_frequencies
+        from ..stages.postings import RankPrefixStage, make_rank_lookup
         V.validate_input_table(ltable, 'left table')
         V.validate_input_table(rtable, 'right table')
         l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
@@ -582,7 +581,7 @@ class SuffixFilter(Filter):
             .map_batches(TokenizeStage(r_key_attr, r_filter_attr, self.tokenizer),
                          batch_format='pyarrow').materialize()
         freq = token_frequencies(tok_l.union(tok_r))
-        ordering_ref = ray.put(build_ordering_table(freq))
+        ordering_ref = ray.put(make_rank_lookup(freq))
 
         ranked_l = tok_l.map_batches(
             RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')

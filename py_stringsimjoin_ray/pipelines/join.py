@@ -30,9 +30,9 @@ import ray.data
 from ..core import validation as V
 from ..core.tokenizers import QgramTokenizer
 from ..stages.pairgen import PairGenVerify
-from ..stages.postings import PostingsStage, RankPrefixStage, heavy_token_table
-from ..stages.tokenize import (TokenizeStage, build_ordering_table,
-                               token_frequencies)
+from ..stages.postings import (PostingsStage, RankPrefixStage,
+                               heavy_token_table, make_rank_lookup)
+from ..stages.tokenize import TokenizeStage, token_frequencies
 
 DEFAULT_NUM_BUCKETS = 512
 DEFAULT_SALT_DF_THRESHOLD = 20000
@@ -123,9 +123,9 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     # self-join doubling every count leaves the ordering unchanged, so the
     # single tokenized Dataset suffices.
     freq = token_frequencies(tok_l if same_relation else tok_l.union(tok_r))
-    ordering = build_ordering_table(freq)
-    ordering_ref = ray.put(ordering)
-    heavy = heavy_token_table(freq, ordering, cfg.salt_df_threshold)
+    lut = make_rank_lookup(freq)
+    ordering_ref = ray.put(lut)
+    heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
     heavy_ref = ray.put(heavy) if heavy else None
 
     def ranked(tok_ds):

@@ -84,8 +84,12 @@ def _duck():
     try:
         import duckdb
         _DUCK = duckdb.connect()
-        # each map_groups task is one CPU slot; don't oversubscribe
+        # each map_groups task is one CPU slot; don't oversubscribe, and cap
+        # the buffer manager so N concurrent per-worker connections don't
+        # each assume they own the node's RAM
         _DUCK.execute('SET threads TO 1')
+        _DUCK.execute("SET memory_limit='2GB'")
+        _DUCK.execute('SET preserve_insertion_order=false')
     except ImportError:  # pragma: no cover
         _DUCK = None
     return _DUCK

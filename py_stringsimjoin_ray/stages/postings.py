@@ -26,30 +26,77 @@ from ..core import bounds
 
 KNUTH = np.uint64(2654435761)
 
-# Per-worker-process cache of the token→rank lookup structure.  The stage
-# instance is re-deserialized per task, but the worker process persists, so
-# the (expensive) hash-index build over the vocabulary happens once per
-# worker rather than once per batch.
+def _token_hashes(values: pa.Array) -> np.ndarray:
+    """Deterministic vectorized 64-bit string hashes via DuckDB's C kernel
+    (no per-token Python boxing)."""
+    from .pairgen import _duck
+    con = _duck()
+    tbl = pa.table({'t': values})
+    con.register('t_hash_in', tbl)
+    out = con.execute('SELECT hash(t) AS h FROM t_hash_in').arrow()
+    con.unregister('t_hash_in')
+    return out['h'].to_numpy().astype(np.uint64)
+
+
+def make_rank_lookup(freq_table: pa.Table) -> dict:
+    """Token→rank lookup built ONCE on the driver as two numpy arrays
+    (sorted token hashes + the rank at each hash) — numpy payloads live
+    zero-copy in the object store, so every worker on a node shares one
+    mmapped copy and per-batch mapping is hash + binary search, with no
+    per-worker index build or per-worker vocabulary memory.  Rank semantics:
+    1 = rarest, ties by token (``utils/token_ordering.py:24-42``).
+
+    A 64-bit hash collision inside the vocabulary (p ≈ |V|²/2⁶⁴) would merge
+    two tokens' ranks; it is detected here and falls back to carrying the
+    rank-ordered token array itself (exact per-worker pandas Index)."""
+    n = len(freq_table)
+    if n == 0:
+        return {'hashes': np.empty(0, np.uint64), 'ranks': np.empty(0, np.int32)}
+    from .pairgen import _duck
+    con = _duck()
+    con.register('t_vocab', freq_table)
+    res = con.execute("""
+        SELECT hash(token) AS h,
+               row_number() OVER (ORDER BY count, token) AS rnk
+        FROM t_vocab""").arrow()
+    con.unregister('t_vocab')
+    h = res['h'].to_numpy().astype(np.uint64)
+    rnk = res['rnk'].to_numpy().astype(np.int32)
+    order = np.argsort(h, kind='stable')
+    sh = h[order]
+    if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover
+        from .tokenize import build_ordering_table
+        return {'tokens': build_ordering_table(freq_table)}
+    return {'hashes': sh, 'ranks': rnk[order]}
+
+
+# Per-worker-process cache for the exact-fallback pandas Index (collision
+# case only; the hash path needs no per-worker state).
 _ORD_INDEX_CACHE: dict = {}
 
 
-def _ordering_index(ref_or_arr):
-    """pandas Index over the rank-ordered token array (position i ⇔ rank
-    i+1); ``get_indexer`` gives vectorized token→rank-1 with -1 for absent."""
-    import ray
-    if isinstance(ref_or_arr, ray.ObjectRef):
-        key, arr = ref_or_arr.hex(), None
-    else:
-        key, arr = id(ref_or_arr), ref_or_arr
-    idx = _ORD_INDEX_CACHE.get(key)
+def _fallback_index(ref_key, tokens_arr):  # pragma: no cover
+    idx = _ORD_INDEX_CACHE.get(ref_key)
     if idx is None:
         import pandas as pd
-        if arr is None:
-            arr = ray.get(ref_or_arr)
-        idx = pd.Index(arr.to_pandas())
-        _ORD_INDEX_CACHE.clear()  # hold at most one vocabulary per worker
-        _ORD_INDEX_CACHE[key] = idx
+        idx = pd.Index(tokens_arr.to_pandas())
+        _ORD_INDEX_CACHE.clear()
+        _ORD_INDEX_CACHE[ref_key] = idx
     return idx
+
+
+def map_tokens_to_ranks(lut: dict, token_values: pa.Array,
+                        ref_key='') -> np.ndarray:
+    """Vectorized token→rank (0 = absent) for a flat Arrow string array."""
+    if 'hashes' in lut:
+        sh, ranks = lut['hashes'], lut['ranks']
+        if len(sh) == 0 or len(token_values) == 0:
+            return np.zeros(len(token_values), dtype=np.int64)
+        th = _token_hashes(token_values)
+        pos = np.minimum(np.searchsorted(sh, th), len(sh) - 1)
+        return np.where(sh[pos] == th, ranks[pos], 0).astype(np.int64)
+    idx = _fallback_index(ref_key, lut['tokens'])  # pragma: no cover
+    return (idx.get_indexer(token_values.to_pandas()) + 1).astype(np.int64)
 
 
 def bucket_of(tok_ranks: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -82,20 +129,25 @@ class RankPrefixStage:
 
     def __init__(self, ordering_ref, sim_type: str, threshold, qval=None,
                  keep_string: bool = False):
-        self.ordering_ref = ordering_ref  # resolved lazily via worker cache
+        self.ordering_ref = ordering_ref  # make_rank_lookup payload (or ref)
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
         self.keep_string = keep_string
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        index = _ordering_index(self.ordering_ref)
+        import ray
+        lut = self.ordering_ref
+        ref_key = ''
+        if isinstance(lut, ray.ObjectRef):
+            ref_key = lut.hex()
+            lut = ray.get(lut)
         toks = batch['tokens'].combine_chunks()
         nrows = len(batch)
         offsets = toks.offsets.to_numpy()
         sizes = np.diff(offsets).astype(np.int32)
-        idx = index.get_indexer(toks.values.to_pandas())
-        ranks_flat = idx.astype(np.int64) + 1  # 0 = absent from the ordering
+        ranks_flat = map_tokens_to_ranks(lut, toks.values, ref_key)
+        # 0 = absent from the ordering
         row_id = np.repeat(np.arange(nrows), sizes)
         keep = ranks_flat > 0
         if not keep.all():
@@ -211,18 +263,19 @@ class PostingsStage:
         return pa.table(cols)
 
 
-def heavy_token_table(freq_table: pa.Table, ranked_tokens: pa.Array,
+def heavy_token_table(freq_table: pa.Table, lut: dict,
                       salt_df_threshold: int, max_grid: int = 16) -> dict:
     """rank → (heavy_index, grid_size) for tokens with df above threshold.
-    ``ranked_tokens`` is the ordering artifact (``build_ordering_table``)."""
+    ``lut`` is the ``make_rank_lookup`` artifact."""
     heavy: dict = {}
     mask = pa.compute.greater_equal(freq_table['count'], salt_df_threshold)
     hot = freq_table.filter(mask)
     if len(hot) == 0:
         return heavy
-    ranks = pa.compute.index_in(hot['token'],
-                                value_set=ranked_tokens).to_pylist()
+    ranks = map_tokens_to_ranks(lut, hot['token'].combine_chunks()
+                                if isinstance(hot['token'], pa.ChunkedArray)
+                                else hot['token'])
     for hidx, (rk, c) in enumerate(zip(ranks, hot['count'].to_pylist())):
         g = int(min(max_grid, max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
-        heavy[rk + 1] = (hidx, g)
+        heavy[int(rk)] = (hidx, g)
     return heavy
