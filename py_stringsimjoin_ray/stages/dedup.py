@@ -82,11 +82,9 @@ class MinHasher:
         # deterministic universal-style mix (wrap changes the family, not
         # the minhash contract)
         h = token_hashes.astype(np.uint64)
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            vals = (self.a[i] * h + self.b[i]) % np.uint64(_M61)
-            sig[i] = vals.min()
-        return sig
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) \
+            % np.uint64(_M61)
+        return vals.min(axis=1)
 
 
 class MinHashStage:
