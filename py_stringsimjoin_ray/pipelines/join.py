@@ -457,10 +457,12 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if kw.get('output') == 'dataset':
             return pairs
+        # reference emits integer edit distances (dtype parity)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,
-                                r_out_prefix, out_sim_score)
+                                r_out_prefix, out_sim_score,
+                                score_dtype=np.int64)
     finally:
         if revert:
             tokenizer.set_return_set(True)

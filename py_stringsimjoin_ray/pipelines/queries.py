@@ -370,7 +370,7 @@ WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.4
 """,
     'edit_distance_join_customer': """
 SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey,
-       CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) AS _sim_score
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS _sim_score
 FROM customer a, customer b
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """,

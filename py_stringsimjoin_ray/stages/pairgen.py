@@ -97,25 +97,45 @@ def _duck():
 
 def _lev_many(l_strings, r_strings):
     """Vectorized Levenshtein over pair lists via DuckDB's C++ kernel, with a
-    numpy-DP fallback."""
+    numpy-DP fallback.
+
+    DuckDB's ``levenshtein`` is BYTE-based ('café' vs 'cafe' = 2), while the
+    reference (and ``core.measures.levenshtein``) is CHARACTER-based (= 1) —
+    pairs where either string contains non-ASCII go through the exact
+    character DP instead."""
     con = _duck()
-    if con is not None:
-        import pyarrow as pa
-        tbl = pa.table({'a': pa.array(l_strings, type=pa.string()),
-                        'b': pa.array(r_strings, type=pa.string())})
-        res = con.execute(
-            'SELECT levenshtein(a, b) FROM tbl').fetchnumpy()
-        return next(iter(res.values())).astype(np.int64)
-    from ..core.measures import levenshtein  # pragma: no cover
-    return np.array([levenshtein(a, b) for a, b in zip(l_strings, r_strings)],
-                    dtype=np.int64)
+    if con is None:  # pragma: no cover
+        from ..core.measures import levenshtein
+        return np.array([levenshtein(a, b)
+                         for a, b in zip(l_strings, r_strings)],
+                        dtype=np.int64)
+    import pyarrow as pa
+    a_arr = pa.array(l_strings, type=pa.string())
+    b_arr = pa.array(r_strings, type=pa.string())
+    n = len(a_arr)
+    # byte length == char length ⟺ pure ASCII (for valid UTF-8)
+    ascii_pair = (
+        pa.compute.equal(pa.compute.binary_length(a_arr),
+                         pa.compute.utf8_length(a_arr)).to_numpy(
+                             zero_copy_only=False)
+        & pa.compute.equal(pa.compute.binary_length(b_arr),
+                           pa.compute.utf8_length(b_arr)).to_numpy(
+                               zero_copy_only=False))
+    tbl = pa.table({'a': a_arr, 'b': b_arr})
+    res = con.execute('SELECT levenshtein(a, b) FROM tbl').fetchnumpy()
+    out = next(iter(res.values())).astype(np.int64)
+    if not ascii_pair.all():
+        from ..core.measures import levenshtein
+        for i in np.nonzero(~ascii_pair)[0]:
+            out[i] = levenshtein(l_strings[i], r_strings[i])
+    return out
 
 
 class _Class:
     __slots__ = ('ranks', 'uniq', 'sz', 'plen', 'prefix_uniq', 'prefix_list',
-                 'prefix_set', 's', 'l_keys', 'r_keys')
+                 'prefix_set', 's', 'l_keys', 'r_keys', 'kh')
 
-    def __init__(self, ranks, sz, plen, s):
+    def __init__(self, ranks, sz, plen, s, kh=-1):
         self.ranks = ranks
         self.uniq = None      # unique'd ranks (bag measures); == ranks for sets
         self.sz = int(sz)
@@ -126,6 +146,9 @@ class _Class:
         self.prefix_list = None
         self.prefix_set = None
         self.s = s
+        # grid-salting role: -1 = pair freely; >= 0 = pair only with classes
+        # of a DIFFERENT kh (off-diagonal salted cell, see PostingsStage)
+        self.kh = int(kh)
         self.l_keys = []
         self.r_keys = []
 
@@ -198,6 +221,9 @@ class PairGenVerify:
                 ranks_col[i] = flat[off[i]:off[i + 1]]
             s_col = (df['s'].to_numpy(zero_copy_only=False)
                      if 's' in df.column_names else None)
+            khs = (df['kh'].to_numpy(zero_copy_only=False)
+                   if 'kh' in df.column_names
+                   else np.full(n, -1, dtype=np.int16))
         else:
             keys = df['key'].to_numpy()
             sides = df['side'].to_numpy()
@@ -206,22 +232,31 @@ class PairGenVerify:
             plens = df['plen'].to_numpy()
             ranks_col = df['ranks'].to_numpy()
             s_col = df['s'].to_numpy() if 's' in df.columns else None
+            khs = (df['kh'].to_numpy() if 'kh' in df.columns
+                   else np.full(len(df), -1, dtype=np.int16))
             rb = [np.asarray(r).tobytes() for r in ranks_col]
+        # kh is part of the class signature: classes must be kh-homogeneous
+        # so the off-diagonal pairing rule (kh_a != kh_b) can act at class
+        # level.  A record visiting a collided bucket under several grids
+        # (different kh per heavy token) fragments into several classes —
+        # membership below is therefore per (side, key, CLASS), and the
+        # min-common-token ownership rule dedups the record pairs that
+        # fragmented class pairs would otherwise emit twice.
         if s_col is not None:
-            sig = pd.Series(list(zip(rb, szs.tolist(), s_col)))
+            sig = pd.Series(list(zip(rb, szs.tolist(), khs.tolist(), s_col)))
         else:
-            sig = pd.Series(list(zip(rb, szs.tolist())))
+            sig = pd.Series(list(zip(rb, szs.tolist(), khs.tolist())))
         row_class, _ = pd.factorize(sig, sort=False)
         # factorize codes are first-appearance-ordered, so np.unique's sorted
         # codes map back to first occurrence rows positionally
         _, first_idx = np.unique(row_class, return_index=True)
         classes = [
             _Class(np.asarray(ranks_col[i], dtype=np.int64), szs[i], plens[i],
-                   s_col[i] if s_col is not None else None)
+                   s_col[i] if s_col is not None else None, khs[i])
             for i in first_idx
         ]
         mem = pd.DataFrame({'side': sides, 'key': keys, 'cls': row_class}) \
-            .drop_duplicates(['side', 'key'])
+            .drop_duplicates(['side', 'key', 'cls'])
         for s_, k_, c_ in zip(mem['side'].to_numpy(), mem['key'].to_numpy(),
                               mem['cls'].to_numpy()):
             (classes[c_].l_keys if s_ == 0 else classes[c_].r_keys).append(k_)
@@ -229,8 +264,13 @@ class PairGenVerify:
             for c in classes:
                 c.r_keys = c.l_keys
 
-        # token runs: distinct (tok, class, side)
-        run_df = pd.DataFrame({'tok': toks, 'cls': row_class, 'side': sides})
+        # token runs: distinct (tok, class, side, kh).  kh is a RUN property,
+        # not a class property: in a bucket hosting several salted grids a
+        # record carries a different grid role per heavy token (and -1 for
+        # unsalted/diagonal visits), so folding kh into the class signature
+        # would fragment key membership.
+        run_df = pd.DataFrame({'tok': toks, 'cls': row_class, 'side': sides,
+                               'kh': khs.astype(np.int64)})
         run_df = run_df.drop_duplicates()
         return classes, run_df
 
@@ -355,6 +395,7 @@ class PairGenVerify:
             'tok': run_tok,
             'cls': run_cls.astype(np.int64),
             'side': run_df['side'].to_numpy().astype(np.int8),
+            'kh': run_df['kh'].to_numpy().astype(np.int64),
             'sz': sz_arr[run_cls],
             'pos': run_pos,
         })
@@ -391,8 +432,13 @@ class PairGenVerify:
                                          'any_value(r2.sz)')
             gate = (' HAVING least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
                     f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
+        # off-diagonal salted cells only pair ACROSS their two hash groups
+        # (diagonal/unsalted postings carry kh = -1 and pair freely) — the
+        # grid guarantees any record pair meets with compatible roles in
+        # exactly one cell, so no duplicates and no losses
+        salt_pred = ' AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh)'
         side_pred = ('1 = 1' if self.same_relation
-                     else 'r1.side = 0 AND r2.side = 1')
+                     else 'r1.side = 0 AND r2.side = 1') + salt_pred
         con.execute(f"""
             CREATE OR REPLACE TEMP TABLE t_cand AS
             SELECT r1.cls AS la, r2.cls AS rb, min(r1.tok) AS gmin
@@ -559,18 +605,27 @@ class PairGenVerify:
 
         grouped = run_df.groupby('tok', sort=False)
         for tok, sub in grouped:
-            lcls = sub.loc[sub['side'] == 0, 'cls'].to_numpy()
-            rcls = sub.loc[sub['side'] == 1, 'cls'].to_numpy()
+            lmask = sub['side'].to_numpy() == 0
+            lcls = sub['cls'].to_numpy()[lmask]
+            lkh = sub['kh'].to_numpy()[lmask]
+            if self.same_relation:
+                # single-side postings: every class acts as both join sides
+                rcls, rkh = lcls, lkh
+            else:
+                rcls = sub['cls'].to_numpy()[~lmask]
+                rkh = sub['kh'].to_numpy()[~lmask]
             if len(lcls) == 0 or len(rcls) == 0:
                 continue
-            for a in lcls:
+            for a, kha in zip(lcls, lkh):
                 L = classes[a]
                 if not L.l_keys:
                     continue
-                for b in rcls:
+                for b, khb in zip(rcls, rkh):
                     R = classes[b]
                     if not R.r_keys:
                         continue
+                    if kha >= 0 and khb >= 0 and kha == khb:
+                        continue  # off-diagonal salted cell, same hash group
                     # min-common-token dedup: walk the (ascending) smaller
                     # prefix; the first element present in the other side's
                     # set is the minimum shared token — early-exits long

@@ -104,15 +104,15 @@ def bucket_of(tok_ranks: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def _stable_key_hash(keys) -> np.ndarray:
-    """Deterministic per-key hash for grid salting (independent of Python
-    hash randomization)."""
-    out = np.empty(len(keys), dtype=np.uint64)
-    for i, k in enumerate(keys):
-        h = np.uint64(1469598103934665603)
-        for b in str(k).encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    """Deterministic vectorized per-key hash for grid salting (independent of
+    Python hash randomization).  Integer keys get a Knuth multiplicative mix;
+    everything else goes through the DuckDB string-hash kernel."""
+    arr = keys if isinstance(keys, pa.Array) else pa.array(list(keys))
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = (v ^ (v >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+        return v ^ (v >> np.uint64(29))
+    return _token_hashes(pa.compute.cast(arr, pa.string()))
 
 
 class RankPrefixStage:
@@ -219,40 +219,55 @@ class PostingsStage:
 
         bucket = bucket_of(tok, self.num_buckets).astype(np.int64)
         out_row_idx, out_tok, out_pos, out_bucket = row_idx, tok, pos, bucket
+        out_kh = np.full(len(row_idx), -1, dtype=np.int16)
 
         if self.heavy:
-            hmask = np.fromiter((int(t) in self.heavy for t in tok),
-                                dtype=bool, count=len(tok))
+            hr, hidx_arr, hg_arr = self._heavy_arrays()
+            p = np.searchsorted(hr, tok)
+            p = np.minimum(p, len(hr) - 1)
+            hmask = hr[p] == tok
             if hmask.any():
-                keys = batch['key'].to_pylist()
-                key_hash = _stable_key_hash(keys)
-                keep_parts = [~hmask]
-                add_rows, add_tok, add_pos, add_bucket = [], [], [], []
-                for j in np.nonzero(hmask)[0]:
-                    hidx, g = self.heavy[int(tok[j])]
-                    base = self.num_buckets + hidx * g * g
-                    kh = int(key_hash[row_idx[j]]) % g
-                    if self.same_relation:  # unordered grid cells
-                        cells = [base + min(kh, c) * g + max(kh, c)
-                                 for c in range(g)]
-                    elif self.side == 0:    # L: grid row kh, all columns
-                        cells = [base + kh * g + c for c in range(g)]
-                    else:                   # R: grid column kh, all rows
-                        cells = [base + r * g + kh for r in range(g)]
-                    for cell in cells:
-                        add_rows.append(row_idx[j]); add_tok.append(tok[j])
-                        add_pos.append(pos[j]); add_bucket.append(cell)
-                out_row_idx = np.concatenate([row_idx[~hmask], np.array(add_rows, np.int64)])
-                out_tok = np.concatenate([tok[~hmask], np.array(add_tok, np.int32)])
-                out_pos = np.concatenate([pos[~hmask], np.array(add_pos, np.int32)])
-                out_bucket = np.concatenate([bucket[~hmask], np.array(add_bucket, np.int64)])
-                del keep_parts
+                key_hash = _stable_key_hash(batch['key'].combine_chunks())
+                sel = np.nonzero(hmask)[0]
+                g = hg_arr[p[sel]].astype(np.int64)
+                base = self.num_buckets + hidx_arr[p[sel]] * hg_arr[p[sel]] ** 2
+                kh = (key_hash[row_idx[sel]] % g.astype(np.uint64)).astype(np.int64)
+                # expand: each salted posting replicates across its g cells
+                rep = np.repeat(np.arange(len(sel)), g)
+                c = (np.arange(len(rep))
+                     - np.repeat(np.concatenate(([0], np.cumsum(g)[:-1])), g))
+                khr, gr, baser = kh[rep], g[rep], base[rep]
+                if self.same_relation:
+                    # unordered grid: record with hash kh covers cells
+                    # {(min(kh,c), max(kh,c))}; any pair of distinct hashes
+                    # meets in exactly one off-diagonal cell, same-hash pairs
+                    # only in the diagonal cell (kh,kh).  kh = -1 marks the
+                    # diagonal visit ("pair freely"); off-diagonal visits
+                    # carry kh so the kernel pairs only ACROSS the two hash
+                    # groups (fixes the duplicate-pair bug: same-hash records
+                    # previously met in every cell of their row/column).
+                    cells = (baser + np.minimum(khr, c) * gr
+                             + np.maximum(khr, c))
+                    khcol = np.where(c == khr, -1, khr).astype(np.int16)
+                elif self.side == 0:    # L: grid row kh, all columns
+                    cells = baser + khr * gr + c
+                    khcol = np.full(len(rep), -1, np.int16)
+                else:                   # R: grid column kh, all rows
+                    cells = baser + c * gr + khr
+                    khcol = np.full(len(rep), -1, np.int16)
+                keep = ~hmask
+                out_row_idx = np.concatenate([row_idx[keep], row_idx[sel][rep]])
+                out_tok = np.concatenate([tok[keep], tok[sel][rep]])
+                out_pos = np.concatenate([pos[keep], pos[sel][rep]])
+                out_bucket = np.concatenate([bucket[keep], cells])
+                out_kh = np.concatenate([out_kh[keep], khcol])
 
         take_idx = pa.array(out_row_idx)
         cols = {
             'bucket': pa.array(out_bucket, type=pa.int64()),
             'tok': pa.array(out_tok.astype(np.int32), type=pa.int32()),
             'side': pa.array(np.full(len(out_row_idx), self.side, dtype=np.int8)),
+            'kh': pa.array(out_kh, type=pa.int16()),
             'key': batch['key'].take(take_idx),
             'sz': batch['sz'].take(take_idx),
             'ranks': ranks_col.take(take_idx),
@@ -261,6 +276,17 @@ class PostingsStage:
         if self.keep_string:
             cols['s'] = batch['s'].take(take_idx)
         return pa.table(cols)
+
+    def _heavy_arrays(self):
+        """(sorted rank array, heavy_index array, grid array) view of the
+        heavy dict — built once per stage instance for vectorized lookup."""
+        cached = getattr(self, '_heavy_cache', None)
+        if cached is None:
+            ranks = np.array(sorted(self.heavy), dtype=np.int64)
+            hidx = np.array([self.heavy[r][0] for r in ranks], dtype=np.int64)
+            g = np.array([self.heavy[r][1] for r in ranks], dtype=np.int64)
+            cached = self._heavy_cache = (ranks, hidx, g)
+        return cached
 
 
 def heavy_token_table(freq_table: pa.Table, lut: dict,

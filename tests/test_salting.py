@@ -1,0 +1,93 @@
+"""Heavy-token grid-salting correctness.
+
+Round-1 advice bug: in a SAME-relation join, two records with equal salt
+hash ``hash(key) % g`` covered identical grid cells, so their pair was
+generated once per cell.  The fix carries the grid role ``kh`` on each
+posting and only pairs across the two hash groups in off-diagonal cells.
+These tests force salting with a tiny ``salt_df_threshold`` and require
+exact equality with the unsalted join on the same input.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray import WhitespaceTokenizer, jaccard_join
+from py_stringsimjoin_ray.pipelines.join import overlap_join
+
+
+def _table(n=24):
+    # every record shares the heavy token 'common'; clusters of near-dups
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        extra = ' '.join(f'w{rng.integers(0, 6)}{i % 4}' for _ in range(3))
+        rows.append(f'common alpha{i % 3} {extra}')
+    return pd.DataFrame({'id': list(range(n)), 'name': rows})
+
+
+def _pairs(df):
+    cols = [c for c in ('l_id', 'r_id') if c in df.columns]
+    return sorted(map(tuple, df[cols].itertuples(index=False)))
+
+
+@pytest.mark.parametrize('threshold', [0.3, 0.5])
+def test_self_relation_salting_no_duplicates(threshold):
+    A = _table()
+    base = jaccard_join(A, A, 'id', 'id', 'name', 'name',
+                        WhitespaceTokenizer(return_set=True), threshold,
+                        salt_df_threshold=10 ** 9)
+    salted = jaccard_join(A, A, 'id', 'id', 'name', 'name',
+                          WhitespaceTokenizer(return_set=True), threshold,
+                          salt_df_threshold=2)
+    pb, ps = _pairs(base), _pairs(salted)
+    assert len(ps) == len(set(ps)), 'salted join emitted duplicate pairs'
+    assert pb == ps
+
+
+def test_two_table_salting_matches_unsalted():
+    A = _table()
+    B = _table().copy()
+    B['name'] = B['name'].str.replace('alpha', 'alpho', regex=False)
+    base = overlap_join(A, B, 'id', 'id', 'name', 'name',
+                        WhitespaceTokenizer(return_set=True), 1,
+                        salt_df_threshold=10 ** 9)
+    salted = overlap_join(A, B, 'id', 'id', 'name', 'name',
+                          WhitespaceTokenizer(return_set=True), 1,
+                          salt_df_threshold=2)
+
+    def canon(df):
+        return sorted(map(tuple, df[['l_id', 'r_id', '_sim_score']]
+                          .itertuples(index=False)))
+    assert canon(base) == canon(salted)
+
+
+def test_string_keys_salting():
+    A = _table()
+    A['id'] = ['k%03d' % i for i in range(len(A))]
+    base = jaccard_join(A, A, 'id', 'id', 'name', 'name',
+                        WhitespaceTokenizer(return_set=True), 0.4,
+                        salt_df_threshold=10 ** 9)
+    salted = jaccard_join(A, A, 'id', 'id', 'name', 'name',
+                          WhitespaceTokenizer(return_set=True), 0.4,
+                          salt_df_threshold=3)
+    assert _pairs(base) == _pairs(salted)
+
+
+def test_edit_distance_unicode_char_based():
+    """ADVICE r1: DuckDB levenshtein is byte-based ('café' vs 'cafe' = 2);
+    the reference is character-based (= 1).  Non-ASCII pairs must go through
+    the exact character DP."""
+    from py_stringsimjoin_ray.stages.pairgen import _lev_many
+    out = _lev_many(['café', 'naïve', 'abc'], ['cafe', 'naive', 'abd'])
+    assert out.tolist() == [1, 1, 1]
+
+    from py_stringsimjoin_ray import edit_distance_join
+    A = pd.DataFrame({'id': [1, 2], 's': ['café au lait', 'xyzq']})
+    B = pd.DataFrame({'id': [1, 2], 's': ['cafe au lait', 'xyzw']})
+    out = edit_distance_join(A, B, 'id', 'id', 's', 's', 1)
+    got = set(map(tuple, out[['l_id', 'r_id', '_sim_score']]
+                  .itertuples(index=False)))
+    # café↔cafe: byte-based distance would be 2 (dropped); char-based is 1
+    assert (1, 1, 1) in got and (2, 2, 1) in got
+    assert out['_sim_score'].dtype == np.int64
