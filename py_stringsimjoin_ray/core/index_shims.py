@@ -1,0 +1,57 @@
+"""In-process index shims for the reference's probe surface.
+
+The distributed engine replaces broadcast per-worker indexes with postings
+shuffles, but the reference API also exposes index objects users probe
+directly (``index/prefix_index.py:6-57``, ``index/position_index.py:8-83``).
+These shims reproduce that surface for code written against the reference:
+build once over ORDERED token lists, then ``Filter.find_candidates`` probes
+them pair-locally.
+"""
+
+from __future__ import annotations
+
+from . import bounds
+
+
+class PrefixIndex:
+    """token → [record ids], over each record's prefix tokens only
+    (reference ``index/prefix_index.py:24-57``)."""
+
+    def __init__(self, token_lists, sim_measure_type, threshold, qval=None):
+        self.index: dict = {}
+        for rid, tokens in enumerate(token_lists):
+            p = bounds.prefix_length(len(tokens), sim_measure_type,
+                                     threshold, qval)
+            for tok in tokens[:p]:
+                self.index.setdefault(tok, []).append(rid)
+
+    def probe(self, token):
+        return self.index.get(token, [])
+
+
+class PositionIndex:
+    """token → [(record id, position)] over prefix tokens, plus size cache
+    and observed min/max token counts (reference
+    ``index/position_index.py:29-83``)."""
+
+    def __init__(self, token_lists, sim_measure_type, threshold, qval=None):
+        self.index: dict = {}
+        self.size_cache: list = []
+        self.min_length = None
+        self.max_length = None
+        for rid, tokens in enumerate(token_lists):
+            n = len(tokens)
+            self.size_cache.append(n)
+            self.min_length = n if self.min_length is None \
+                else min(self.min_length, n)
+            self.max_length = n if self.max_length is None \
+                else max(self.max_length, n)
+            p = bounds.prefix_length(n, sim_measure_type, threshold, qval)
+            for pos, tok in enumerate(tokens[:p]):
+                self.index.setdefault(tok, []).append((rid, pos))
+        if self.min_length is None:
+            self.min_length = 0
+            self.max_length = 0
+
+    def probe(self, token):
+        return self.index.get(token, [])

@@ -81,24 +81,29 @@ def langid_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
     return out.append_column('lang_pred', pa.array(langs, pa.string()))
 
 
-_FP_BASE = np.uint64(1000003)
-_FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FP_BASE = 1000003
+_FP_M61 = (1 << 61) - 1
 
 
 def fingerprint64(text: str) -> int:
-    """Rolling polynomial hash of the whitespace-token stream — a stable
-    64-bit document fingerprint (order-sensitive, whitespace-insensitive)."""
-    h = np.uint64(1469598103934665603)
+    """Rolling polynomial document fingerprint over the whitespace-token
+    stream (order-sensitive, whitespace-insensitive): Horner evaluation of
+    Σ md5₆₄(tokᵢ)·B^(n−1−i) mod (2⁶¹−1).  Per-token md5 (not per-byte)
+    keeps it fast, and the closed polynomial form makes the value exactly
+    reproducible in SQL (DuckDB ``md5_number_upper`` + a powers CTE), which
+    is what the driver's oracle gate does."""
+    import hashlib
+    h = 0
     for tok in text.split():
-        for b in tok.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        h = np.uint64((int(h) * int(_FP_BASE) + 97) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+        th = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                            'little') % _FP_M61
+        h = (h * _FP_BASE + th) % _FP_M61
+    return h
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
     texts = batch[text_col].to_pylist()
     fps = np.fromiter((fingerprint64(t or '') for t in texts),
-                      dtype=np.uint64, count=len(texts))
+                      dtype=np.int64, count=len(texts))
     out = batch.select([c for c in batch.column_names if c != text_col])
-    return out.append_column('fingerprint', pa.array(fps.astype(np.int64)))
+    return out.append_column('fingerprint', pa.array(fps))

@@ -43,9 +43,10 @@ class Filter:
                        l_filter_attr, r_filter_attr, n_jobs=1,
                        show_progress=False):
         V.validate_input_table(candset, 'candset')
-        V.validate_attr(candset_l_key_attr, candset.columns,
+        cand_cols = V.table_columns(candset)
+        V.validate_attr(candset_l_key_attr, cand_cols,
                         'left key attribute', 'candset')
-        V.validate_attr(candset_r_key_attr, candset.columns,
+        V.validate_attr(candset_r_key_attr, cand_cols,
                         'right key attribute', 'candset')
         V.validate_input_table(ltable, 'left table')
         V.validate_input_table(rtable, 'right table')
@@ -66,14 +67,36 @@ class Filter:
 
         l_pd = ltable if isinstance(ltable, pd.DataFrame) else ltable.to_pandas()
         r_pd = rtable if isinstance(rtable, pd.DataFrame) else rtable.to_pandas()
-        cand_pd = candset if isinstance(candset, pd.DataFrame) else candset.to_pandas()
 
-        lmap = dict(zip(l_pd[l_key_attr], l_pd[l_filter_attr]))
-        rmap = dict(zip(r_pd[r_key_attr], r_pd[r_filter_attr]))
-        keep = [not self.filter_pair(lmap[lk], rmap[rk])
-                for lk, rk in zip(cand_pd[candset_l_key_attr],
-                                  cand_pd[candset_r_key_attr])]
-        return cand_pd[np.asarray(keep, dtype=bool)]
+        # stream the candset through map_batches (same shape as
+        # apply_matcher): the filter-attr maps broadcast once via ray.put,
+        # the per-pair predicate runs distributed over candset batches
+        lmap_ref = ray.put(dict(zip(l_pd[l_key_attr], l_pd[l_filter_attr])))
+        rmap_ref = ray.put(dict(zip(r_pd[r_key_attr], r_pd[r_filter_attr])))
+        flt = self
+
+        def keep_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            lmap = ray.get(lmap_ref)
+            rmap = ray.get(rmap_ref)
+            keep = [not flt.filter_pair(lmap[lk], rmap[rk])
+                    for lk, rk in zip(batch[candset_l_key_attr],
+                                      batch[candset_r_key_attr])]
+            return batch[np.asarray(keep, dtype=bool)]
+        keep_batch.__name__ = 'filter_candset'
+
+        if isinstance(candset, ray.data.Dataset):
+            return candset.map_batches(keep_batch, batch_format='pandas')
+        # DataFrame parity: carry the original index through the pipeline so
+        # the filtered frame keeps the reference's row identities
+        staged = candset.reset_index()
+        idx_col = staged.columns[0]
+        out_pd = ray.data.from_pandas(staged) \
+            .map_batches(keep_batch, batch_format='pandas').to_pandas()
+        if idx_col not in out_pd.columns:  # empty result lost its schema
+            out_pd = staged.iloc[0:0]
+        out_pd = out_pd.set_index(idx_col)
+        out_pd.index.name = candset.index.name
+        return out_pd
 
     # shared filter_tables driver over the join pipeline
     def _tables_via_pipeline(self, mode, sim_type, threshold, comp_op,
@@ -355,6 +378,18 @@ class PrefixFilter(Filter):
             r_key_attr, l_filter_attr, r_filter_attr, l_out_attrs,
             r_out_attrs, l_out_prefix, r_out_prefix, **kw)
 
+    def find_candidates(self, probe_tokens, prefix_index):
+        """Union of prefix-index postings for the probe's prefix tokens
+        (reference ``filter/prefix_filter.py:292-308``)."""
+        if not prefix_index.index:
+            return set()
+        p = bounds.prefix_length(len(probe_tokens), self.sim_measure_type,
+                                 self.threshold, self._qval())
+        candidates = set()
+        for token in probe_tokens[:p]:
+            candidates.update(prefix_index.probe(token))
+        return candidates
+
 
 class PositionFilter(Filter):
     """``filter/position_filter.py``: prefix sharing + accumulated positional
@@ -429,6 +464,38 @@ class PositionFilter(Filter):
             '>=', self.allow_empty, self.tokenizer, ltable, rtable,
             l_key_attr, r_key_attr, l_filter_attr, r_filter_attr, l_out_attrs,
             r_out_attrs, l_out_prefix, r_out_prefix, **kw)
+
+    def find_candidates(self, probe_tokens, position_index):
+        """Probe the position index with size bounds and the accumulated
+        positional overlap upper bound; early-abandoned candidates are
+        marked -1 in the returned dict (reference
+        ``filter/position_filter.py:307-366``)."""
+        if not position_index.index:
+            return {}
+        probe_n = len(probe_tokens)
+        qv = self._qval()
+        st, t = self.sim_measure_type, self.threshold
+        size_lb = max(bounds.size_lower_bound(probe_n, st, t),
+                      position_index.min_length)
+        size_ub = min(bounds.size_upper_bound(probe_n, st, t),
+                      position_index.max_length)
+        ovt_cache = {size: bounds.overlap_threshold(size, probe_n, st, t, qv)
+                     for size in range(size_lb, size_ub + 1)}
+        p = bounds.prefix_length(probe_n, st, t, qv)
+        candidate_overlap: dict = {}
+        for probe_pos, token in enumerate(probe_tokens[:p]):
+            for cand, cand_pos in position_index.probe(token):
+                current = candidate_overlap.get(cand, 0)
+                if current == -1:
+                    continue
+                cand_n = position_index.size_cache[cand]
+                if size_lb <= cand_n <= size_ub:
+                    ub = min(probe_n - probe_pos, cand_n - cand_pos)
+                    if current + ub >= ovt_cache[cand_n]:
+                        candidate_overlap[cand] = current + 1
+                    else:
+                        candidate_overlap[cand] = -1
+        return candidate_overlap
 
 
 class SuffixFilter(Filter):

@@ -35,7 +35,11 @@ from ..stages.postings import (PostingsStage, RankPrefixStage,
 from ..stages.tokenize import TokenizeStage, token_frequencies
 
 DEFAULT_NUM_BUCKETS = 512
-DEFAULT_SALT_DF_THRESHOLD = 20000
+# Salting bounds per-bucket candidate work at ~threshold^2 pair checks per
+# token; qgram vocabularies (small alphabets, high df) need a much lower
+# threshold than the old 20000 — measured 1.5-3x wall-time wins on qgram
+# joins at sf0.1 with no regression on word corpora.
+DEFAULT_SALT_DF_THRESHOLD = 300
 
 
 def _to_dataset(table) -> ray.data.Dataset:
@@ -149,6 +153,23 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                                   int(ray.cluster_resources().get('CPU', 8)) * 4,
                                   rows_est // 400)))
 
+    if cfg.mode == 'join':
+        # scale path: signature dedup + slim rank-free postings + verify-time
+        # re-attach (stages/slimjoin.py) — candidate-generation shuffle
+        # volume drops from O(n·p) to O(p) per record
+        from ..stages.slimjoin import slim_match_pairs
+        try:
+            size_hint = tok_l.size_bytes() + (0 if same_relation
+                                              else tok_r.size_bytes())
+        except Exception:  # pragma: no cover
+            size_hint = None
+        pairs = slim_match_pairs(ranked(tok_l),
+                                 None if same_relation else ranked(tok_r),
+                                 cfg, heavy_ref, same_relation,
+                                 size_bytes_hint=size_hint)
+        empties = _empty_key_lists(cfg, tok_l, tok_r)
+        return pairs, empties
+
     ranked_l = ranked(tok_l)
     post_l = ranked_l.map_batches(
         PostingsStage(0, cfg.num_buckets, heavy_ref, cfg.keep_string,
@@ -173,6 +194,12 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     pairs = postings.groupby('bucket') \
         .map_groups(pair_fn, batch_format='pyarrow')
 
+    return pairs, _empty_key_lists(cfg, tok_l, tok_r)
+
+
+def _empty_key_lists(cfg, tok_l, tok_r):
+    """allow_empty fast path inputs: keys of records whose token list is
+    empty (``join/set_sim_join.py:81-96`` semantics)."""
     empties = {}
     if cfg.allow_empty and cfg.sim_type not in ('OVERLAP', 'EDIT_DISTANCE') \
             and cfg.mode != 'overlap_candidates':
@@ -184,7 +211,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
             empties[name] = [r['key'] for r in
                              tds.map_batches(empty_keys, batch_format='pyarrow')
                              .take_all()]
-    return pairs, empties
+    return empties
 
 
 def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,

@@ -100,7 +100,7 @@ def _attach_components(ingest_slim, comp, num_buckets: int = 64):
 
 def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                    threshold: float = 0.7, tokenizer=None,
-                   num_buckets: int = 512, salt_df_threshold: int = 20000,
+                   num_buckets: int = 512, salt_df_threshold: int = 300,
                    join_num_partitions: int = 16,
                    counter_name: str | None = None) -> dict:
     """Run the full pipeline; returns a result dict with the cluster Dataset

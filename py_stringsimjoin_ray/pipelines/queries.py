@@ -233,7 +233,7 @@ def q_fingerprint_documents(sf_dir):
 def q_ann_topk_embeddings(sf_dir):
     emb = _t(sf_dir, 'embeddings')
     Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
-                  for r in emb.filter(lambda r: r['vec_id'] < 10).take(10)])
+                  for r in emb.filter(expr='vec_id < 10').take(10)])
     out = ann.ann_topk_bruteforce(emb, Q, 'vec_id', 'embedding', k=5)
     out = out[['query_id', 'vec_id', 'rank']].copy()
     return _keys_int(out, ['query_id', 'vec_id', 'rank'])
@@ -272,10 +272,12 @@ def q_media_meta_documents(sf_dir):
 def q_media_decode_documents(sf_dir):
     docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
     out = media.media_pipeline(docs).to_pandas()
-    out['feat_sum'] = out['features'].map(
-        lambda f: float(np.round(np.sum(f), 4)))
-    return _keys_int(out[['doc_id', 'byte_len', 'feat_sum']].copy(),
-                     ['doc_id', 'byte_len'])
+    # features are md5-byte/256 floats; ×256 recovers exact integers, so the
+    # SQL oracle can reproduce the value without float-rounding hazards
+    out['feat_sum_256'] = out['features'].map(
+        lambda f: int(np.round(np.sum(np.asarray(f, dtype=np.float64)) * 256)))
+    return _keys_int(out[['doc_id', 'byte_len', 'feat_sum_256']].copy(),
+                     ['doc_id', 'byte_len', 'feat_sum_256'])
 
 
 QUERIES = {
@@ -309,6 +311,18 @@ QUERIES = {
 
 
 # ---------------------------------------------------------------- oracles
+
+def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
+    """Inline VALUES rows for the seeded minhash permutation constants —
+    the SAME rng stream as ``dedup.MinHasher`` so the SQL oracle reproduces
+    signatures bit-exactly."""
+    rng = np.random.default_rng(seed)
+    m61 = (1 << 61) - 1
+    a = rng.integers(1, m61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, m61, size=num_perm, dtype=np.uint64)
+    return ', '.join(f'({j}, {int(a[j])}, {int(b[j])})'
+                     for j in range(num_perm))
+
 
 _TOK_PART = """
 tok as (SELECT p_partkey AS id,
@@ -568,6 +582,122 @@ SELECT node, min(label) AS component FROM (
 SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
        md5(text) AS payload_md5
 FROM documents
+""",
+    # fake-decode features are md5-byte/256: ×256-summed they are the sum of
+    # the first 8 md5 bytes — exact integer arithmetic on both sides
+    'media_decode_documents': """
+WITH h AS (SELECT doc_id,
+                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                  CAST(md5_number_upper(text) AS HUGEINT) AS u
+           FROM documents)
+SELECT doc_id, byte_len,
+       CAST(list_sum(list_transform(range(0, 8),
+            i -> CAST((u >> CAST(8 * i AS INT)) & 255 AS BIGINT))) AS BIGINT)
+           AS feat_sum_256
+FROM h
+""",
+    # token-polynomial rolling fingerprint: Horner over md5 token hashes
+    # mod 2^61-1 (functions/textstats.py fingerprint64)
+    'fingerprint_documents': """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS w FROM documents),
+mx AS (SELECT coalesce(max(len(w)), 1) AS m FROM toks),
+powers AS (
+  WITH RECURSIVE pw(k, p) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT k + 1, (p * 1000003) % 2305843009213693951
+    FROM pw WHERE k < (SELECT m FROM mx)
+  ) SELECT k, p FROM pw),
+expl AS (SELECT doc_id, len(w) AS n, CAST(i AS BIGINT) AS i,
+                w[CAST(i AS INT)] AS tok
+         FROM toks, LATERAL unnest(range(1, len(w) + 1)) AS g(i)),
+hashed AS (SELECT doc_id, n, i,
+                  CAST(md5_number_upper(tok) AS HUGEINT)
+                      % 2305843009213693951 AS th
+           FROM expl),
+parts AS (SELECT h.doc_id, (h.th * p.p) % 2305843009213693951 AS part
+          FROM hashed h JOIN powers p ON p.k = h.n - h.i),
+agg AS (SELECT doc_id, CAST(sum(part) % 2305843009213693951 AS BIGINT)
+            AS fingerprint
+        FROM parts GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+    # 64-bit simhash over word-bigram shingle md5 hashes (stages/dedup.py
+    # simhash64): per-bit ±1 vote, bit set iff the vote is positive
+    'simhash_documents': """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS w FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN []
+                   WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w)),
+                        i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+              END AS shingles
+       FROM toks),
+hs AS (SELECT doc_id, md5_number_upper(s) AS h
+       FROM sh, LATERAL unnest(shingles) AS g(s)),
+bits AS (SELECT doc_id, CAST(b AS INT) AS b,
+                sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS v
+         FROM hs, LATERAL unnest(range(0, 64)) AS g(b)
+         GROUP BY 1, 2),
+acc AS (SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b)
+                        ELSE 0 END) AS u
+        FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(u, 0) >= CAST(1 AS HUGEINT) << 63
+                 THEN coalesce(u, 0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE coalesce(u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN acc USING (doc_id)
+""",
+    # banded minhash LSH (k=5 shingles, 64 perms, 16 bands of 4) with exact
+    # shingle-set Jaccard >= 0.6 verification (stages/dedup.py
+    # minhash_lsh_pairs); permutation constants inlined from the same seed
+    'minhash_lsh_documents': f"""
+WITH perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '') AS w FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN []
+                   WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 3),
+                        i -> array_to_string(
+                            w[CAST(i AS INT):CAST(i AS INT)+4], ' '))
+              END AS shingles
+       FROM toks),
+hs AS (SELECT doc_id, CAST(md5_number_upper(s) AS HUGEINT) AS h
+       FROM sh, LATERAL unnest(shingles) AS g(s)),
+sigs0 AS (SELECT hs.doc_id, p.j,
+                 min(((CAST(p.a AS HUGEINT) * hs.h) % 18446744073709551616
+                      + p.b) % 18446744073709551616
+                     % 2305843009213693951) AS sig
+          FROM hs, perms p GROUP BY 1, 2),
+empty_docs AS (SELECT doc_id FROM sh WHERE len(shingles) = 0),
+sigs AS (SELECT * FROM sigs0
+         UNION ALL
+         SELECT e.doc_id, p.j, CAST(2305843009213693951 AS HUGEINT)
+         FROM empty_docs e, perms p),
+bands AS (SELECT doc_id, j // 4 AS band,
+                 array_agg(sig ORDER BY j) AS bs
+          FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS l_id, y.doc_id AS r_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+ssets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT c.l_id, c.r_id,
+         CASE WHEN len(sa.ss) = 0 AND len(sb.ss) = 0 THEN 1.0
+              WHEN len(sa.ss) = 0 OR len(sb.ss) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                   (len(sa.ss) + len(sb.ss)
+                    - len(list_intersect(sa.ss, sb.ss)))
+         END AS j
+  FROM cand c JOIN ssets sa ON c.l_id = sa.doc_id
+              JOIN ssets sb ON c.r_id = sb.doc_id)
+SELECT l_id, r_id FROM verified WHERE j >= 0.6
 """,
 }
 

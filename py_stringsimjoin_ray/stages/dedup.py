@@ -56,12 +56,15 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     hashed = ds.map_batches(hash_batch, batch_format='pyarrow')
 
-    def rep_group(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({'rep_id': [df[id_col].min()],
-                             'dup_count': [len(df)]})
-    rep_group.__name__ = 'dedup_rep'
-    return hashed.groupby('content_hash').map_groups(rep_group,
-                                                     batch_format='pandas')
+    # native aggregates: one C-speed combine per block + a small merge,
+    # instead of a Python call per distinct document
+    from ray.data.aggregate import Count, Min
+    agg = hashed.groupby('content_hash').aggregate(Min(id_col), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({'rep_id': batch[f'min({id_col})'],
+                         'dup_count': batch['count()']})
+    return agg.map_batches(rename, batch_format='pyarrow')
 
 
 # -------------------------------------------------------------- minhash LSH
@@ -89,38 +92,67 @@ class MinHasher:
 
 class MinHashStage:
     """(id, text) → (id, sig list<uint64>) — actor-pool stage; permutation
-    params built once per actor."""
+    params built once per actor.  With ``from_shingles=True`` the input is a
+    pre-shingled ``(id, shingles)`` table (shingle once, reuse for both
+    signatures and verification)."""
 
     def __init__(self, id_col: str, text_col: str, k: int = 5,
-                 num_perm: int = 64, seed: int = 42):
+                 num_perm: int = 64, seed: int = 42,
+                 from_shingles: bool = False):
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
         self.mh = MinHasher(num_perm, seed)
+        self.from_shingles = from_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = []
-        for t in texts:
-            sh = shingles(t or '', self.k)
-            sigs.append(self.mh.signature(_token_hashes(sh)).astype(np.int64))
+        if self.from_shingles:
+            sh_lists = batch[self.text_col].to_pylist()
+        else:
+            sh_lists = [shingles(t or '', self.k)
+                        for t in batch[self.text_col].to_pylist()]
+        sigs = [self.mh.signature(_token_hashes(sh)).astype(np.int64)
+                for sh in sh_lists]
         return pa.table({
             'id': batch[self.id_col],
             'sig': pa.array([s.tolist() for s in sigs],
                             type=pa.list_(pa.int64()))})
 
 
+_VKNUTH = np.uint64(2654435761)
+
+
+def _id_bucket(ids: np.ndarray, nb: int) -> np.ndarray:
+    return (((ids.astype(np.uint64) * _VKNUTH) >> np.uint64(9))
+            % np.uint64(nb)).astype(np.int64)
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                       threshold: float = 0.8, k: int = 5, num_perm: int = 64,
-                      bands: int = 16, seed: int = 42) -> ray.data.Dataset:
+                      bands: int = 16, seed: int = 42,
+                      verify_buckets: int = 64) -> ray.data.Dataset:
     """Candidate pairs from banded LSH, verified with exact shingle-set
     Jaccard ≥ threshold.  Returns Dataset (l_id, r_id, jaccard) with
-    l_id < r_id."""
+    l_id < r_id.
+
+    Verification is a bucketed join back to the documents: candidates and
+    shingle sets are co-located by id-hash (two passes, one per pair side) —
+    the corpus is never materialized on the driver, so the path holds at
+    scales where a broadcast shingle map would not."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    sigs = ds.map_batches(MinHashStage(id_col, text_col, k, num_perm, seed),
-                          batch_format='pyarrow')
+    shingled = ds.map_batches(
+        lambda b: pa.table({
+            'id': b[id_col],
+            'sh': pa.array([shingles(t or '', k)
+                            for t in b[text_col].to_pylist()],
+                           type=pa.list_(pa.string()))}),
+        batch_format='pyarrow').materialize()
+
+    sigs = shingled.map_batches(
+        MinHashStage('id', 'sh', k, num_perm, seed, from_shingles=True),
+        batch_format='pyarrow')
 
     def band_postings(batch: pa.Table) -> pa.Table:
         ids = batch['id'].to_pylist()
@@ -140,9 +172,12 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     posts = sigs.map_batches(band_postings, batch_format='pyarrow')
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs within a band bucket, vectorized; degenerate buckets are
+        # bounded by duplicate-cluster sizes in dedup corpora
         ids = np.unique(df['id'].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({'l_id': [], 'r_id': []})
+            return pd.DataFrame({'l_id': np.array([], np.int64),
+                                 'r_id': np.array([], np.int64)})
         li = np.repeat(ids, len(ids))
         ri = np.tile(ids, len(ids))
         m = li < ri
@@ -150,65 +185,215 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     bucket_pairs.__name__ = 'lsh_bucket_pairs'
 
     cands = posts.groupby('bucket').map_groups(bucket_pairs,
-                                               batch_format='pandas')
+                                               batch_format='pandas') \
+        .materialize()
 
-    def dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-    dedup_pair.__name__ = 'pair_dedup'
-    cands = cands.groupby(['l_id', 'r_id']).map_groups(dedup_pair,
-                                                       batch_format='pandas')
-
-    # verify with exact shingle jaccard: broadcast the shingle sets when the
-    # corpus is small, else join back (here: broadcast — documents carrying
-    # verification fit per-node for the LSH-candidate volume)
+    # semi-join pushdown: only documents that appear in some candidate pair
+    # need their shingles shipped through the verify shuffles.  The id set
+    # is bounded by 2x the LSH candidate count (<< corpus); if it ever
+    # exceeds the broadcast budget, fall back to shipping all docs.
     import ray as _ray
-    shingle_map = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format='pyarrow', batch_size=8192):
-        for i, t in zip(batch[id_col].to_pylist(),
-                        batch[text_col].to_pylist()):
-            shingle_map[i] = set(shingles(t or '', k))
-    ref = _ray.put(shingle_map)  # broadcast verify table; at corpus scales
-    # where this no longer fits, swap for a bucketed join back to the docs
+    shingled_v = shingled
+    broadcast_verify = cands.count() <= 2_000_000
+    cand_ids = np.empty(0, np.int64)
+    if broadcast_verify:
+        pair_l_parts, pair_r_parts = [], []
+        for b in cands.iter_batches(batch_format='pyarrow', batch_size=None):
+            t = pa.table(b)
+            pair_l_parts.append(t['l_id'].to_numpy(zero_copy_only=False)
+                                .astype(np.int64))
+            pair_r_parts.append(t['r_id'].to_numpy(zero_copy_only=False)
+                                .astype(np.int64))
+        pl = (np.concatenate(pair_l_parts) if pair_l_parts
+              else np.empty(0, np.int64))
+        pr = (np.concatenate(pair_r_parts) if pair_r_parts
+              else np.empty(0, np.int64))
+        # global pair dedup (a pair can collide in several bands)
+        both = np.stack([pl, pr], axis=1)
+        if len(both):
+            both = np.unique(both, axis=0)
+            pl, pr = both[:, 0], both[:, 1]
+            cand_ids = np.unique(both.ravel())
+        cands = ray.data.from_arrow(pa.table({'l_id': pa.array(pl),
+                                              'r_id': pa.array(pr)}))
+        ids_ref = _ray.put(cand_ids)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        smap = _ray.get(ref)
-        keep, js = [], []
-        for l, r in zip(df['l_id'], df['r_id']):
-            s1, s2 = smap[l], smap[r]
+        def only_candidates(b: pa.Table) -> pa.Table:
+            ids = _ray.get(ids_ref)
+            mine = b['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ids, mine)
+            pos = np.minimum(pos, max(len(ids) - 1, 0))
+            hit = ids[pos] == mine if len(ids) else np.zeros(len(mine), bool)
+            return b.filter(pa.array(hit))
+        shingled_v = shingled.map_batches(only_candidates,
+                                          batch_format='pyarrow')
+
+    if broadcast_verify:
+        # candidate-bounded broadcast: collect ONLY the candidate documents'
+        # shingle sets (never the corpus) and verify in one map over the
+        # candidate stream — zero extra shuffles.  The bucket-join passes
+        # below remain the beyond-gate scale path.
+        id_parts, set_parts = [], []
+        for b in shingled_v.iter_batches(batch_format='pyarrow',
+                                         batch_size=None):
+            t = pa.table(b)
+            id_parts.append(t['id'].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            set_parts.extend(set(x) for x in t['sh'].to_pylist())
+        vids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        order = np.argsort(vids, kind='stable')
+        vids = vids[order]
+        vsets = np.empty(len(order), dtype=object)
+        for i, o in enumerate(order):
+            vsets[i] = set_parts[o]
+        smap_ref = _ray.put((vids, vsets))
+
+        def verify_direct(df: pd.DataFrame) -> pd.DataFrame:
+            ids, sets = _ray.get(smap_ref)
+            l = df['l_id'].to_numpy().astype(np.int64)
+            r = df['r_id'].to_numpy().astype(np.int64)
+            li = np.searchsorted(ids, l)
+            ri = np.searchsorted(ids, r)
+            js = np.empty(len(l), np.float64)
+            for i in range(len(l)):
+                s1, s2 = sets[li[i]], sets[ri[i]]
+                if not s1 and not s2:
+                    js[i] = 1.0
+                elif not s1 or not s2:
+                    js[i] = 0.0
+                else:
+                    o = len(s1 & s2)
+                    js[i] = o / (len(s1) + len(s2) - o)
+            keep = js >= threshold
+            return pd.DataFrame({'l_id': l[keep], 'r_id': r[keep],
+                                 'jaccard': js[keep]})
+        verify_direct.__name__ = 'lsh_verify_direct'
+        return cands.map_batches(verify_direct, batch_format='pandas')
+
+    nb = verify_buckets
+    empty_sh = pa.array([], pa.list_(pa.string()))
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        return pa.table({'vb': pa.array(_id_bucket(ids, nb)),
+                         'kind': pa.array(np.zeros(n, np.int8)),
+                         'id': pa.array(ids),
+                         'other': pa.array(np.full(n, -1, np.int64)),
+                         'sh': b['sh'],
+                         'sh_l': pa.nulls(n, pa.list_(pa.string()))})
+
+    def cand_rows(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        l = b['l_id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        return pa.table({'vb': pa.array(_id_bucket(l, nb)),
+                         'kind': pa.array(np.ones(n, np.int8)),
+                         'id': pa.array(l),
+                         'other': b['r_id'],
+                         'sh': pa.nulls(n, pa.list_(pa.string())),
+                         'sh_l': pa.nulls(n, pa.list_(pa.string()))})
+
+    def attach_l(tbl: pa.Table) -> pa.Table:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        pmask = kind == 1
+        if not pmask.any() or pmask.all():
+            return pa.table({'l_id': pa.array([], pa.int64()),
+                             'r_id': pa.array([], pa.int64()),
+                             'sh_l': empty_sh})
+        t = tbl.filter(pa.array(~pmask))
+        p = tbl.filter(pa.array(pmask))
+        pairs = pd.DataFrame({'l_id': p['id'].to_numpy(),
+                              'r_id': p['other'].to_numpy(
+                                  zero_copy_only=False)}).drop_duplicates()
+        tsi = pd.Series(np.arange(len(t)), index=t['id'].to_numpy())
+        loc = tsi.reindex(pairs['l_id'].to_numpy())
+        ok = loc.notna().to_numpy()
+        loc = loc.to_numpy()[ok].astype(np.int64)
+        pairs = pairs[ok]
+        take = pa.array(loc)
+        return pa.table({'l_id': pa.array(pairs['l_id'].to_numpy()),
+                         'r_id': pa.array(pairs['r_id'].to_numpy()),
+                         'sh_l': t['sh'].take(take).combine_chunks()})
+    attach_l.__name__ = 'lsh_attach_l'
+
+    v1 = shingled_v.map_batches(doc_rows, batch_format='pyarrow').union(
+        cands.map_batches(cand_rows, batch_format='pyarrow'))
+    half = v1.groupby('vb').map_groups(attach_l, batch_format='pyarrow')
+
+    def half_rows(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        r = b['r_id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        return pa.table({'vb': pa.array(_id_bucket(r, nb)),
+                         'kind': pa.array(np.ones(n, np.int8)),
+                         'id': pa.array(r),
+                         'other': b['l_id'],
+                         'sh': pa.nulls(n, pa.list_(pa.string())),
+                         'sh_l': b['sh_l']})
+
+    def verify(tbl: pa.Table) -> pd.DataFrame:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        pmask = kind == 1
+        empty = pd.DataFrame({'l_id': np.array([], np.int64),
+                              'r_id': np.array([], np.int64),
+                              'jaccard': np.array([], np.float64)})
+        if not pmask.any() or pmask.all():
+            return empty
+        t = tbl.filter(pa.array(~pmask))
+        p = tbl.filter(pa.array(pmask))
+        tsi = pd.Series(np.arange(len(t)), index=t['id'].to_numpy())
+        loc = tsi.reindex(p['id'].to_numpy(zero_copy_only=False))
+        ok = loc.notna().to_numpy()
+        if not ok.any():
+            return empty
+        loc = loc.to_numpy()[ok].astype(np.int64)
+        p = p.filter(pa.array(ok))
+        sh_r = t['sh'].take(pa.array(loc)).to_pylist()
+        sh_l = p['sh_l'].to_pylist()
+        l_ids = p['other'].to_numpy(zero_copy_only=False).astype(np.int64)
+        r_ids = p['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        js = np.empty(len(l_ids), np.float64)
+        for i in range(len(l_ids)):
+            s1, s2 = set(sh_l[i]), set(sh_r[i])
             if not s1 and not s2:
-                j = 1.0
+                js[i] = 1.0
             elif not s1 or not s2:
-                j = 0.0
+                js[i] = 0.0
             else:
                 o = len(s1 & s2)
-                j = o / (len(s1) + len(s2) - o)
-            keep.append(j >= threshold)
-            js.append(j)
-        out = df.copy()
-        out['jaccard'] = js
-        return out[np.asarray(keep, bool)]
+                js[i] = o / (len(s1) + len(s2) - o)
+        keep = js >= threshold
+        return pd.DataFrame({'l_id': l_ids[keep], 'r_id': r_ids[keep],
+                             'jaccard': js[keep]})
+    verify.__name__ = 'lsh_verify'
 
-    return cands.map_batches(verify, batch_format='pandas')
+    v2 = shingled_v.map_batches(doc_rows, batch_format='pyarrow').union(
+        half.map_batches(half_rows, batch_format='pyarrow'))
+    return v2.groupby('vb').map_groups(verify, batch_format='pyarrow')
 
 
 # ------------------------------------------------------------------ simhash
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_from_hashes(hs: np.ndarray) -> int:
+    """±1 bit votes over shingle hashes, fully vectorized: one (m×64)
+    bit-matrix from broadcast shifts instead of a per-bit Python loop."""
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)) \
+        .astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << _BIT_SHIFTS).sum())
+
+
 def simhash64(text: str, k: int = 2) -> int:
     """64-bit simhash over word k-gram shingle hashes."""
-    sh = shingles(text, k)
-    if not sh:
-        return 0
-    hs = _token_hashes(sh)
-    bits = np.zeros(64, dtype=np.int64)
-    for h in hs:
-        for b in range(64):
-            bits[b] += 1 if (int(h) >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if bits[b] > 0:
-            out |= (1 << b)
-    return out
+    return _simhash_from_hashes(_token_hashes(shingles(text, k)))
 
 
 class SimHashStage:

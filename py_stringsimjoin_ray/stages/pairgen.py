@@ -39,20 +39,27 @@ def _sorted_unique(a: np.ndarray) -> np.ndarray:
     return a[np.concatenate(([True], a[1:] != a[:-1]))]
 
 
+def _d(x) -> str:
+    """Float literal rendered with an explicit DOUBLE cast — a bare long
+    decimal like 0.37499999999999994 parses as DECIMAL(18,17) in DuckDB and
+    can overflow when multiplied by an integer column."""
+    return f'CAST({x!r} AS DOUBLE)'
+
+
 def _size_bound_sql(sim_type: str, t, l: str, r: str) -> str:
     """SQL predicate for size_lower_bound(r.sz) <= l.sz <= size_upper_bound
     (bounds.py formulas, incl. the reference's round(·,4))."""
     if sim_type == 'JACCARD':
-        return (f'{l}.sz >= ceil(round({t!r} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({r}.sz / {t!r}, 4))')
+        return (f'{l}.sz >= ceil(round({_d(t)} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({r}.sz / {_d(t)}, 4))')
     if sim_type == 'COSINE':
         tt = t * t
-        return (f'{l}.sz >= ceil(round({tt!r} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({r}.sz / {tt!r}, 4))')
+        return (f'{l}.sz >= ceil(round({_d(tt)} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({r}.sz / {_d(tt)}, 4))')
     if sim_type == 'DICE':
         lo, hi = t / (2 - t), (2 - t) / t
-        return (f'{l}.sz >= ceil(round({lo!r} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({hi!r} * {r}.sz, 4))')
+        return (f'{l}.sz >= ceil(round({_d(lo)} * {r}.sz, 4)) AND '
+                f'{l}.sz <= floor(round({_d(hi)} * {r}.sz, 4))')
     if sim_type == 'OVERLAP':
         return f'{l}.sz >= {t!r}'
     raise ValueError(sim_type)
@@ -62,12 +69,12 @@ def _overlap_threshold_sql(sim_type: str, t, n1: str, n2: str) -> str:
     """SQL expression for bounds.overlap_threshold(n1, n2)."""
     if sim_type == 'JACCARD':
         c = t / (1 + t)
-        return f'ceil(round({c!r} * ({n1} + {n2}), 4))'
+        return f'ceil(round({_d(c)} * ({n1} + {n2}), 4))'
     if sim_type == 'COSINE':
-        return f'ceil(round({t!r} * sqrt({n1} * {n2}), 4))'
+        return f'ceil(round({_d(t)} * sqrt({n1} * {n2}), 4))'
     if sim_type == 'DICE':
         c = t / 2
-        return f'ceil(round({c!r} * ({n1} + {n2}), 4))'
+        return f'ceil(round({_d(c)} * ({n1} + {n2}), 4))'
     if sim_type == 'OVERLAP':
         return f'{t!r}'
     raise ValueError(sim_type)

@@ -1,0 +1,1123 @@
+"""Slim-postings join pipeline — the scale path for ``mode='join'``.
+
+Round 1 shipped each record's FULL rank array on EVERY prefix-token posting
+(shuffle volume O(n·p) per record); this module re-architects the join as:
+
+    ranked records ──sig(map_batches)──▶ signature-dedup
+      ├─▶ Tsig  (one row per distinct signature: sig, sz, ranks[, s],
+      │          member counts)          — ONE rank-array shuffle, total O(n)
+      ├─▶ Tmem  (sig, side, key)         — slim membership, no rank arrays
+      ├─▶ postings from Tsig: (bucket, tok, sig, sz, pos, kh, hl, hr)
+      │          ≈ 32 bytes/posting, O(p) per DISTINCT record  ── the one
+      │          candidate-generation shuffle, now rank-free
+      ├─▶ per-bucket pair gen (DuckDB hash join; size bounds + positional
+      │          gate + salted-grid role rule) → candidate sig pairs
+      ├─▶ verify: two bucket-hash joins back to Tsig re-attach both rank
+      │          arrays (volume proportional to CANDIDATES, the irreducible
+      │          verify input), exact vectorized scoring
+      └─▶ expand: matched sig pairs × Tmem memberships → record pairs
+
+Exact duplicates (identical token signatures — the common case in dedup
+corpora) collapse into one Tsig row, so postings, pair generation and
+verification all run once per distinct signature.
+
+Candidate pairs may be emitted from several buckets (one per shared prefix
+token); they are deduplicated during the first verify attach.  Identity
+pairs (a,a) — the dominant duplicate source in self-joins — are emitted
+only in the bucket holding the signature's FIRST prefix token
+(``min(pos) = 0``), so they are exact-once by construction.
+
+Semantics anchor: the reference's filter-verify loop
+(``/root/reference/py_stringsimjoin/join/set_sim_join.py:99-125``) — a
+candidate only ever needs the two records' ordered token arrays, which is
+exactly what the verify attach reconstructs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core import bounds
+from ..core.comp_ops import COMP_OP_MAP
+from .pairgen import _duck, _lev_many, _overlap_threshold_sql, _size_bound_sql
+from .postings import KNUTH, _token_hashes
+
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
+def _hash_bucket(sig: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((sig.astype(np.uint64) * KNUTH) >> np.uint64(13)) \
+        % np.uint64(num_buckets)
+
+
+class SigStage:
+    """Append a 63-bit signature column: polynomial hash over the sorted
+    rank array + size (+ the raw string for EDIT_DISTANCE, whose verify
+    needs the exact string, not just the qgram bag)."""
+
+    _P = np.uint64(0x100000001B3)
+
+    def __init__(self, hash_string: bool = False, max_len: int = 1 << 20):
+        self.hash_string = hash_string
+        self._pows = None  # P^i table, grown on demand
+
+    def _powers(self, n: int) -> np.ndarray:
+        if self._pows is None or len(self._pows) < n:
+            m = max(n, 1024)
+            p = np.full(m, self._P, dtype=np.uint64)
+            p[0] = np.uint64(1)
+            self._pows = np.cumprod(p)  # uint64 wrap = mod 2^64
+        return self._pows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranks = batch['ranks'].combine_chunks()
+        off = ranks.offsets.to_numpy()
+        flat = (ranks.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+                if len(ranks.values) else np.empty(0, np.uint64))
+        n = len(batch)
+        lens = np.diff(off)
+        pows = self._powers(int(lens.max()) + 1 if n else 1)
+        # positional weights restart at each row
+        pos = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+        weighted = (flat + np.uint64(1)) * pows[pos]
+        sig = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            row_id = np.repeat(np.arange(n), lens)
+            np.add.at(sig, row_id, weighted)  # uint64 wrap
+        sz = batch['sz'].to_numpy().astype(np.uint64)
+        sig = (sig ^ (sz * np.uint64(0x9E3779B97F4A7C15))) * self._P
+        if self.hash_string:
+            sig ^= _token_hashes(batch['s'].combine_chunks())
+        sig &= _MASK63
+        return batch.append_column('sig', pa.array(sig.astype(np.int64)))
+
+
+def _fold_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Per-block combiner for Tsig: one row per (sig) with partial member
+    counts per side; keeps the first ranks/s payload."""
+    sigs = batch['sig'].to_numpy()
+    sides = batch['side'].to_numpy(zero_copy_only=False)
+    order = np.argsort(sigs, kind='stable')
+    ss = sigs[order]
+    first = np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss) else \
+        np.zeros(0, bool)
+    group_id = np.cumsum(first) - 1 if len(ss) else np.zeros(0, np.int64)
+    n_groups = int(group_id[-1]) + 1 if len(ss) else 0
+    take = order[first] if len(ss) else np.empty(0, np.int64)
+    c_l = np.zeros(n_groups, dtype=np.int64)
+    c_r = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(c_l, group_id, (sides[order] == 0).astype(np.int64))
+    np.add.at(c_r, group_id, (sides[order] == 1).astype(np.int64))
+    sub = batch.take(pa.array(take))
+    cols = {
+        'sb': pa.array(_hash_bucket(sigs[take], num_buckets).astype(np.int64)),
+        'sig': sub['sig'],
+        'sz': sub['sz'],
+        'plen': sub['plen'],
+        'ranks': sub['ranks'],
+        'c_l': pa.array(c_l),
+        'c_r': pa.array(c_r),
+    }
+    if 's' in batch.column_names:
+        cols['s'] = sub['s']
+    return pa.table(cols)
+
+
+def _fold_group(tbl: pa.Table) -> pa.Table:
+    """Global Tsig fold for one sig-hash bucket: merge partial counts,
+    keep the first payload per sig."""
+    sigs = tbl['sig'].to_numpy()
+    order = np.argsort(sigs, kind='stable')
+    ss = sigs[order]
+    if len(ss) == 0:
+        return tbl.drop_columns(['sb'])
+    first = np.concatenate(([True], ss[1:] != ss[:-1]))
+    group_id = np.cumsum(first) - 1
+    n_groups = int(group_id[-1]) + 1
+    take = order[first]
+    c_l = np.zeros(n_groups, dtype=np.int64)
+    c_r = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(c_l, group_id, tbl['c_l'].to_numpy()[order])
+    np.add.at(c_r, group_id, tbl['c_r'].to_numpy()[order])
+    sub = tbl.take(pa.array(take))
+    cols = {'sig': sub['sig'], 'sz': sub['sz'], 'plen': sub['plen'],
+            'ranks': sub['ranks'],
+            'c_l': pa.array(c_l), 'c_r': pa.array(c_r)}
+    if 's' in tbl.column_names:
+        cols['s'] = sub['s']
+    return pa.table(cols)
+
+
+class SlimPostingsStage:
+    """Tsig rows → slim postings: one row per (distinct signature, prefix
+    token), NO rank arrays.  Heavy tokens use the unordered salted grid
+    (each signature covers cells {(min(kh,c), max(kh,c))}; kh = -1 marks
+    the diagonal visit) — both join sides live in ONE postings stream, so
+    the two-table row/column scheme collapses into the same-relation grid
+    with side membership carried as hl/hr flags."""
+
+    def __init__(self, num_buckets: int, heavy_ref=None):
+        self.num_buckets = num_buckets
+        heavy = None
+        if heavy_ref is not None:
+            heavy = (ray.get(heavy_ref)
+                     if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref)
+        self.heavy = heavy or {}
+        self._heavy_cache = None
+
+    def _heavy_arrays(self):
+        if self._heavy_cache is None:
+            ranks = np.array(sorted(self.heavy), dtype=np.int64)
+            hidx = np.array([self.heavy[r][0] for r in ranks], dtype=np.int64)
+            g = np.array([self.heavy[r][1] for r in ranks], dtype=np.int64)
+            self._heavy_cache = (ranks, hidx, g)
+        return self._heavy_cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranks_col = batch['ranks'].combine_chunks()
+        plen = batch['plen'].to_numpy()
+        nrows = len(batch)
+        offsets = ranks_col.offsets.to_numpy()
+        flat = (ranks_col.values.to_numpy(zero_copy_only=False)
+                if len(ranks_col.values) else np.empty(0, np.int32))
+
+        reps = np.minimum(plen, np.diff(offsets)).astype(np.int64)
+        row_idx = np.repeat(np.arange(nrows), reps)
+        pos = (np.arange(len(row_idx)) -
+               np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                         reps)).astype(np.int32)
+        tok = flat[np.repeat(offsets[:-1], reps) + pos]
+        # bag tokenizers (EDIT_DISTANCE) may repeat a token inside the
+        # prefix; keep the first (lowest-pos) occurrence only
+        if len(tok):
+            dup = np.zeros(len(tok), bool)
+            dup[1:] = (tok[1:] == tok[:-1]) & (row_idx[1:] == row_idx[:-1])
+            if dup.any():
+                keep = ~dup
+                row_idx, pos, tok = row_idx[keep], pos[keep], tok[keep]
+
+        sig = batch['sig'].to_numpy()
+        bucket = ((tok.astype(np.uint64) * KNUTH) >> np.uint64(7)) \
+            % np.uint64(self.num_buckets)
+        bucket = bucket.astype(np.int64)
+        kh_col = np.full(len(tok), -1, dtype=np.int16)
+        out = (row_idx, tok, pos, bucket, kh_col)
+
+        if self.heavy:
+            hr, hidx_arr, hg_arr = self._heavy_arrays()
+            p = np.minimum(np.searchsorted(hr, tok), len(hr) - 1)
+            hmask = hr[p] == tok if len(hr) else np.zeros(len(tok), bool)
+            if hmask.any():
+                sel = np.nonzero(hmask)[0]
+                g = hg_arr[p[sel]]
+                base = self.num_buckets + hidx_arr[p[sel]] * g * g
+                khv = (sig[row_idx[sel]].astype(np.uint64)
+                       % g.astype(np.uint64)).astype(np.int64)
+                rep = np.repeat(np.arange(len(sel)), g)
+                c = (np.arange(len(rep)) -
+                     np.repeat(np.concatenate(([0], np.cumsum(g)[:-1])), g))
+                khr, gr, baser = khv[rep], g[rep], base[rep]
+                cells = baser + np.minimum(khr, c) * gr + np.maximum(khr, c)
+                khcol = np.where(c == khr, -1, khr).astype(np.int16)
+                keep = ~hmask
+                out = (np.concatenate([row_idx[keep], row_idx[sel][rep]]),
+                       np.concatenate([tok[keep], tok[sel][rep]]),
+                       np.concatenate([pos[keep], pos[sel][rep]]),
+                       np.concatenate([bucket[keep], cells]),
+                       np.concatenate([kh_col[keep], khcol]))
+
+        row_idx, tok, pos, bucket, kh_col = out
+        take = pa.array(row_idx)
+        hl = (batch['c_l'].to_numpy() > 0).astype(np.int8)
+        hr_flag = (batch['c_r'].to_numpy() > 0).astype(np.int8)
+        return pa.table({
+            'bucket': pa.array(bucket),
+            'tok': pa.array(tok.astype(np.int32)),
+            'sig': batch['sig'].take(take),
+            'sz': batch['sz'].take(take),
+            'pos': pa.array(pos),
+            'kh': pa.array(kh_col),
+            'hl': pa.array(hl[row_idx]),
+            'hr': pa.array(hr_flag[row_idx]),
+        })
+
+
+class SlimPairGen:
+    """Per-bucket candidate generation over slim postings: one DuckDB hash
+    join with size bounds, the first-shared-token positional gate
+    (sound in every bucket — the bucket holding the pair's globally minimal
+    shared prefix token reproduces the reference's first accumulation step,
+    ``filter/position_filter.py:340-344``), the salted-grid role rule, and
+    exact-once identity pairs.  Emits candidate (sa, sb) sig pairs."""
+
+    def __init__(self, sim_type: str, threshold, qval=None,
+                 same_relation: bool = False):
+        self.__name__ = 'SlimPairGen'
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.qval = qval
+        self.same_relation = same_relation
+        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP')
+
+    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
+        con = _duck()
+        if con is None:  # pragma: no cover
+            raise RuntimeError('slim join path requires duckdb')
+        if len(tbl) == 0:
+            return pd.DataFrame({'sa': np.array([], np.int64),
+                                 'sb': np.array([], np.int64)})
+        if isinstance(tbl, pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
+                                               'r1', 'r2')
+                     if self._set_bounds else '')
+        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
+        if self._set_bounds:
+            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
+                                         'any_value(r1.sz)',
+                                         'any_value(r2.sz)')
+            having.append(
+                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
+                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
+        con.register('t_slim', tbl)
+        res = con.execute(f"""
+            SELECT r1.sig AS sa, r2.sig AS sb
+            FROM t_slim r1 JOIN t_slim r2 ON r1.tok = r2.tok
+            WHERE r1.hl = 1 AND r2.hr = 1
+              AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
+            GROUP BY 1, 2
+            HAVING {' AND '.join(having)}""").arrow()
+        con.unregister('t_slim')
+        return pd.DataFrame({'sa': res['sa'].to_numpy().astype(np.int64),
+                             'sb': res['sb'].to_numpy().astype(np.int64)})
+
+
+def _ranks_objects(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
+    """list<int32> column → object ndarray of per-row numpy slices
+    (zero-copy views into the block buffer)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = arr.offsets.to_numpy()
+    flat = (arr.values.to_numpy(zero_copy_only=False)
+            if len(arr.values) else np.empty(0, np.int32))
+    n = len(arr)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = flat[off[i]:off[i + 1]]
+    return out
+
+
+class AttachA:
+    """Verify pass 1 group fn: dedup candidate pairs, attach side-A payload
+    from the co-bucketed Tsig rows.  Emits a typed Arrow table so the rank
+    list column crosses the block boundary zero-copy."""
+
+    def __init__(self, keep_string: bool):
+        self.__name__ = 'AttachA'
+        self.keep_string = keep_string
+
+    def _empty(self) -> pa.Table:
+        cols = {'sb': pa.array([], pa.int64()),
+                'sa': pa.array([], pa.int64()),
+                'sz_a': pa.array([], pa.int32()),
+                'cnt_a': pa.array([], pa.int64()),
+                'ranks_a': pa.array([], pa.list_(pa.int32()))}
+        if self.keep_string:
+            cols['s_a'] = pa.array([], pa.string())
+        return pa.table(cols)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        pmask = kind == 1
+        if not pmask.any() or pmask.all():
+            return self._empty()
+        t = tbl.filter(pa.array(~pmask))
+        p = tbl.filter(pa.array(pmask))
+        pairs = pd.DataFrame({'sa': p['sig'].to_numpy(),
+                              'sb': p['other'].to_numpy(zero_copy_only=False)})
+        pairs = pairs.drop_duplicates()
+        # positional index of each pair's sa in the sig-table rows
+        tsi = pd.Series(np.arange(len(t)), index=t['sig'].to_numpy())
+        loc = tsi.reindex(pairs['sa'].to_numpy())
+        ok = loc.notna().to_numpy()
+        if not ok.any():
+            return self._empty()
+        loc = loc.to_numpy()[ok].astype(np.int64)
+        pairs = pairs[ok]
+        take = pa.array(loc)
+        cols = {'sb': pa.array(pairs['sb'].to_numpy().astype(np.int64)),
+                'sa': pa.array(pairs['sa'].to_numpy().astype(np.int64)),
+                'sz_a': t['sz'].take(take).combine_chunks(),
+                'cnt_a': t['c_l'].take(take).combine_chunks(),
+                'ranks_a': t['ranks'].take(take).combine_chunks()}
+        if self.keep_string:
+            cols['s_a'] = t['s'].take(take).combine_chunks()
+        return pa.table(cols)
+
+
+class AttachBVerify:
+    """Verify pass 2 group fn: attach side-B payload, score exactly,
+    apply comp_op, emit matched (sa, sb, score, cnt_a, cnt_b)."""
+
+    def __init__(self, sim_type: str, threshold, comp_op: str, qval,
+                 round_score: bool, counter_name=None):
+        self.__name__ = 'AttachBVerify'
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.comp_fn = COMP_OP_MAP[comp_op]
+        self.qval = qval
+        self.round_score = round_score
+        self.counter_name = counter_name
+        self.keep_string = sim_type == 'EDIT_DISTANCE'
+
+    def _empty(self):
+        return pd.DataFrame({'sa': np.array([], np.int64),
+                             'sb': np.array([], np.int64),
+                             'score': np.array([], np.float64),
+                             'cnt_a': np.array([], np.int64),
+                             'cnt_b': np.array([], np.int64)})
+
+    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        pmask = kind == 1
+        if not pmask.any():
+            return self._empty()
+        t = tbl.filter(pa.array(~pmask))
+        p = tbl.filter(pa.array(pmask))
+        # pair rows were routed by h(sb): their 'sig' IS sb, 'other' is sa
+        pdf = pd.DataFrame({'sb': p['sig'].to_numpy(),
+                            'sa': p['other'].to_numpy(zero_copy_only=False),
+                            'sz_a': p['sz'].to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                            'cnt_a': p['c_l'].to_numpy(zero_copy_only=False),
+                            'ranks_a': _ranks_objects(p['ranks'])})
+        tdf = pd.DataFrame({'sb': t['sig'].to_numpy(),
+                            'sz_b': t['sz'].to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                            'cnt_b': t['c_r'].to_numpy(zero_copy_only=False),
+                            'ranks_b': _ranks_objects(t['ranks'])})
+        if self.keep_string:
+            pdf['s_a'] = p['s'].to_numpy(zero_copy_only=False)
+            tdf['s_b'] = t['s'].to_numpy(zero_copy_only=False)
+        m = pdf.merge(tdf, on='sb', how='inner')
+        if len(m) == 0:
+            return self._empty()
+
+        checked = int((m['cnt_a'].to_numpy() * m['cnt_b'].to_numpy()).sum())
+        if self.counter_name and checked:
+            try:
+                ray.get_actor(self.counter_name).add.remote(checked)
+            except ValueError:
+                pass
+
+        st = self.sim_type
+        if st == 'EDIT_DISTANCE':
+            sa_s = m['s_a'].to_numpy()
+            sb_s = m['s_b'].to_numpy()
+            slen = np.fromiter((len(x) for x in sa_s), np.int64, len(sa_s))
+            rlen = np.fromiter((len(x) for x in sb_s), np.int64, len(sb_s))
+            keep = np.abs(slen - rlen) <= self.threshold
+            m = m[keep]
+            if len(m) == 0:
+                return self._empty()
+            scores = _lev_many(m['s_a'].tolist(),
+                               m['s_b'].tolist()).astype(np.float64)
+        else:
+            o = self._overlaps(m['ranks_a'].to_numpy(),
+                               m['ranks_b'].to_numpy())
+            n1 = m['sz_a'].to_numpy().astype(np.float64)
+            n2 = m['sz_b'].to_numpy().astype(np.float64)
+            of = o.astype(np.float64)
+            if st == 'OVERLAP':
+                scores = of
+            elif st == 'OVERLAP_COEFFICIENT':
+                scores = of / np.minimum(n1, n2)
+            elif st == 'JACCARD':
+                scores = of / (n1 + n2 - of)
+            elif st == 'COSINE':
+                scores = of / np.sqrt(n1 * n2)
+            elif st == 'DICE':
+                scores = 2.0 * of / (n1 + n2)
+            else:  # pragma: no cover
+                raise ValueError(st)
+            if self.round_score and st in ('JACCARD', 'COSINE', 'DICE'):
+                scores = np.round(scores, 4)
+        keep = self.comp_fn(scores, self.threshold)
+        m = m[keep]
+        if len(m) == 0:
+            return self._empty()
+        return pd.DataFrame({'sa': m['sa'].to_numpy(),
+                             'sb': m['sb'].to_numpy(),
+                             'score': scores[keep],
+                             'cnt_a': m['cnt_a'].to_numpy(),
+                             'cnt_b': m['cnt_b'].to_numpy()})
+
+    @staticmethod
+    def _overlaps(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
+        """Exact per-pair token overlap via one exploded DuckDB hash join
+        (bag-product counting; with set tokenizers arrays are unique so the
+        count equals |X ∩ Y|)."""
+        con = _duck()
+        n = len(ra)
+        la = np.fromiter((len(x) for x in ra), np.int64, n)
+        lb = np.fromiter((len(x) for x in rb), np.int64, n)
+        ea = pa.table({
+            'i': np.repeat(np.arange(n), la),
+            'tok': (np.concatenate(ra) if la.sum() else
+                    np.empty(0, np.int32)).astype(np.int64)})
+        eb = pa.table({
+            'i': np.repeat(np.arange(n), lb),
+            'tok': (np.concatenate(rb) if lb.sum() else
+                    np.empty(0, np.int32)).astype(np.int64)})
+        con.register('t_va', ea)
+        con.register('t_vb', eb)
+        res = con.execute("""
+            SELECT a.i AS i, count(*) AS o
+            FROM t_va a JOIN t_vb b ON a.i = b.i AND a.tok = b.tok
+            GROUP BY 1""").arrow()
+        con.unregister('t_va')
+        con.unregister('t_vb')
+        out = np.zeros(n, dtype=np.int64)
+        idx = res['i'].to_numpy().astype(np.int64)
+        out[idx] = res['o'].to_numpy().astype(np.int64)
+        return out
+
+
+class ExpandSide:
+    """Expansion group fn: matched rows × this side's memberships."""
+
+    def __init__(self, side: int, self_join: bool):
+        self.__name__ = f'ExpandSide{side}'
+        self.side = side
+        self.self_join = self_join
+
+    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        pmask = kind == 1
+        if self.side == 0:
+            empty = {'sb': np.array([], np.int64),
+                     'l_key': np.array([], object),
+                     'score': np.array([], np.float64)}
+        else:
+            empty = {'l_key': np.array([], object),
+                     'r_key': np.array([], object),
+                     '_sim_score': np.array([], np.float64)}
+        if not pmask.any():
+            return pd.DataFrame(empty)
+        t = tbl.filter(pa.array(~pmask))
+        p = tbl.filter(pa.array(pmask))
+        mem = pd.DataFrame({'sig': t['sig'].to_numpy(),
+                            'key': t['key'].to_numpy(zero_copy_only=False)})
+        if self.side == 0:
+            pdf = pd.DataFrame({'sig': p['sig'].to_numpy(),
+                                'sb': p['other'].to_numpy(
+                                    zero_copy_only=False),
+                                'score': p['score'].to_numpy(
+                                    zero_copy_only=False)})
+            out = pdf.merge(mem, on='sig', how='inner')
+            if len(out) == 0:
+                return pd.DataFrame(empty)
+            return pd.DataFrame({'sb': out['sb'].to_numpy(),
+                                 'l_key': out['key'].to_numpy(),
+                                 'score': out['score'].to_numpy()})
+        pdf = pd.DataFrame({'sig': p['sig'].to_numpy(),
+                            'l_key': p['key'].to_numpy(zero_copy_only=False),
+                            'score': p['score'].to_numpy(
+                                zero_copy_only=False)})
+        out = pdf.merge(mem, on='sig', how='inner')
+        if len(out) == 0:
+            return pd.DataFrame(empty)
+        lk = out['l_key'].to_numpy()
+        rk = out['key'].to_numpy()
+        sc = out['score'].to_numpy()
+        if self.self_join:
+            keep = lk < rk
+            lk, rk, sc = lk[keep], rk[keep], sc[keep]
+        return pd.DataFrame({'l_key': lk, 'r_key': rk, '_sim_score': sc})
+
+
+def _null_col(n: int, typ: pa.DataType):
+    return pa.nulls(n, typ)
+
+
+# --------------------------------------------------------------------------
+# Broadcast regime: when the signature table fits the object store budget,
+# ship it ONCE via ray.put (zero-copy numpy payloads, one mmapped copy per
+# node) and run candidate generation + ownership dedup + exact verification
+# + membership expansion inside the single postings shuffle — the "broadcast
+# small sides instead of a shuffle join" pattern.  Rank arrays then cross
+# the wire exactly once (the broadcast) instead of once per posting (round
+# 1's scale-killer) or once per candidate (the distributed attach passes).
+# --------------------------------------------------------------------------
+
+class _TsigBroadcast:
+    """Column-oriented signature table + memberships for zero-copy sharing.
+
+    sigs are SORTED; lookup is searchsorted.  All payloads are numpy arrays
+    (object dtype only for keys/strings)."""
+
+    __slots__ = ('sigs', 'rank_off', 'rank_flat', 'sz', 'plen',
+                 'l_key_off', 'l_key_flat', 'r_key_off', 'r_key_flat',
+                 's', 's_len')
+
+    def __init__(self, sigs, rank_off, rank_flat, sz, plen,
+                 l_key_off, l_key_flat, r_key_off, r_key_flat, s=None):
+        self.sigs = sigs
+        self.rank_off = rank_off
+        self.rank_flat = rank_flat
+        self.sz = sz
+        self.plen = plen
+        self.l_key_off = l_key_off
+        self.l_key_flat = l_key_flat
+        self.r_key_off = r_key_off
+        self.r_key_flat = r_key_flat
+        self.s = s
+        self.s_len = (np.fromiter((len(x) for x in s), np.int64, len(s))
+                      if s is not None else None)
+
+    def index_of(self, sig_values: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.sigs, sig_values)
+
+
+def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
+                 keep_string: bool) -> tuple:
+    """Driver-side fold of per-block combiner outputs into the broadcast
+    signature table.  Input volume is block-DISTINCT payload rows plus slim
+    membership rows — the deduped signature table, which the broadcast
+    regime requires to fit in memory anyway (the distributed path takes
+    over beyond the size gate).  Returns (ray.ObjectRef, num_sigs)."""
+    pay_parts, mem_parts = [], []
+
+    def split(b: pa.Table) -> pa.Table:
+        # block-distinct payload per sig, tagged kind=0; memberships kind=1
+        sigs = b['sig'].to_numpy()
+        order = np.argsort(sigs, kind='stable')
+        ss = sigs[order]
+        first = (np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss)
+                 else np.zeros(0, bool))
+        sub = b.take(pa.array(order[first]))
+        n0, n1 = len(sub), len(b)
+        cols = {
+            'kind': pa.array(np.concatenate(
+                [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
+            'sig': pa.concat_arrays([sub['sig'].combine_chunks(),
+                                     b['sig'].combine_chunks()]),
+            'sz': pa.concat_arrays(
+                [sub['sz'].combine_chunks(),
+                 pa.nulls(n1, b['sz'].type)]),
+            'plen': pa.concat_arrays(
+                [sub['plen'].combine_chunks(),
+                 pa.nulls(n1, b['plen'].type)]),
+            'ranks': pa.concat_arrays(
+                [sub['ranks'].combine_chunks(),
+                 pa.nulls(n1, b['ranks'].type)]),
+            'side': pa.concat_arrays(
+                [pa.nulls(n0, pa.int8()), b['side'].combine_chunks()]),
+            'key': pa.concat_arrays(
+                [pa.nulls(n0, b['key'].type), b['key'].combine_chunks()]),
+        }
+        if keep_string:
+            cols['s'] = pa.concat_arrays(
+                [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
+        return pa.table(cols)
+
+    for batch in tagged.map_batches(split, batch_format='pyarrow') \
+            .iter_batches(batch_format='pyarrow', batch_size=None):
+        t = pa.table(batch)
+        kind = t['kind'].to_numpy(zero_copy_only=False)
+        pay_parts.append(t.filter(pa.array(kind == 0)))
+        mem_parts.append(t.filter(pa.array(kind == 1))
+                          .select(['sig', 'side', 'key']))
+
+    pay = pa.concat_tables(pay_parts).combine_chunks() if pay_parts else None
+    mem = pa.concat_tables(mem_parts).combine_chunks() if mem_parts else None
+    if pay is None or len(pay) == 0:
+        return None, 0
+
+    sigs = pay['sig'].to_numpy()
+    order = np.argsort(sigs, kind='stable')
+    ss = sigs[order]
+    first = np.concatenate(([True], ss[1:] != ss[:-1]))
+    take = order[first]
+    uniq = ss[first]
+    sub = pay.take(pa.array(take))
+    ranks = sub['ranks'].combine_chunks()
+    rank_off = ranks.offsets.to_numpy().astype(np.int64)
+    rank_flat = (ranks.values.to_numpy(zero_copy_only=False)
+                 if len(ranks.values) else np.empty(0, np.int32))
+
+    # memberships grouped by (searchsorted sig index, side)
+    m_sig = mem['sig'].to_numpy()
+    m_side = mem['side'].to_numpy(zero_copy_only=False)
+    m_key = mem['key'].to_numpy(zero_copy_only=False)
+    m_idx = np.searchsorted(uniq, m_sig)
+    n = len(uniq)
+
+    def side_arrays(mask):
+        idx = m_idx[mask]
+        keys = m_key[mask]
+        o = np.argsort(idx, kind='stable')
+        idx, keys = idx[o], keys[o]
+        counts = np.bincount(idx, minlength=n)
+        off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        return off, keys
+
+    l_off, l_flat = side_arrays(m_side == 0)
+    if same_relation:
+        r_off, r_flat = l_off, l_flat
+    else:
+        r_off, r_flat = side_arrays(m_side == 1)
+
+    bc = _TsigBroadcast(
+        uniq, rank_off, rank_flat,
+        sub['sz'].to_numpy().astype(np.int64),
+        sub['plen'].to_numpy().astype(np.int64),
+        l_off, l_flat, r_off, r_flat,
+        sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
+    return ray.put(bc), n
+
+
+def tsig_postings_input(bc_ref) -> ray.data.Dataset:
+    """Dataset view of the broadcast signature table for postings
+    generation (sig, sz, plen, ranks, c_l, c_r)."""
+    bc = ray.get(bc_ref)
+    ranks = pa.ListArray.from_arrays(
+        pa.array(bc.rank_off, pa.int32()),
+        pa.array(bc.rank_flat, pa.int32()))
+    tbl = pa.table({
+        'sig': pa.array(bc.sigs.astype(np.int64)),
+        'sz': pa.array(bc.sz.astype(np.int32), pa.int32()),
+        'plen': pa.array(bc.plen.astype(np.int32), pa.int32()),
+        'ranks': ranks,
+        'c_l': pa.array(np.diff(bc.l_key_off)),
+        'c_r': pa.array(np.diff(bc.r_key_off)),
+    })
+    # enough blocks that the downstream groupby(bucket).map_groups stage
+    # gets fine-grained tasks — its task count follows the shuffle's block
+    # count, and the per-bucket kernel cost is heavily skewed
+    cpus = int(ray.cluster_resources().get('CPU', 8))
+    nblocks = int(min(cpus * 8, max(cpus, len(tbl) // 128, 1)))
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(nblocks) if nblocks > 1 else ds
+
+
+class BroadcastPairGenVerify:
+    """Single-shuffle bucket kernel for the broadcast regime: candidate
+    generation (size bounds + positional gate + salted-grid role rule),
+    min-common-token OWNERSHIP dedup (exact-once pairs, prefix arrays from
+    the broadcast), exact verification, and membership expansion — emits
+    final (l_key, r_key, _sim_score) record pairs."""
+
+    def __init__(self, bc_ref, sim_type: str, threshold, comp_op: str,
+                 qval=None, same_relation: bool = False,
+                 self_join: bool = False, round_score: bool = True,
+                 counter_name=None):
+        self.__name__ = 'BroadcastPairGenVerify'
+        self.bc_ref = bc_ref
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.comp_op = comp_op
+        self.comp_fn = COMP_OP_MAP[comp_op]
+        self.qval = qval
+        self.same_relation = same_relation
+        self.self_join = self_join
+        self.round_score = round_score
+        self.counter_name = counter_name
+        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE',
+                                        'OVERLAP')
+        self._bc = None
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame({'l_key': np.array([], object),
+                             'r_key': np.array([], object),
+                             '_sim_score': np.array([], np.float64)})
+
+    def __call__(self, tbl) -> pd.DataFrame:
+        con = _duck()
+        if con is None:  # pragma: no cover
+            raise RuntimeError('slim join path requires duckdb')
+        if isinstance(tbl, pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if len(tbl) == 0:
+            return self._empty()
+        if self._bc is None:
+            self._bc = ray.get(self.bc_ref)
+        bc = self._bc
+
+        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
+                                               'r1', 'r2')
+                     if self._set_bounds else '')
+        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
+        if self._set_bounds:
+            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
+                                         'any_value(r1.sz)',
+                                         'any_value(r2.sz)')
+            having.append(
+                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
+                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
+        con.register('t_slim', tbl)
+        cand = con.execute(f"""
+            SELECT r1.sig AS sa, r2.sig AS sb, min(r1.tok) AS gmin
+            FROM t_slim r1 JOIN t_slim r2 ON r1.tok = r2.tok
+            WHERE r1.hl = 1 AND r2.hr = 1
+              AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
+            GROUP BY 1, 2
+            HAVING {' AND '.join(having)}""").arrow()
+        con.unregister('t_slim')
+        if len(cand) == 0:
+            return self._empty()
+
+        sa = cand['sa'].to_numpy().astype(np.int64)
+        sb = cand['sb'].to_numpy().astype(np.int64)
+        gmin = cand['gmin'].to_numpy().astype(np.int64)
+        ia = bc.index_of(sa)
+        ib = bc.index_of(sb)
+
+        # ---- ownership: drop pairs whose globally-min shared prefix token
+        # ranks below this bucket's gmin (anti-join over broadcast prefixes)
+        part = np.unique(np.concatenate([ia, ib]))
+        pref_cls, pref_tok = self._explode(bc, part, prefix_only=True)
+        pairs_tbl = pa.table({'pid': np.arange(len(ia), dtype=np.int64),
+                              'ia': ia.astype(np.int64),
+                              'ib': ib.astype(np.int64),
+                              'gmin': gmin})
+        pref_tbl = pa.table({'cls': pref_cls, 'tok': pref_tok})
+        con.register('t_pairs', pairs_tbl)
+        con.register('t_pref', pref_tbl)
+        # ONE join per statement: with reorder freedom DuckDB mis-estimates
+        # the registered tables and may join the two token tables with each
+        # other before the pair semi-filter (observed 100x regressions)
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE t_lt AS
+            SELECT c.pid, c.ib, p1.tok
+            FROM t_pairs c JOIN t_pref p1 ON p1.cls = c.ia
+                                         AND p1.tok < c.gmin""")
+        bad = con.execute("""
+            SELECT DISTINCT e.pid
+            FROM t_lt e JOIN t_pref p2 ON p2.cls = e.ib
+                                      AND p2.tok = e.tok""").arrow()
+        con.execute('DROP TABLE t_lt')
+        con.unregister('t_pairs')
+        keep = np.ones(len(ia), bool)
+        if len(bad):
+            keep[bad['pid'].to_numpy().astype(np.int64)] = False
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            con.unregister('t_pref')
+            return self._empty()
+
+        l_cnt = np.diff(bc.l_key_off)
+        r_cnt = np.diff(bc.r_key_off)
+        checked = int((l_cnt[ia] * r_cnt[ib]).sum())
+        if self.counter_name and checked:
+            try:
+                ray.get_actor(self.counter_name).add.remote(checked)
+            except ValueError:
+                pass
+
+        # ---- exact verification --------------------------------------
+        if self.sim_type == 'EDIT_DISTANCE':
+            con.unregister('t_pref')
+            keep = np.abs(bc.s_len[ia] - bc.s_len[ib]) <= self.threshold
+            ia, ib = ia[keep], ib[keep]
+            if len(ia) == 0:
+                return self._empty()
+            scores = _lev_many(bc.s[ia].tolist(),
+                               bc.s[ib].tolist()).astype(np.float64)
+        else:
+            full_cls, full_tok = self._explode(bc, part, prefix_only=False)
+            con.register('t_toks', pa.table({'cls': full_cls,
+                                             'tok': full_tok}))
+            con.register('t_vp', pa.table({
+                'pid': np.arange(len(ia), dtype=np.int64),
+                'ia': ia.astype(np.int64), 'ib': ib.astype(np.int64)}))
+            # one join per statement (see ownership note above)
+            con.execute("""
+                CREATE OR REPLACE TEMP TABLE t_oexp AS
+                SELECT v.pid, v.ib, t1.tok
+                FROM t_vp v JOIN t_toks t1 ON t1.cls = v.ia""")
+            res = con.execute("""
+                SELECT e.pid AS pid, count(*) AS o
+                FROM t_oexp e JOIN t_toks t2 ON t2.cls = e.ib
+                                            AND t2.tok = e.tok
+                GROUP BY 1""").arrow()
+            con.execute('DROP TABLE t_oexp')
+            con.unregister('t_toks')
+            con.unregister('t_vp')
+            con.unregister('t_pref')
+            o = np.zeros(len(ia), dtype=np.int64)
+            if len(res):
+                o[res['pid'].to_numpy().astype(np.int64)] = \
+                    res['o'].to_numpy().astype(np.int64)
+            n1 = bc.sz[ia].astype(np.float64)
+            n2 = bc.sz[ib].astype(np.float64)
+            of = o.astype(np.float64)
+            st = self.sim_type
+            if st == 'OVERLAP':
+                scores = of
+            elif st == 'OVERLAP_COEFFICIENT':
+                scores = of / np.minimum(n1, n2)
+            elif st == 'JACCARD':
+                scores = of / (n1 + n2 - of)
+            elif st == 'COSINE':
+                scores = of / np.sqrt(n1 * n2)
+            elif st == 'DICE':
+                scores = 2.0 * of / (n1 + n2)
+            else:  # pragma: no cover
+                raise ValueError(st)
+            if self.round_score and st in ('JACCARD', 'COSINE', 'DICE'):
+                scores = np.round(scores, 4)
+        keep = self.comp_fn(scores, self.threshold)
+        ia, ib, scores = ia[keep], ib[keep], scores[keep]
+        if len(ia) == 0:
+            return self._empty()
+
+        # ---- membership expansion ------------------------------------
+        nl, nr = l_cnt[ia], r_cnt[ib]
+        tot = nl * nr
+        total = int(tot.sum())
+        pair_idx = np.repeat(np.arange(len(ia)), tot)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(tot)))[:-1], tot)
+        nr_p = nr[pair_idx]
+        out_l = bc.l_key_flat[bc.l_key_off[ia][pair_idx] + off // nr_p]
+        out_r = bc.r_key_flat[bc.r_key_off[ib][pair_idx] + off % nr_p]
+        out_s = scores[pair_idx]
+        if self.self_join:
+            keep = out_l < out_r
+            out_l, out_r, out_s = out_l[keep], out_r[keep], out_s[keep]
+        return pd.DataFrame({'l_key': out_l, 'r_key': out_r,
+                             '_sim_score': out_s})
+
+    @staticmethod
+    def _explode(bc: _TsigBroadcast, part: np.ndarray, prefix_only: bool):
+        """(cls, tok) explode of the given sig indices from the broadcast
+        rank arrays — prefix slice or full arrays."""
+        starts = bc.rank_off[part]
+        lens = bc.rank_off[part + 1] - starts
+        if prefix_only:
+            lens = np.minimum(lens, bc.plen[part])
+        cls = np.repeat(part.astype(np.int64), lens)
+        pos = (np.arange(lens.sum(), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens))
+        tok = bc.rank_flat[np.repeat(starts, lens) + pos].astype(np.int64)
+        return cls, tok
+
+
+# Above this estimated signature-table size the broadcast regime gives way
+# to the distributed attach passes (no single node should hold the table).
+BROADCAST_GATE_BYTES = 2 * 1024 ** 3
+
+
+def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
+                     same_relation: bool,
+                     size_bytes_hint: int | None = None) -> ray.data.Dataset:
+    """ranked datasets (key, sz, ranks, plen[, s]) → Dataset of
+    (l_key, r_key, _sim_score)."""
+    import os
+    keep_string = cfg.keep_string
+    nb = cfg.num_buckets
+    sig_stage = SigStage(hash_string=keep_string)
+
+    def tag(ds, side):
+        def f(b: pa.Table) -> pa.Table:
+            b = sig_stage(b)
+            return b.append_column(
+                'side', pa.array(np.full(len(b), side, np.int8)))
+        f.__name__ = f'sig_side{side}'
+        return ds.map_batches(f, batch_format='pyarrow')
+
+    if same_relation:
+        tagged = tag(ranked_l, 0)
+    else:
+        tagged = tag(ranked_l, 0).union(tag(ranked_r, 1))
+
+    force_dist = (getattr(cfg, 'force_distributed', False)
+                  or os.environ.get('SSJ_FORCE_DISTRIBUTED') == '1')
+    use_broadcast = (not force_dist) and (
+        size_bytes_hint is None or size_bytes_hint < BROADCAST_GATE_BYTES)
+
+    if use_broadcast:
+        bc_ref, nsig = collect_tsig(tagged, same_relation, keep_string)
+        if bc_ref is None:
+            return ray.data.from_pandas(pd.DataFrame({
+                'l_key': np.array([], object),
+                'r_key': np.array([], object),
+                '_sim_score': np.array([], np.float64)}))
+        postings = tsig_postings_input(bc_ref).map_batches(
+            SlimPostingsStage(nb, heavy_ref), batch_format='pyarrow')
+        fn = BroadcastPairGenVerify(
+            bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
+            same_relation=same_relation, self_join=cfg.self_join,
+            round_score=True, counter_name=cfg.counter_name)
+        return postings.groupby('bucket').map_groups(
+            fn, batch_format='pyarrow')
+
+    # ---- Tmem: slim membership (sig, side, key) --------------------------
+    def mem_cols(b: pa.Table) -> pa.Table:
+        return pa.table({'sig': b['sig'], 'side': b['side'], 'key': b['key']})
+    tmem = tagged.map_batches(mem_cols, batch_format='pyarrow').materialize()
+
+    # ---- Tsig: one row per distinct signature ----------------------------
+    def fold(b: pa.Table) -> pa.Table:
+        return _fold_batch(b, nb)
+    tsig = tagged.map_batches(fold, batch_format='pyarrow') \
+        .groupby('sb').map_groups(_fold_group, batch_format='pyarrow')
+    if same_relation:
+        # single-side input: every signature serves both sides
+        def both_sides(b: pa.Table) -> pa.Table:
+            return b.set_column(b.schema.get_field_index('c_r'), 'c_r',
+                                b['c_l'])
+        tsig = tsig.map_batches(both_sides, batch_format='pyarrow')
+    tsig = tsig.materialize()
+
+    # ---- postings + per-bucket candidate generation ----------------------
+    postings = tsig.map_batches(SlimPostingsStage(nb, heavy_ref),
+                                batch_format='pyarrow')
+    pair_fn = SlimPairGen(cfg.sim_type, cfg.threshold, cfg.qval,
+                          same_relation=same_relation)
+    cands = postings.groupby('bucket').map_groups(pair_fn,
+                                                  batch_format='pyarrow')
+
+    sch = tmem.schema()
+    key_type = dict(zip(sch.names, sch.types)).get('key', pa.int64())
+    ranks_type = pa.list_(pa.int32())
+
+    # ---- verify pass 1: co-bucket candidates with Tsig, attach side A ----
+    def sig_rows_v(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {
+            'vb': pa.array(_hash_bucket(b['sig'].to_numpy(), nb)
+                           .astype(np.int64)),
+            'kind': pa.array(np.zeros(n, np.int8)),
+            'sig': b['sig'],
+            # sentinel, not null: a nullable int64 silently becomes float64
+            # through any pandas block conversion, rounding 63-bit sigs
+            'other': pa.array(np.full(n, -1, np.int64)),
+            'sz': b['sz'], 'c_l': b['c_l'], 'c_r': b['c_r'],
+            'ranks': b['ranks'],
+        }
+        if keep_string:
+            cols['s'] = b['s']
+        return pa.table(cols)
+
+    def pair_rows_v1(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        cols = {
+            'vb': pa.array(_hash_bucket(sa, nb).astype(np.int64)),
+            'kind': pa.array(np.ones(n, np.int8)),
+            'sig': pa.array(sa), 'other': b['sb'],
+            'sz': pa.array(np.zeros(n, np.int32)),
+            'c_l': pa.array(np.zeros(n, np.int64)),
+            'c_r': pa.array(np.zeros(n, np.int64)),
+            'ranks': _null_col(n, ranks_type),
+        }
+        if keep_string:
+            cols['s'] = _null_col(n, pa.string())
+        return pa.table(cols)
+
+    v1_in = tsig.map_batches(sig_rows_v, batch_format='pyarrow').union(
+        cands.map_batches(pair_rows_v1, batch_format='pyarrow'))
+    attached_a = v1_in.groupby('vb').map_groups(AttachA(keep_string),
+                                                batch_format='pyarrow')
+
+    # ---- verify pass 2: attach side B + exact scoring --------------------
+    def pair_rows_v2(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sb_ = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        ra = b['ranks_a']
+        if not isinstance(ra, (pa.ListArray, pa.ChunkedArray)) or \
+                not pa.types.is_list(ra.type):
+            ra = pa.array([np.asarray(x, np.int32) for x in
+                           b['ranks_a'].to_pylist()], type=ranks_type)
+        cols = {
+            'vb': pa.array(_hash_bucket(sb_, nb).astype(np.int64)),
+            'kind': pa.array(np.ones(n, np.int8)),
+            'sig': pa.array(sb_), 'other': b['sa'],
+            'sz': pa.compute.cast(b['sz_a'], pa.int32()),
+            'c_l': pa.compute.cast(b['cnt_a'], pa.int64()),
+            'c_r': pa.array(np.zeros(n, np.int64)),
+            'ranks': ra,
+        }
+        if keep_string:
+            sa_col = b['s_a']
+            cols['s'] = (sa_col if pa.types.is_string(sa_col.type)
+                         else pa.compute.cast(sa_col, pa.string()))
+        return pa.table(cols)
+
+    v2_in = tsig.map_batches(sig_rows_v, batch_format='pyarrow').union(
+        attached_a.map_batches(pair_rows_v2, batch_format='pyarrow'))
+    matched = v2_in.groupby('vb').map_groups(
+        AttachBVerify(cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
+                      round_score=True, counter_name=cfg.counter_name),
+        batch_format='pyarrow')
+
+    # ---- expansion: matched sig pairs × memberships ----------------------
+    def mem_rows(side):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.filter(pa.compute.equal(b['side'], side))
+            n = len(m)
+            return pa.table({
+                'vb': pa.array(_hash_bucket(m['sig'].to_numpy(), nb)
+                               .astype(np.int64)),
+                'kind': pa.array(np.zeros(n, np.int8)),
+                'sig': m['sig'],
+                'other': pa.array(np.full(n, -1, np.int64)),
+                'score': _null_col(n, pa.float64()),
+                'key': m['key'],
+            })
+        f.__name__ = f'mem_rows{side}'
+        return f
+
+    mem_side_r = 0 if same_relation else 1
+
+    def match_rows_e1(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        return pa.table({
+            'vb': pa.array(_hash_bucket(sa, nb).astype(np.int64)),
+            'kind': pa.array(np.ones(n, np.int8)),
+            'sig': pa.array(sa), 'other': b['sb'],
+            'score': pa.compute.cast(b['score'], pa.float64()),
+            'key': _null_col(n, key_type),
+        })
+
+    e1_in = tmem.map_batches(mem_rows(0), batch_format='pyarrow').union(
+        matched.map_batches(match_rows_e1, batch_format='pyarrow'))
+    half = e1_in.groupby('vb').map_groups(ExpandSide(0, cfg.self_join),
+                                          batch_format='pyarrow')
+
+    def match_rows_e2(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sb_ = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        lk = b['l_key']
+        if key_type is not None and lk.type != key_type:
+            lk = pa.compute.cast(lk, key_type)
+        return pa.table({
+            'vb': pa.array(_hash_bucket(sb_, nb).astype(np.int64)),
+            'kind': pa.array(np.ones(n, np.int8)),
+            'sig': pa.array(sb_),
+            'other': pa.array(np.full(n, -1, np.int64)),
+            'score': pa.compute.cast(b['score'], pa.float64()),
+            'key': lk,
+        })
+
+    e2_in = tmem.map_batches(mem_rows(mem_side_r),
+                             batch_format='pyarrow').union(
+        half.map_batches(match_rows_e2, batch_format='pyarrow'))
+    pairs = e2_in.groupby('vb').map_groups(ExpandSide(1, cfg.self_join),
+                                           batch_format='pyarrow')
+    return pairs

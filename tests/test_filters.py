@@ -332,3 +332,61 @@ def test_allow_missing_filter_tables(person_tables):
     got = set(zip(out['l_A.ID'], out['r_B.ID']))
     for bid in B['B.ID']:
         assert ('a7', bid) in got
+
+
+# ---------------------------------------------------------------------------
+# find_candidates probe shims (reference surface:
+# filter/prefix_filter.py:292-308, filter/position_filter.py:307-366)
+
+def test_prefix_filter_find_candidates():
+    from py_stringsimjoin_ray.core.index_shims import PrefixIndex
+    from py_stringsimjoin_ray.pipelines.filters import PrefixFilter
+    from py_stringsimjoin_ray import WhitespaceTokenizer
+    f = PrefixFilter(WhitespaceTokenizer(return_set=True), 'JACCARD', 0.6)
+    # ordered token lists (ints play the role of ranks)
+    lists = [[1, 2, 3, 4], [2, 5, 6], [7, 8, 9]]
+    idx = PrefixIndex(lists, 'JACCARD', 0.6)
+    # probe [1, 5, 9, 10]: prefix length = 4 - ceil(2.4) + 1 = 2 -> {1, 5}
+    cands = f.find_candidates([1, 5, 9, 10], idx)
+    assert cands == {0, 1}
+    assert f.find_candidates([42], PrefixIndex([], 'JACCARD', 0.6)) == set()
+
+
+def test_position_filter_find_candidates_early_abandon():
+    from py_stringsimjoin_ray.core.index_shims import PositionIndex
+    from py_stringsimjoin_ray.pipelines.filters import PositionFilter
+    from py_stringsimjoin_ray import WhitespaceTokenizer
+    f = PositionFilter(WhitespaceTokenizer(return_set=True), 'JACCARD', 0.8)
+    lists = [[1, 2, 3, 4, 5], [3, 6, 7, 8, 9]]
+    idx = PositionIndex(lists, 'JACCARD', 0.8)
+    # probe prefix [3, 4]: record 1 indexes token 3 at position 0 — bound
+    # min(5, 5) reaches the overlap threshold 5, candidate accumulated
+    out = f.find_candidates([3, 4, 5, 10, 11], idx)
+    assert out == {1: 1}
+    # early abandon: candidate holds token 3 at a LATE prefix position, so
+    # the first hit's upper bound min(5, 5-1)=4 < T=5 → marked -1
+    idx2 = PositionIndex([[1, 3, 9, 10, 11]], 'JACCARD', 0.8)
+    out2 = f.find_candidates([3, 20, 21, 22, 23], idx2)
+    assert out2 == {0: -1}
+    assert f.find_candidates([1, 2],
+                             PositionIndex([], 'JACCARD', 0.8)) == {}
+
+
+def test_filter_candset_dataset_input(person_tables):
+    import ray.data
+    from py_stringsimjoin_ray.pipelines.filters import OverlapFilter
+    from py_stringsimjoin_ray import WhitespaceTokenizer
+    A, B = person_tables
+    f = OverlapFilter(WhitespaceTokenizer(return_set=True), 1)
+    cand = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    # pandas path keeps original row identities
+    out_pd = f.filter_candset(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                              'A.name', 'B.name')
+    assert list(out_pd.index) == list(cand.index[:len(out_pd)]) or \
+        set(out_pd.index).issubset(set(cand.index))
+    # Dataset path streams and returns a Dataset
+    out_ds = f.filter_candset(ray.data.from_pandas(cand), 'l_A.ID', 'r_B.ID',
+                              A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    got = out_ds.to_pandas()
+    assert sorted(zip(got['l_A.ID'], got['r_B.ID'])) == \
+        sorted(zip(out_pd['l_A.ID'], out_pd['r_B.ID']))

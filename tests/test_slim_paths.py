@@ -1,0 +1,71 @@
+"""Slim-join regime coverage: the broadcast single-shuffle kernel is the
+default at test scale; the distributed attach/expand passes (the beyond-gate
+scale path) are forced here via SSJ_FORCE_DISTRIBUTED and must produce the
+identical pair set."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray import (QgramTokenizer, WhitespaceTokenizer,
+                                  edit_distance_join, jaccard_join)
+
+
+@pytest.fixture
+def parts():
+    part = pd.read_parquet('/root/testdata/sf0.001/part.parquet')
+    return part[['p_partkey', 'p_name']].head(400).copy()
+
+
+def _pairs(df, cols=('l_p_partkey', 'r_p_partkey', '_sim_score')):
+    return sorted(map(tuple, df[list(cols)].itertuples(index=False)))
+
+
+def test_distributed_path_matches_broadcast(parts, monkeypatch):
+    tok = WhitespaceTokenizer(return_set=True)
+    base = jaccard_join(parts, parts, 'p_partkey', 'p_partkey', 'p_name',
+                        'p_name', tok, 0.5)
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    dist = jaccard_join(parts, parts, 'p_partkey', 'p_partkey', 'p_name',
+                        'p_name', tok, 0.5)
+    assert _pairs(base) == _pairs(dist)
+
+
+def test_distributed_path_edit_distance(monkeypatch):
+    cust = pd.read_parquet('/root/testdata/sf0.001/customer.parquet')
+    cust = cust[['c_custkey', 'c_name']].head(300).copy()
+    base = edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                              'c_name', 'c_name', 2)
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    dist = edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                              'c_name', 'c_name', 2)
+    cols = ('l_c_custkey', 'r_c_custkey', '_sim_score')
+    assert _pairs(base, cols) == _pairs(dist, cols)
+
+
+def test_distributed_path_two_table_string_keys(monkeypatch):
+    A = pd.DataFrame({'id': [f'a{i}' for i in range(40)],
+                      's': [f'alpha beta w{i % 7} gamma{i % 3}'
+                            for i in range(40)]})
+    B = pd.DataFrame({'id': [f'b{i}' for i in range(40)],
+                      's': [f'alpha beta w{i % 5} gamma{i % 4}'
+                            for i in range(40)]})
+    tok = WhitespaceTokenizer(return_set=True)
+    base = jaccard_join(A, B, 'id', 'id', 's', 's', tok, 0.5)
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    dist = jaccard_join(A, B, 'id', 'id', 's', 's', tok, 0.5)
+    cols = ('l_id', 'r_id', '_sim_score')
+    assert _pairs(base, cols) == _pairs(dist, cols)
+
+
+def test_broadcast_salted_self_join_qgram(monkeypatch):
+    # qgram bag prefixes + forced salting through the broadcast kernel
+    sup = pd.read_parquet('/root/testdata/sf0.001/supplier.parquet')
+    sup = sup[['s_suppkey', 's_name']].head(200).copy()
+    tok = QgramTokenizer(qval=3, return_set=True)
+    base = jaccard_join(sup, sup, 's_suppkey', 's_suppkey', 's_name',
+                        's_name', tok, 0.4, salt_df_threshold=10 ** 9)
+    salted = jaccard_join(sup, sup, 's_suppkey', 's_suppkey', 's_name',
+                          's_name', tok, 0.4, salt_df_threshold=4)
+    cols = ('l_s_suppkey', 'r_s_suppkey')
+    assert _pairs(base, cols) == _pairs(salted, cols)
