@@ -25,9 +25,11 @@ import time
 
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
-# sized so the 8-CPU flagship run is ≥ ~60 s — fixed overheads must not
-# dominate the scaling ratio (BASELINE.md §3)
-CORPUS_ARGS = dict(num_clusters=24000, max_cluster=5, num_singletons=40000,
+# sized so the 8-CPU flagship run is ≥ ~100 s — per-stage fixed latencies
+# must not dominate the scaling ratio (BASELINE.md §3); round 2's engine is
+# ~3x faster than round 1, so the corpus grew 6x to keep parallel work
+# dominant
+CORPUS_ARGS = dict(num_clusters=144000, max_cluster=5, num_singletons=240000,
                    tokens_per_file=120, seed=42)
 _ARGS_TAG = '_'.join(str(v) for v in CORPUS_ARGS.values())
 CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS',
@@ -140,6 +142,10 @@ def run_linkage_once():
     ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level='ERROR')
     DataContext.get_current().enable_progress_bars = False
+    # honest accounting: driver-side Arrow kernels (token-frequency merge
+    # etc.) must not borrow the whole box when simulating a small cluster
+    import pyarrow as _pa
+    _pa.set_cpu_count(max(1, NUM_CPUS))
 
     from py_stringsimjoin_ray.pipelines.linkage import record_linkage
 

@@ -53,10 +53,74 @@ def _ingest_batch(batch: pa.Table) -> pa.Table:
 _KNUTH = np.uint64(2654435761)
 
 
-def _attach_components(ingest_slim, comp, num_buckets: int = 64):
+@ray.remote
+def _cc_arrays(*match_blocks):
+    """Remote connected-components build over match blocks: vectorized
+    min-label propagation; returns (nodes_sorted, component) numpy arrays —
+    the broadcast component map for the attach stage."""
+    from ..stages.cluster import connected_components_numpy
+    import pandas as pd
+
+    def cols(b):
+        return b.columns if isinstance(b, pd.DataFrame) else b.column_names
+
+    def col(b, name):
+        v = b[name]
+        return (v.to_numpy() if isinstance(b, pd.DataFrame)
+                else v.to_numpy(zero_copy_only=False))
+
+    # blocks may be Arrow or pandas; empty pairgen groups can yield
+    # schemaless blocks — skip those
+    match_blocks = [b for b in match_blocks if 'l_id' in cols(b)]
+    us = [col(b, 'l_id').astype(np.int64) for b in match_blocks]
+    vs = [col(b, 'r_id').astype(np.int64) for b in match_blocks]
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    return connected_components_numpy(u, v)
+
+
+def _attach_components(ingest_slim, comp, num_buckets: int = 64,
+                       broadcast_gate: int = 20_000_000):
     """ingest_slim (record_id, repo, path, commit, sha256) ⟕ comp
-    (node, component) on record_id, via one bucket-hash shuffle; records
-    without a component (singletons) get component = record_id."""
+    (node, component) on record_id; records without a component
+    (singletons) get component = record_id.
+
+    The component map is bounded by the number of MATCHED records, far
+    smaller than the corpus — below ``broadcast_gate`` rows it ships once
+    via ray.put and the attach is a single vectorized map over the ingest
+    stream (no shuffle); above the gate both sides co-locate via one
+    bucket-hash shuffle."""
+    comp = comp.materialize()
+    if comp.count() <= broadcast_gate:
+        import pyarrow as _pa
+        nodes_parts, comp_parts = [], []
+        for b in comp.iter_batches(batch_format='pyarrow', batch_size=None):
+            t = _pa.table(b)
+            nodes_parts.append(t['node'].to_numpy(zero_copy_only=False)
+                               .astype(np.int64))
+            comp_parts.append(t['component'].to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+        nodes = (np.concatenate(nodes_parts) if nodes_parts
+                 else np.empty(0, np.int64))
+        comps = (np.concatenate(comp_parts) if comp_parts
+                 else np.empty(0, np.int64))
+        order = np.argsort(nodes, kind='stable')
+        ref = ray.put((nodes[order], comps[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            nd, cp = ray.get(ref)
+            ids = b['record_id'].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(nd):
+                pos = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+                hit = nd[pos] == ids
+                out = np.where(hit, cp[pos], ids)
+            else:
+                out = ids
+            return b.append_column('component',
+                                   pa.array(out.astype(np.int64)))
+        attach.__name__ = 'attach_components_broadcast'
+        return ingest_slim.map_batches(attach, batch_format='pyarrow')
     def tag_left(b: pa.Table) -> pa.Table:
         ids = b['record_id'].to_numpy(zero_copy_only=False).astype(np.int64)
         bk = ((ids.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
@@ -100,7 +164,7 @@ def _attach_components(ingest_slim, comp, num_buckets: int = 64):
 
 def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                    threshold: float = 0.7, tokenizer=None,
-                   num_buckets: int = 512, salt_df_threshold: int = 300,
+                   num_buckets: int = 4096, salt_df_threshold: int = 300,
                    join_num_partitions: int = 16,
                    counter_name: str | None = None) -> dict:
     """Run the full pipeline; returns a result dict with the cluster Dataset
@@ -168,20 +232,47 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         clusters = mf.read_stage(checkpoint_dir, 'clusters')
         counters['clusters_resumed'] = True
     else:
-        edges = matches.map_batches(
-            lambda b: pa.table({'u': b['l_id'], 'v': b['r_id']}),
-            batch_format='pyarrow')
-        comp = connected_components(edges)
-        # Attach component ids to the full ingest rows with ONE bucket
-        # shuffle: both sides hash record_id into a bucket, a groupby
-        # colocates them, and the per-bucket merge defaults absent records
-        # (singletons) to their own id.  (Replaces a Dataset.join + a
-        # groupby-min — two extra exchanges — and sidesteps Dataset.join's
-        # empty-partition schema failures on small inputs.)
-        clusters = _attach_components(
-            ingest.select_columns(
-                ['record_id', 'repo', 'path', 'commit', 'sha256']),
-            comp, num_buckets=max(16, join_num_partitions))
+        ingest_slim = ingest.select_columns(
+            ['record_id', 'repo', 'path', 'commit', 'sha256'])
+        if counters['num_matches'] <= 2_000_000:
+            # small-graph fast path: one Ray task runs vectorized min-label
+            # propagation over the match blocks and the component map ships
+            # as an object-store broadcast — no shuffle, nothing on the
+            # driver but refs
+            refs = []
+            for bundle in matches.iter_internal_ref_bundles():
+                refs.extend(bundle.block_refs)
+            comp_ref = _cc_arrays.remote(*refs)
+
+            def attach(b: pa.Table) -> pa.Table:
+                nd, cp = ray.get(comp_ref)
+                ids = b['record_id'].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                if len(nd):
+                    pos = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+                    hit = nd[pos] == ids
+                    out = np.where(hit, cp[pos], ids)
+                else:
+                    out = ids
+                return b.append_column('component',
+                                       pa.array(out.astype(np.int64)))
+            attach.__name__ = 'attach_components_broadcast'
+            clusters = ingest_slim.map_batches(attach,
+                                               batch_format='pyarrow')
+        else:
+            edges = matches.map_batches(
+                lambda b: pa.table({'u': b['l_id'], 'v': b['r_id']}),
+                batch_format='pyarrow')
+            comp = connected_components(edges)
+            # Attach component ids to the full ingest rows with ONE bucket
+            # shuffle: both sides hash record_id into a bucket, a groupby
+            # colocates them, and the per-bucket merge defaults absent
+            # records (singletons) to their own id.
+            clusters = _attach_components(
+                ingest_slim, comp,
+                num_buckets=max(64, join_num_partitions,
+                                int(ray.cluster_resources()
+                                    .get('CPU', 8)) * 4))
         if checkpoint_dir:
             clusters = mf.write_stage(clusters, checkpoint_dir, 'clusters',
                                       fp_matches, sha_col='sha256')

@@ -23,6 +23,7 @@ from ..functions import textstats
 from ..functions.profiler import profile_counts
 from ..stages import ann, cluster, dedup, media
 from . import filters, join, matcher
+from .suffix_oracle import suffix_filter_oracle_sql
 
 
 def _t(sf_dir: str, name: str) -> ray.data.Dataset:
@@ -653,6 +654,11 @@ SELECT d.doc_id,
                  ELSE coalesce(u, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN acc USING (doc_id)
 """,
+    # recursive suffix Hamming-bound survivors, closed-form depth-2
+    # expansion (pipelines/suffix_oracle.py; reference
+    # filter/suffix_filter.py:321-409)
+    'suffix_filter_part': suffix_filter_oracle_sql('part', 'p_partkey',
+                                                   'p_name', 0.6),
     # banded minhash LSH (k=5 shingles, 64 perms, 16 bands of 4) with exact
     # shingle-set Jaccard >= 0.6 verification (stages/dedup.py
     # minhash_lsh_pairs); permutation constants inlined from the same seed

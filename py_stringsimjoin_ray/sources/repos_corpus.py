@@ -15,6 +15,11 @@ Planted structure:
 Ground truth (cluster id) and per-row sha256 are emitted to a SEPARATE
 truth parquet so the corpus table keeps exactly the input_hint schema.
 All generation is seeded — same args, same bytes.
+
+Generation is vectorized (numpy string assembly, batched rng draws) and
+chunk-parallel over Ray tasks when a Ray session is live — a ~million-file
+corpus generates in well under a minute instead of tens of minutes of
+per-token Python.
 """
 
 from __future__ import annotations
@@ -42,50 +47,131 @@ _IDENT_PARTS = ['get', 'set', 'load', 'parse', 'build', 'run', 'init',
 _KEYWORDS = ['def', 'class', 'return', 'if', 'else', 'for', 'while', 'try',
              'import', 'from', 'with', 'lambda', 'yield', 'assert', 'raise']
 
+_PARTS_ARR = np.array(_IDENT_PARTS)
+_KW_ARR = np.array(_KEYWORDS)
 
-def _rand_ident(rng, vocab_scale: int = 0) -> str:
-    n = rng.integers(1, 4)
-    ident = '_'.join(rng.choice(_IDENT_PARTS) for _ in range(n))
-    # Heaps'-law vocabulary growth: real code corpora mint new identifiers
-    # (unique names, hashes, counters) as they grow — without this the pool
-    # saturates and every "rare" token's document frequency scales with the
-    # corpus, which no blocking scheme survives (and no real corpus shows).
-    if vocab_scale and rng.random() < 0.5:
-        ident = f'{ident}_{rng.integers(0, vocab_scale)}'
+
+def _ident_array(rng, size: int, vocab_scale: int) -> np.ndarray:
+    """Vectorized identifier minting; suffixed identifiers give Heaps'-law
+    vocabulary growth (real corpora mint new names as they grow — without
+    it every 'rare' token's df scales with the corpus)."""
+    p1 = _PARTS_ARR[rng.integers(0, len(_PARTS_ARR), size)]
+    p2 = _PARTS_ARR[rng.integers(0, len(_PARTS_ARR), size)]
+    two = rng.random(size) < 0.6
+    ident = np.where(two, np.char.add(np.char.add(p1, '_'), p2), p1)
+    if vocab_scale:
+        suff = rng.random(size) < 0.5
+        nums = rng.integers(0, vocab_scale, size).astype('U')
+        ident = np.where(suff, np.char.add(np.char.add(ident, '_'), nums),
+                         ident)
     return ident
 
 
-def _base_content(rng, n_tokens: int, vocab_scale: int = 0) -> list[str]:
-    toks = []
-    while len(toks) < n_tokens:
-        r = rng.random()
-        if r < 0.25:
-            toks.append(str(rng.choice(_KEYWORDS)))
-        elif r < 0.9:
-            toks.append(_rand_ident(rng, vocab_scale))
-        else:
-            toks.append(str(rng.integers(0, 1000)))
-    return toks
+def _content_tokens(rng, n: int, vocab_scale: int) -> np.ndarray:
+    r = rng.random(n)
+    kws = _KW_ARR[rng.integers(0, len(_KW_ARR), n)]
+    idents = _ident_array(rng, n, vocab_scale)
+    nums = rng.integers(0, 1000, n).astype('U')
+    return np.where(r < 0.25, kws, np.where(r < 0.9, idents, nums))
 
 
-def _mutate(rng, tokens: list[str], target_jaccard: float,
-            vocab_scale: int = 0) -> list[str]:
-    """Token-level edits: replace ~(1-j)/(1+j)·n tokens so the resulting
-    token-set Jaccard lands near the target."""
+def _mutate(rng, tokens: np.ndarray, target_jaccard: float,
+            vocab_scale: int) -> np.ndarray:
+    """Token-level edits: replace/delete/insert ~(1-j)/(1+j)·n tokens so the
+    resulting token-set Jaccard lands near the target."""
     n = max(len(tokens), 1)
     k = int(round(n * (1 - target_jaccard) / (1 + target_jaccard))) + \
         (1 if target_jaccard < 1 else 0)
     out = list(tokens)
-    for _ in range(k):
-        op = rng.random()
+    repl = _ident_array(rng, k, vocab_scale)
+    ops = rng.random(k)
+    for j in range(k):
         pos = int(rng.integers(0, len(out))) if out else 0
-        if op < 0.5 and out:
-            out[pos] = _rand_ident(rng, vocab_scale)
-        elif op < 0.8 and out:
+        if ops[j] < 0.5 and out:
+            out[pos] = repl[j]
+        elif ops[j] < 0.8 and out:
             del out[pos]
         else:
-            out.insert(pos, _rand_ident(rng, vocab_scale))
-    return out
+            out.insert(pos, repl[j])
+    return np.asarray(out, dtype=tokens.dtype if len(tokens) else 'U32')
+
+
+def _set_jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    o = len(a & b)
+    return o / (len(a) + len(b) - o)
+
+
+def _generate_chunk(chunk_seed: int, chunk_tag: int, n_clusters: int,
+                    n_singletons: int, max_cluster: int,
+                    tokens_per_file: int, vocab_scale: int,
+                    license_fraction: float, boilerplate_fraction: float,
+                    cid_base: int):
+    """One deterministic generation chunk → (rows dict, truth dict)."""
+    rng = np.random.default_rng(chunk_seed)
+    rows = {k: [] for k in ('repo', 'path', 'commit', 'lang', 'content')}
+    truth = {'repo': [], 'path': [], 'commit': [], 'cluster_id': [],
+             'sha256': []}
+
+    def add_file(cluster_id: int, content: str):
+        i = len(rows['repo'])
+        tag = f'{chunk_tag}_{i}'
+        repo = f'org{(chunk_tag * 131 + i) % 37}/project{(chunk_tag * 17 + i) % 101}'
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        path = f'src/m{chunk_tag}/{_PARTS_ARR[int(rng.integers(0, len(_PARTS_ARR)))]}_{tag}.{lang}'
+        commit = hashlib.sha1(f'{chunk_seed}:{tag}'.encode()).hexdigest()[:12]
+        rows['repo'].append(repo)
+        rows['path'].append(path)
+        rows['commit'].append(commit)
+        rows['lang'].append(lang)
+        rows['content'].append(content)
+        truth['repo'].append(repo)
+        truth['path'].append(path)
+        truth['commit'].append(commit)
+        truth['cluster_id'].append(cluster_id)
+        truth['sha256'].append(hashlib.sha256(content.encode()).hexdigest())
+
+    def decorate(tokens, use_license: bool, use_boiler: bool) -> str:
+        parts = []
+        if use_license:
+            parts.append(LICENSE_HEADER)
+        if use_boiler:
+            parts.append(BOILERPLATE)
+        parts.append(' '.join(tokens))
+        return ' '.join(parts)
+
+    cid = cid_base
+    for _ in range(n_clusters):
+        size = int(rng.integers(2, max_cluster + 1))
+        # decoration is decided per cluster (clone families share headers),
+        # which keeps the hot license/boilerplate tokens AND keeps planted
+        # pairs above the blocking threshold
+        use_lic = rng.random() < license_fraction
+        use_boil = rng.random() < boilerplate_fraction
+        base = _content_tokens(rng, tokens_per_file, vocab_scale)
+        base_doc = decorate(base, use_lic, use_boil)
+        base_set = set(base_doc.split())
+        add_file(cid, base_doc)
+        for _ in range(size - 1):
+            level = float(rng.choice([0.95, 0.9, 0.85]))
+            doc = None
+            for _attempt in range(6):
+                cand = decorate(_mutate(rng, base, level, vocab_scale),
+                                use_lic, use_boil)
+                if _set_jaccard(set(cand.split()), base_set) >= 0.8:
+                    doc = cand
+                    break
+                level = min(1.0, level + 0.03)  # retry with lighter edits
+            add_file(cid, doc if doc is not None else base_doc)
+        cid += 1
+    for _ in range(n_singletons):
+        add_file(cid, decorate(
+            _content_tokens(rng, tokens_per_file, vocab_scale),
+            rng.random() < license_fraction,
+            rng.random() < boilerplate_fraction))
+        cid += 1
+    return rows, truth
 
 
 def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
@@ -102,78 +188,66 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
     if not overwrite and os.path.exists(repos_path) and os.path.exists(truth_path):
         return repos_path, truth_path
 
-    rng = np.random.default_rng(seed)
-    # vocabulary grows with expected corpus size (see _rand_ident)
+    # vocabulary grows with expected corpus size (see _ident_array)
     vocab_scale = max(1000, (num_clusters * (2 + max_cluster) // 2
                              + num_singletons) * 4)
+    nchunks = max(1, min(64, num_clusters // 64 or 1))
+    seeds = np.random.SeedSequence(seed).generate_state(nchunks * 2)
+    per_cl = [num_clusters // nchunks + (1 if i < num_clusters % nchunks
+                                         else 0) for i in range(nchunks)]
+    per_sg = [num_singletons // nchunks + (1 if i < num_singletons % nchunks
+                                           else 0) for i in range(nchunks)]
+    # cluster-id bases so truth ids stay globally unique
+    cid_bases, acc = [], 0
+    for i in range(nchunks):
+        cid_bases.append(acc)
+        acc += per_cl[i] + per_sg[i]
+
+    args = [(int(seeds[i]), i, per_cl[i], per_sg[i], max_cluster,
+             tokens_per_file, vocab_scale, license_fraction,
+             boilerplate_fraction, cid_bases[i]) for i in range(nchunks)]
+
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized() and nchunks > 1
+    except Exception:  # pragma: no cover
+        pass
+    if use_ray:
+        import ray
+        gen = ray.remote(_generate_chunk)
+        parts = ray.get([gen.remote(*a) for a in args])
+    else:
+        parts = [_generate_chunk(*a) for a in args]
+
     rows = {k: [] for k in ('repo', 'path', 'commit', 'lang', 'content')}
     truth = {'repo': [], 'path': [], 'commit': [], 'cluster_id': [],
              'sha256': []}
+    for r, t in parts:
+        for k in rows:
+            rows[k].extend(r[k])
+        for k in truth:
+            truth[k].extend(t[k])
 
-    def add_file(cluster_id: int, content: str):
+    # edge cases: empty and single-token files (each its own cluster)
+    edge_rng = np.random.default_rng(seed + 1)
+    cid = acc
+    for content in ['', ' ', 'solitarytokenxyz']:
         i = len(rows['repo'])
-        repo = f'org{i % 37}/project{i % 101}'
-        path = f'src/{_rand_ident(rng)}/{_rand_ident(rng)}_{i}.{rng.choice(LANGS)}'
-        commit = hashlib.sha1(f'{seed}:{i}'.encode()).hexdigest()[:12]
+        repo, path = 'org0/edge', f'src/edge/e_{i}.py'
+        commit = hashlib.sha1(f'{seed}:edge:{i}'.encode()).hexdigest()[:12]
         rows['repo'].append(repo)
         rows['path'].append(path)
         rows['commit'].append(commit)
-        rows['lang'].append(path.rsplit('.', 1)[-1])
+        rows['lang'].append('py')
         rows['content'].append(content)
         truth['repo'].append(repo)
         truth['path'].append(path)
         truth['commit'].append(commit)
-        truth['cluster_id'].append(cluster_id)
+        truth['cluster_id'].append(cid)
         truth['sha256'].append(hashlib.sha256(content.encode()).hexdigest())
-
-    def decorate(tokens: list[str], use_license: bool, use_boiler: bool) -> str:
-        parts = []
-        if use_license:
-            parts.append(LICENSE_HEADER)
-        if use_boiler:
-            parts.append(BOILERPLATE)
-        parts.append(' '.join(tokens))
-        return ' '.join(parts)
-
-    def set_jaccard(a: str, b: str) -> float:
-        sa, sb = set(a.split()), set(b.split())
-        if not sa and not sb:
-            return 1.0
-        o = len(sa & sb)
-        return o / (len(sa) + len(sb) - o)
-
-    cid = 0
-    for _ in range(num_clusters):
-        size = int(rng.integers(2, max_cluster + 1))
-        # decoration is decided per cluster (clone families share headers),
-        # which keeps the hot license/boilerplate tokens AND keeps planted
-        # pairs above the blocking threshold
-        use_lic = rng.random() < license_fraction
-        use_boil = rng.random() < boilerplate_fraction
-        base = _base_content(rng, tokens_per_file, vocab_scale)
-        base_doc = decorate(base, use_lic, use_boil)
-        add_file(cid, base_doc)
-        for _ in range(size - 1):
-            level = float(rng.choice([0.95, 0.9, 0.85]))
-            doc = None
-            for _attempt in range(6):
-                cand = decorate(_mutate(rng, base, level, vocab_scale),
-                                use_lic, use_boil)
-                if set_jaccard(cand, base_doc) >= 0.8:
-                    doc = cand
-                    break
-                level = min(1.0, level + 0.03)  # retry with lighter edits
-            add_file(cid, doc if doc is not None else base_doc)
         cid += 1
-    for _ in range(num_singletons):
-        add_file(cid, decorate(_base_content(rng, tokens_per_file, vocab_scale),
-                               rng.random() < license_fraction,
-                               rng.random() < boilerplate_fraction))
-        cid += 1
-    # edge cases: empty and single-token files (each its own cluster)
-    for content in ['', ' ', 'solitarytokenxyz']:
-        add_file(cid, content)
-        cid += 1
+    del edge_rng
 
     # small row groups so ray.data.read_parquet can split the read across
     # tasks (a single row group serializes the whole ingest)

@@ -52,16 +52,29 @@ def make_rank_lookup(freq_table: pa.Table) -> dict:
     n = len(freq_table)
     if n == 0:
         return {'hashes': np.empty(0, np.uint64), 'ranks': np.empty(0, np.int32)}
-    from .pairgen import _duck
-    con = _duck()
+    # driver-side build over the whole vocabulary: unlike the per-worker
+    # kernel connections (pinned to 1 thread), this one may use multiple
+    # cores — the rank sort over multi-million-token vocabularies is a
+    # serial-floor component of every join otherwise.  Thread count is
+    # capped at the RAY CPU budget so a num_cpus=8 session doesn't borrow
+    # the whole box (keeps the two-level scaling measurement honest).
+    import duckdb
+    con = duckdb.connect()
+    try:
+        import ray
+        if ray.is_initialized():
+            con.execute(f"SET threads TO "
+                        f"{max(1, int(ray.cluster_resources().get('CPU', 8)))}")
+    except Exception:  # pragma: no cover
+        pass
     con.register('t_vocab', freq_table)
-    res = con.execute("""
-        SELECT hash(token) AS h,
-               row_number() OVER (ORDER BY count, token) AS rnk
-        FROM t_vocab""").arrow()
-    con.unregister('t_vocab')
+    # plain ORDER BY (parallel radix sort) + arange ranks — ~6x faster than
+    # the row_number() window over multi-million-token vocabularies
+    res = con.execute(
+        'SELECT hash(token) AS h FROM t_vocab ORDER BY count, token').arrow()
+    con.close()
     h = res['h'].to_numpy().astype(np.uint64)
-    rnk = res['rnk'].to_numpy().astype(np.int32)
+    rnk = np.arange(1, n + 1, dtype=np.int32)
     order = np.argsort(h, kind='stable')
     sh = h[order]
     if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover

@@ -583,51 +583,13 @@ class _TsigBroadcast:
         return np.searchsorted(self.sigs, sig_values)
 
 
-def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
-                 keep_string: bool) -> tuple:
-    """Driver-side fold of per-block combiner outputs into the broadcast
-    signature table.  Input volume is block-DISTINCT payload rows plus slim
-    membership rows — the deduped signature table, which the broadcast
-    regime requires to fit in memory anyway (the distributed path takes
-    over beyond the size gate).  Returns (ray.ObjectRef, num_sigs)."""
+def _build_tsig_broadcast(same_relation, keep_string, *blocks):
+    """Remote builder: fold block-distinct payloads + memberships into the
+    broadcast object and the postings-source table.  Runs as a Ray task so
+    the signature table never lands on the driver — the driver holds only
+    the object refs (num_returns=3)."""
     pay_parts, mem_parts = [], []
-
-    def split(b: pa.Table) -> pa.Table:
-        # block-distinct payload per sig, tagged kind=0; memberships kind=1
-        sigs = b['sig'].to_numpy()
-        order = np.argsort(sigs, kind='stable')
-        ss = sigs[order]
-        first = (np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss)
-                 else np.zeros(0, bool))
-        sub = b.take(pa.array(order[first]))
-        n0, n1 = len(sub), len(b)
-        cols = {
-            'kind': pa.array(np.concatenate(
-                [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
-            'sig': pa.concat_arrays([sub['sig'].combine_chunks(),
-                                     b['sig'].combine_chunks()]),
-            'sz': pa.concat_arrays(
-                [sub['sz'].combine_chunks(),
-                 pa.nulls(n1, b['sz'].type)]),
-            'plen': pa.concat_arrays(
-                [sub['plen'].combine_chunks(),
-                 pa.nulls(n1, b['plen'].type)]),
-            'ranks': pa.concat_arrays(
-                [sub['ranks'].combine_chunks(),
-                 pa.nulls(n1, b['ranks'].type)]),
-            'side': pa.concat_arrays(
-                [pa.nulls(n0, pa.int8()), b['side'].combine_chunks()]),
-            'key': pa.concat_arrays(
-                [pa.nulls(n0, b['key'].type), b['key'].combine_chunks()]),
-        }
-        if keep_string:
-            cols['s'] = pa.concat_arrays(
-                [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
-        return pa.table(cols)
-
-    for batch in tagged.map_batches(split, batch_format='pyarrow') \
-            .iter_batches(batch_format='pyarrow', batch_size=None):
-        t = pa.table(batch)
+    for t in blocks:
         kind = t['kind'].to_numpy(zero_copy_only=False)
         pay_parts.append(t.filter(pa.array(kind == 0)))
         mem_parts.append(t.filter(pa.array(kind == 1))
@@ -636,7 +598,7 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
     pay = pa.concat_tables(pay_parts).combine_chunks() if pay_parts else None
     mem = pa.concat_tables(mem_parts).combine_chunks() if mem_parts else None
     if pay is None or len(pay) == 0:
-        return None, 0
+        return None, pa.table({}), 0
 
     sigs = pay['sig'].to_numpy()
     order = np.argsort(sigs, kind='stable')
@@ -678,30 +640,84 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
         sub['plen'].to_numpy().astype(np.int64),
         l_off, l_flat, r_off, r_flat,
         sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
-    return ray.put(bc), n
-
-
-def tsig_postings_input(bc_ref) -> ray.data.Dataset:
-    """Dataset view of the broadcast signature table for postings
-    generation (sig, sz, plen, ranks, c_l, c_r)."""
-    bc = ray.get(bc_ref)
-    ranks = pa.ListArray.from_arrays(
-        pa.array(bc.rank_off, pa.int32()),
-        pa.array(bc.rank_flat, pa.int32()))
-    tbl = pa.table({
+    post_tbl = pa.table({
         'sig': pa.array(bc.sigs.astype(np.int64)),
         'sz': pa.array(bc.sz.astype(np.int32), pa.int32()),
         'plen': pa.array(bc.plen.astype(np.int32), pa.int32()),
-        'ranks': ranks,
+        'ranks': pa.ListArray.from_arrays(
+            pa.array(bc.rank_off, pa.int32()),
+            pa.array(bc.rank_flat, pa.int32())),
         'c_l': pa.array(np.diff(bc.l_key_off)),
         'c_r': pa.array(np.diff(bc.r_key_off)),
     })
+    return bc, post_tbl, n
+
+
+def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
+                 keep_string: bool) -> tuple:
+    """Fold per-block combiner outputs into the broadcast signature table
+    OFF the driver: the distributed split keeps per-block work parallel and
+    a single Ray task builds the broadcast + postings-source table, so the
+    driver only ever holds object refs.  Returns
+    (bc_ref, postings_table_ref, num_sigs)."""
+
+    def split(b: pa.Table) -> pa.Table:
+        # block-distinct payload per sig, tagged kind=0; memberships kind=1
+        sigs = b['sig'].to_numpy()
+        order = np.argsort(sigs, kind='stable')
+        ss = sigs[order]
+        first = (np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss)
+                 else np.zeros(0, bool))
+        sub = b.take(pa.array(order[first]))
+        n0, n1 = len(sub), len(b)
+        cols = {
+            'kind': pa.array(np.concatenate(
+                [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
+            'sig': pa.concat_arrays([sub['sig'].combine_chunks(),
+                                     b['sig'].combine_chunks()]),
+            'sz': pa.concat_arrays(
+                [sub['sz'].combine_chunks(),
+                 pa.nulls(n1, b['sz'].type)]),
+            'plen': pa.concat_arrays(
+                [sub['plen'].combine_chunks(),
+                 pa.nulls(n1, b['plen'].type)]),
+            'ranks': pa.concat_arrays(
+                [sub['ranks'].combine_chunks(),
+                 pa.nulls(n1, b['ranks'].type)]),
+            'side': pa.concat_arrays(
+                [pa.nulls(n0, pa.int8()), b['side'].combine_chunks()]),
+            'key': pa.concat_arrays(
+                [pa.nulls(n0, b['key'].type), b['key'].combine_chunks()]),
+        }
+        if keep_string:
+            cols['s'] = pa.concat_arrays(
+                [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
+        return pa.table(cols)
+
+    split_ds = tagged.map_batches(split, batch_format='pyarrow').materialize()
+    refs = []
+    for bundle in split_ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return None, None, 0
+    builder = ray.remote(num_cpus=2, num_returns=3)(_build_tsig_broadcast)
+    bc_ref, tbl_ref, n_ref = builder.remote(same_relation, keep_string, *refs)
+    n = int(ray.get(n_ref))
+    if n == 0:
+        return None, None, 0
+    return bc_ref, tbl_ref, n
+
+
+def tsig_postings_input(tbl_ref, num_sigs: int) -> ray.data.Dataset:
+    """Dataset view of the postings-source table built by the remote
+    collect_tsig builder — constructed from the REF, never fetched to the
+    driver."""
     # enough blocks that the downstream groupby(bucket).map_groups stage
     # gets fine-grained tasks — its task count follows the shuffle's block
     # count, and the per-bucket kernel cost is heavily skewed
     cpus = int(ray.cluster_resources().get('CPU', 8))
-    nblocks = int(min(cpus * 8, max(cpus, len(tbl) // 128, 1)))
-    ds = ray.data.from_arrow(tbl)
+    nblocks = int(min(cpus * 8, max(cpus, num_sigs // 128, 1)))
+    ds = ray.data.from_arrow_refs([tbl_ref])
     return ds.repartition(nblocks) if nblocks > 1 else ds
 
 
@@ -942,13 +958,14 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         size_bytes_hint is None or size_bytes_hint < BROADCAST_GATE_BYTES)
 
     if use_broadcast:
-        bc_ref, nsig = collect_tsig(tagged, same_relation, keep_string)
+        bc_ref, tbl_ref, nsig = collect_tsig(tagged, same_relation,
+                                             keep_string)
         if bc_ref is None:
             return ray.data.from_pandas(pd.DataFrame({
                 'l_key': np.array([], object),
                 'r_key': np.array([], object),
                 '_sim_score': np.array([], np.float64)}))
-        postings = tsig_postings_input(bc_ref).map_batches(
+        postings = tsig_postings_input(tbl_ref, nsig).map_batches(
             SlimPostingsStage(nb, heavy_ref), batch_format='pyarrow')
         fn = BroadcastPairGenVerify(
             bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,

@@ -53,9 +53,22 @@ def sha256_xor_rollup(ds: ray.data.Dataset, col: str = 'sha256') -> str:
     """Order-independent roll-up of a hex-digest column: XOR of the first 16
     hex chars (64 bits) of every row digest, carried as two 32-bit halves."""
     def part(batch: pa.Table) -> pa.Table:
-        acc = 0
-        for h in batch[col].to_pylist():
-            acc ^= int(h[:16], 16)
+        # vectorized hex parse: first 16 hex chars per row → uint64, then a
+        # single XOR reduction (no per-row Python)
+        import pyarrow.compute as pc
+        col16 = pc.utf8_slice_codeunits(
+            batch[col].combine_chunks(), 0, 16)
+        joined = ''.join(col16.to_pylist())
+        if joined:
+            b = np.frombuffer(joined.encode('ascii'), dtype=np.uint8)
+            nib = np.where(b >= ord('a'), b - ord('a') + 10, b - ord('0')) \
+                .astype(np.uint64)
+            nib = nib.reshape(-1, 16)
+            shifts = np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64)
+            vals = (nib << shifts).sum(axis=1, dtype=np.uint64)
+            acc = int(np.bitwise_xor.reduce(vals))
+        else:
+            acc = 0
         return pa.table({'lo': pa.array([acc & 0xFFFFFFFF], pa.int64()),
                          'hi': pa.array([acc >> 32], pa.int64())})
     parts = ds.map_batches(part, batch_format='pyarrow').to_pandas()

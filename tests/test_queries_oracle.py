@@ -72,15 +72,9 @@ def test_all_queries_have_callables():
     'ann_topk_embeddings', 'cluster_components_part', 'media_meta_documents',
     'minhash_lsh_documents', 'simhash_documents',
     'fingerprint_documents', 'media_decode_documents',
-])
-def test_query_vs_oracle(name, con):
-    _compare(name, con)
-
-
-@pytest.mark.parametrize('name', [
     'suffix_filter_part',
 ])
-def test_rows_only_queries_run(name, con):
+def test_query_vs_oracle(name, con):
     _compare(name, con)
 
 
