@@ -202,11 +202,13 @@ def run_scaling():
         a, b = sub_once(ncpu), sub_once(ncpu)
         return a if a['wall_sec'] <= b['wall_sec'] else b
 
-    lo, hi = sub(8), sub(32)
-    eff = (lo['wall_sec'] / hi['wall_sec']) / (32 / 8)
+    cpus_lo = int(os.environ.get('SSJ_SCALE_LO', '8'))
+    cpus_hi = int(os.environ.get('SSJ_SCALE_HI', '32'))
+    lo, hi = sub(cpus_lo), sub(cpus_hi)
+    eff = (lo['wall_sec'] / hi['wall_sec']) / (cpus_hi / cpus_lo)
     print(json.dumps({
         'metric': 'scaling_efficiency', 'value': round(eff, 3),
-        'unit': 'ratio', 'cpus_lo': 8, 'cpus_hi': 32,
+        'unit': 'ratio', 'cpus_lo': cpus_lo, 'cpus_hi': cpus_hi,
         'wall_sec_lo': lo['wall_sec'], 'wall_sec_hi': hi['wall_sec'],
         'pairs_verified': lo['pairs_verified'],
         'throughput_lo_pairs_per_sec': lo['pairs_verified_per_sec'],
