@@ -61,6 +61,9 @@ def distributed_token_frequencies(tokenized: ray.data.Dataset
 def _rank_block(block, offset: int) -> pa.Table:
     tbl = (pa.Table.from_pandas(block, preserve_index=False)
            if isinstance(block, pd.DataFrame) else block)
+    if 'token' not in tbl.column_names:  # empty sort block, no schema
+        return pa.table({'token': pa.array([], pa.string()),
+                         'rank': pa.array([], pa.int64())})
     n = len(tbl)
     return pa.table({'token': tbl['token'],
                      'rank': pa.array(np.arange(offset + 1, offset + n + 1,

@@ -590,6 +590,10 @@ def _build_tsig_broadcast(same_relation, keep_string, *blocks):
     the object refs (num_returns=3)."""
     pay_parts, mem_parts = [], []
     for t in blocks:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if 'kind' not in t.column_names:  # schemaless empty block
+            continue
         kind = t['kind'].to_numpy(zero_copy_only=False)
         pay_parts.append(t.filter(pa.array(kind == 0)))
         mem_parts.append(t.filter(pa.array(kind == 1))
