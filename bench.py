@@ -130,7 +130,12 @@ def run_default():
     print(json.dumps({
         'metric': 'bench_total_wall_sec', 'value': total, 'unit': 'sec',
         'queries': times, 'rows': rows, 'sf': SF_DIR,
-        'num_cpus': NUM_CPUS}))
+        'num_cpus': NUM_CPUS,
+        # round 2 grew the flagship corpus 6x (124k -> 744k files) so the
+        # scaling protocol keeps parallel work dominant; linkage_flagship
+        # wall times are NOT comparable to round 1 without this factor
+        'flagship_corpus_files': 743832,
+        'flagship_corpus_scale_vs_r1': 6.0}))
 
 
 def run_linkage_once():
