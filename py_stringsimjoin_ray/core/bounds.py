@@ -116,3 +116,27 @@ def overlap_threshold(l_num_tokens: int, r_num_tokens: int, sim_type: str,
     if sim_type == 'OVERLAP_COEFFICIENT':
         return ceil(round(threshold * min(l_num_tokens, r_num_tokens), 4))
     raise ValueError(sim_type)
+
+
+def overlap_threshold_many(l_num_tokens, r_num_tokens, sim_type: str,
+                           threshold):
+    """Vectorized ``overlap_threshold`` for the set measures (numpy int64
+    arrays in, int64 array out).  Same round-before-ceil semantics as the
+    scalar form; numpy and Python both round half-to-even."""
+    import numpy as np
+    n1 = np.asarray(l_num_tokens, dtype=np.int64)
+    n2 = np.asarray(r_num_tokens, dtype=np.int64)
+    if sim_type == 'COSINE':
+        v = np.ceil(np.round(threshold * np.sqrt((n1 * n2).astype(np.float64)),
+                             4))
+    elif sim_type == 'DICE':
+        v = np.ceil(np.round((threshold / 2) * (n1 + n2), 4))
+    elif sim_type == 'JACCARD':
+        v = np.ceil(np.round((threshold / (1 + threshold)) * (n1 + n2), 4))
+    elif sim_type == 'OVERLAP':
+        return np.full(len(n1), int(threshold), dtype=np.int64)
+    elif sim_type == 'OVERLAP_COEFFICIENT':
+        v = np.ceil(np.round(threshold * np.minimum(n1, n2), 4))
+    else:
+        raise ValueError(sim_type)
+    return v.astype(np.int64)

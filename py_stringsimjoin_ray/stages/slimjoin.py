@@ -757,6 +757,19 @@ class BroadcastPairGenVerify:
                              '_sim_score': np.array([], np.float64)})
 
     def __call__(self, tbl) -> pd.DataFrame:
+        import os as _os
+        import time as _time
+        prof = _os.environ.get('SSJ_KERNEL_PROF')
+        _t = _time.perf_counter() if prof else 0.0
+        _ph: dict = {}
+
+        def _mark(name):
+            nonlocal _t
+            if prof:
+                now = _time.perf_counter()
+                _ph[name] = _ph.get(name, 0.0) + (now - _t)
+                _t = now
+
         con = _duck()
         if con is None:  # pragma: no cover
             raise RuntimeError('slim join path requires duckdb')
@@ -767,6 +780,7 @@ class BroadcastPairGenVerify:
         if self._bc is None:
             self._bc = ray.get(self.bc_ref)
         bc = self._bc
+        _mark('setup')
 
         size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
                                                'r1', 'r2')
@@ -788,6 +802,7 @@ class BroadcastPairGenVerify:
             GROUP BY 1, 2
             HAVING {' AND '.join(having)}""").arrow()
         con.unregister('t_slim')
+        _mark('candgen')
         if len(cand) == 0:
             return self._empty()
 
@@ -796,52 +811,91 @@ class BroadcastPairGenVerify:
         gmin = cand['gmin'].to_numpy().astype(np.int64)
         ia = bc.index_of(sa)
         ib = bc.index_of(sb)
+        is_ed = self.sim_type == 'EDIT_DISTANCE'
 
-        # ---- ownership: drop pairs whose globally-min shared prefix token
-        # ranks below this bucket's gmin (anti-join over broadcast prefixes)
-        part = np.unique(np.concatenate([ia, ib]))
-        pref_cls, pref_tok = self._explode(bc, part, prefix_only=True)
-        pairs_tbl = pa.table({'pid': np.arange(len(ia), dtype=np.int64),
-                              'ia': ia.astype(np.int64),
-                              'ib': ib.astype(np.int64),
-                              'gmin': gmin})
-        pref_tbl = pa.table({'cls': pref_cls, 'tok': pref_tok})
-        con.register('t_pairs', pairs_tbl)
-        con.register('t_pref', pref_tbl)
-        # ONE join per statement: with reorder freedom DuckDB mis-estimates
-        # the registered tables and may join the two token tables with each
-        # other before the pair semi-filter (observed 100x regressions)
-        con.execute("""
-            CREATE OR REPLACE TEMP TABLE t_lt AS
-            SELECT c.pid, c.ib, p1.tok
-            FROM t_pairs c JOIN t_pref p1 ON p1.cls = c.ia
-                                         AND p1.tok < c.gmin""")
-        bad = con.execute("""
-            SELECT DISTINCT e.pid
-            FROM t_lt e JOIN t_pref p2 ON p2.cls = e.ib
-                                      AND p2.tok = e.tok""").arrow()
-        con.execute('DROP TABLE t_lt')
-        con.unregister('t_pairs')
-        keep = np.ones(len(ia), bool)
-        if len(bad):
-            keep[bad['pid'].to_numpy().astype(np.int64)] = False
-        ia, ib = ia[keep], ib[keep]
-        if len(ia) == 0:
-            con.unregister('t_pref')
-            return self._empty()
+        # ---- one prefix-intersection join computes, per candidate pair:
+        #   mintok = globally-min shared prefix token  → OWNERSHIP (this
+        #            bucket owns the pair iff mintok == its gmin),
+        #   pov    = |prefix_A ∩ prefix_B|,
+        #   pamax/pbmax = positions of the LAST shared prefix token in each
+        #            full sorted rank array.
+        # Sound position-filter bound (reference semantics generalized to
+        # the whole prefix, filter/position_filter.py:340-344): every shared
+        # token ranked below the last shared prefix token is itself in both
+        # prefixes, so  overlap <= pov + min(szA-1-pamax, szB-1-pbmax).
+        n_pairs = len(ia)
+        plA = np.minimum(bc.rank_off[ia + 1] - bc.rank_off[ia], bc.plen[ia])
+        plB = np.minimum(bc.rank_off[ib + 1] - bc.rank_off[ib], bc.plen[ib])
 
+        def pref_keys(idx, pl):
+            # (pid << 32 | tok) keys over each pair's prefix slice; pid
+            # ascends block-wise and tok ascends within each block (rank
+            # arrays are sorted), so the keys come out GLOBALLY sorted —
+            # the whole intersection is sort-free
+            tot = int(pl.sum())
+            seg = np.concatenate(([0], np.cumsum(pl))).astype(np.int64)
+            if tot == 0:
+                return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                        np.empty(0, np.int64), seg)
+            pid = np.repeat(np.arange(n_pairs, dtype=np.int64), pl)
+            off = np.arange(tot, dtype=np.int64) - np.repeat(seg[:-1], pl)
+            tok = bc.rank_flat[np.repeat(bc.rank_off[idx], pl) + off]
+            key = ((pid.astype(np.uint64) << np.uint64(32))
+                   | tok.astype(np.uint64))
+            return key, pid, off, seg
+
+        keyA, pidA, offA, segA = pref_keys(ia, plA)
+        keyB, pidB, offB, segB = pref_keys(ib, plB)
+        mintok = np.full(n_pairs, np.iinfo(np.int64).max, dtype=np.int64)
+        pov = np.zeros(n_pairs, dtype=np.int64)
+        pamax = np.zeros(n_pairs, dtype=np.int64)
+        pbmax = np.zeros(n_pairs, dtype=np.int64)
+        if len(keyA) and len(keyB):
+            loc = np.searchsorted(keyA, keyB)
+            loc = np.minimum(loc, len(keyA) - 1)
+            hit = keyA[loc] == keyB
+            if hit.any():
+                # hits stay sorted by (pid, tok): min/max per pid are the
+                # first/last element of each pid run — no ufunc.at needed
+                hpid = pidB[hit]
+                htok = (keyB[hit] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                brk = np.flatnonzero(hpid[1:] != hpid[:-1])
+                ifirst = np.concatenate(([0], brk + 1))
+                ilast = np.concatenate((brk, [len(hpid) - 1]))
+                pu = hpid[ifirst]
+                mintok[pu] = htok[ifirst]
+                pov = np.bincount(hpid, minlength=n_pairs)
+                pamax[pu] = (loc[hit] - segA[hpid])[ilast]
+                pbmax[pu] = offB[hit][ilast]
+
+        own = mintok == gmin
         l_cnt = np.diff(bc.l_key_off)
         r_cnt = np.diff(bc.r_key_off)
-        checked = int((l_cnt[ia] * r_cnt[ib]).sum())
+        # counter semantics: candidate pairs surviving ownership dedup (the
+        # verify inputs), record-pair weighted — unchanged from round 2
+        checked = int((l_cnt[ia[own]] * r_cnt[ib[own]]).sum())
         if self.counter_name and checked:
             try:
                 ray.get_actor(self.counter_name).add.remote(checked)
             except ValueError:
                 pass
 
+        keep = own
+        if not is_ed:
+            szA = bc.sz[ia]
+            szB = bc.sz[ib]
+            ovt = bounds.overlap_threshold_many(szA, szB, self.sim_type,
+                                                self.threshold)
+            ub = pov + np.minimum(szA - 1 - pamax, szB - 1 - pbmax)
+            keep = own & (ub >= ovt)
+        ia, ib = ia[keep], ib[keep]
+        pov, pamax, pbmax = pov[keep], pamax[keep], pbmax[keep]
+        _mark('ownership')
+        if len(ia) == 0:
+            return self._empty()
+
         # ---- exact verification --------------------------------------
-        if self.sim_type == 'EDIT_DISTANCE':
-            con.unregister('t_pref')
+        if is_ed:
             keep = np.abs(bc.s_len[ia] - bc.s_len[ib]) <= self.threshold
             ia, ib = ia[keep], ib[keep]
             if len(ia) == 0:
@@ -849,30 +903,12 @@ class BroadcastPairGenVerify:
             scores = _lev_many(bc.s[ia].tolist(),
                                bc.s[ib].tolist()).astype(np.float64)
         else:
-            full_cls, full_tok = self._explode(bc, part, prefix_only=False)
-            con.register('t_toks', pa.table({'cls': full_cls,
-                                             'tok': full_tok}))
-            con.register('t_vp', pa.table({
-                'pid': np.arange(len(ia), dtype=np.int64),
-                'ia': ia.astype(np.int64), 'ib': ib.astype(np.int64)}))
-            # one join per statement (see ownership note above)
-            con.execute("""
-                CREATE OR REPLACE TEMP TABLE t_oexp AS
-                SELECT v.pid, v.ib, t1.tok
-                FROM t_vp v JOIN t_toks t1 ON t1.cls = v.ia""")
-            res = con.execute("""
-                SELECT e.pid AS pid, count(*) AS o
-                FROM t_oexp e JOIN t_toks t2 ON t2.cls = e.ib
-                                            AND t2.tok = e.tok
-                GROUP BY 1""").arrow()
-            con.execute('DROP TABLE t_oexp')
-            con.unregister('t_toks')
-            con.unregister('t_vp')
-            con.unregister('t_pref')
-            o = np.zeros(len(ia), dtype=np.int64)
-            if len(res):
-                o[res['pid'].to_numpy().astype(np.int64)] = \
-                    res['o'].to_numpy().astype(np.int64)
+            # overlap = pov + |tail_A ∩ tail_B| where the tails start just
+            # after the last shared prefix position (all earlier shared
+            # tokens are already in pov — see bound derivation above).
+            # Tails are tiny for pruned survivors; a numpy sort-merge over
+            # (pid, token) keys replaces round 2's full-array explode join.
+            o = pov + self._tail_overlap(bc, ia, ib, pamax, pbmax)
             n1 = bc.sz[ia].astype(np.float64)
             n2 = bc.sz[ib].astype(np.float64)
             of = o.astype(np.float64)
@@ -893,6 +929,7 @@ class BroadcastPairGenVerify:
                 scores = np.round(scores, 4)
         keep = self.comp_fn(scores, self.threshold)
         ia, ib, scores = ia[keep], ib[keep], scores[keep]
+        _mark('verify')
         if len(ia) == 0:
             return self._empty()
 
@@ -910,22 +947,53 @@ class BroadcastPairGenVerify:
         if self.self_join:
             keep = out_l < out_r
             out_l, out_r, out_s = out_l[keep], out_r[keep], out_s[keep]
+        _mark('expand')
+        if prof:
+            import json as _json
+            _os.makedirs('/tmp/ssj_prof', exist_ok=True)
+            with open(f'/tmp/ssj_prof/{_os.getpid()}.jsonl', 'a') as f:
+                f.write(_json.dumps({'n_post': len(tbl),
+                                     'n_cand': len(cand),
+                                     'n_out': len(out_l), **_ph}) + '\n')
         return pd.DataFrame({'l_key': out_l, 'r_key': out_r,
                              '_sim_score': out_s})
 
     @staticmethod
-    def _explode(bc: _TsigBroadcast, part: np.ndarray, prefix_only: bool):
-        """(cls, tok) explode of the given sig indices from the broadcast
-        rank arrays — prefix slice or full arrays."""
-        starts = bc.rank_off[part]
-        lens = bc.rank_off[part + 1] - starts
-        if prefix_only:
-            lens = np.minimum(lens, bc.plen[part])
-        cls = np.repeat(part.astype(np.int64), lens)
-        pos = (np.arange(lens.sum(), dtype=np.int64)
-               - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens))
-        tok = bc.rank_flat[np.repeat(starts, lens) + pos].astype(np.int64)
-        return cls, tok
+    def _tail_overlap(bc: _TsigBroadcast, ia: np.ndarray, ib: np.ndarray,
+                      pamax: np.ndarray, pbmax: np.ndarray) -> np.ndarray:
+        """|A[pamax+1:] ∩ B[pbmax+1:]| per pair, via a sort-merge over
+        (pair, token) keys.  Set tokenizers make per-side tokens unique, so
+        the match count is the exact intersection size."""
+        m = len(ia)
+        startsA = bc.rank_off[ia] + pamax + 1
+        lensA = np.maximum(bc.rank_off[ia + 1] - startsA, 0)
+        startsB = bc.rank_off[ib] + pbmax + 1
+        lensB = np.maximum(bc.rank_off[ib + 1] - startsB, 0)
+
+        def keys(starts, lens):
+            tot = int(lens.sum())
+            if tot == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.int64)
+            pid = np.repeat(np.arange(m, dtype=np.int64), lens)
+            off = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])),
+                               lens))
+            tok = bc.rank_flat[np.repeat(starts, lens) + off]
+            return ((pid.astype(np.uint64) << np.uint64(32))
+                    | tok.astype(np.uint64)), pid
+
+        keyA, _ = keys(startsA, lensA)
+        keyB, pidB = keys(startsB, lensB)
+        out = np.zeros(m, dtype=np.int64)
+        if len(keyA) == 0 or len(keyB) == 0:
+            return out
+        keyA.sort()
+        pos = np.searchsorted(keyA, keyB)
+        pos = np.minimum(pos, len(keyA) - 1)
+        hit = keyA[pos] == keyB
+        if hit.any():
+            np.add.at(out, pidB[hit], 1)
+        return out
 
 
 # Above this estimated signature-table size the broadcast regime gives way
