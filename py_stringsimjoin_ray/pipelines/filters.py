@@ -498,6 +498,134 @@ class PositionFilter(Filter):
         return candidate_overlap
 
 
+def _lower_bound_vec(flat, base, lo, hi, probe):
+    """Per-pair lower bound of ``probe`` within the sorted window
+    ``flat[base+lo : base+hi+1]`` — vectorized binary search.  Equivalent to
+    the reference's windowed search (``filter/suffix_filter.py:411-421``)
+    for UNIQUE sorted arrays: an equality hit lands on the token's only
+    index, which is its lower bound."""
+    lo = lo.astype(np.int64).copy()
+    hi = hi.astype(np.int64).copy()
+    active = lo < hi
+    while active.any():
+        mid = (lo + hi) >> 1
+        v = flat[base + mid]
+        go_right = active & (v < probe)
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
+        active = lo < hi
+    return lo
+
+
+def _suffix_est2(lflat, rflat, ls_, ll, rs_, rl, hm):
+    """Depth-2 Hamming-bound estimate, closed form (its own sub-recursions
+    at depth 3 return plain length differences, so the branchy reference
+    code collapses — see pipelines/suffix_oracle.py for the derivation).
+    Slices: left = lflat[ls_:ls_+ll], right = rflat[rs_:rs_+rl]."""
+    ad = np.abs(ll - rl)
+    out = ad.astype(np.int64).copy()
+    gen = (ll > 0) & (rl > 0)
+    one = gen & (ll == 1) & (rl == 1)
+    if one.any():
+        out[one] = (lflat[ls_[one]] != rflat[rs_[one]]).astype(np.int64)
+    gen &= ~one
+    if not gen.any():
+        return out
+    gi = np.flatnonzero(gen)
+    llg, rlg = ll[gi], rl[gi]
+    lsg, rsg = ls_[gi], rs_[gi]
+    hmg, adg = hm[gi], ad[gi]
+    rmid = rlg >> 1
+    probe = rflat[rsg + rmid]
+    o = (hmg - adg) / 2.0
+    o_l = (llg < rlg).astype(np.int64)
+    lo = np.maximum(0, np.trunc(rmid - o - adg * o_l).astype(np.int64))
+    hi = np.minimum(llg - 1,
+                    np.trunc(rmid + o + adg * (1 - o_l)).astype(np.int64))
+    ok = (hi >= lo) & (lflat[lsg + np.minimum(lo, llg - 1)] <= probe) \
+        & (lflat[lsg + np.maximum(hi, 0)] >= probe)
+    resv = (hmg + 1).astype(np.int64)  # flag == 0 default
+    if ok.any():
+        oi = np.flatnonzero(ok)
+        pos = _lower_bound_vec(lflat, lsg[oi], lo[oi], hi[oi], probe[oi])
+        hit = lflat[lsg[oi] + pos] == probe[oi]
+        diff = (~hit).astype(np.int64)
+        lr_len = llg[oi] - pos - hit
+        hd0 = (np.abs(pos - rmid[oi])
+               + np.abs(lr_len - (rlg[oi] - rmid[oi] - 1)) + diff)
+        resv[oi] = hd0
+    out[gi] = resv
+    return out
+
+
+def _suffix_e1(lflat, rflat, ls_, lm, rs_, rm, hmax):
+    """Depth-1 estimate over suffix slices; returns the reference's
+    ``_est_hamming_dist_lower_bound(..., depth=1)`` value per pair."""
+    ad = np.abs(lm - rm)
+    e1 = ad.astype(np.int64).copy()
+    gen = (lm > 0) & (rm > 0)
+    one = gen & (lm == 1) & (rm == 1)
+    if one.any():
+        e1[one] = (lflat[ls_[one]] != rflat[rs_[one]]).astype(np.int64)
+    gen &= ~one
+    if not gen.any():
+        return e1
+    gi = np.flatnonzero(gen)
+    lmg, rmg = lm[gi], rm[gi]
+    lsg, rsg = ls_[gi], rs_[gi]
+    hmg, adg = hmax[gi], ad[gi]
+    rmid = rmg >> 1
+    probe = rflat[rsg + rmid]
+    o = (hmg - adg) / 2.0
+    o_l = (lmg < rmg).astype(np.int64)
+    lo = np.maximum(0, np.trunc(rmid - o - adg * o_l).astype(np.int64))
+    hi = np.minimum(lmg - 1,
+                    np.trunc(rmid + o + adg * (1 - o_l)).astype(np.int64))
+    ok = (hi >= lo) & (lflat[lsg + np.minimum(lo, lmg - 1)] <= probe) \
+        & (lflat[lsg + np.maximum(hi, 0)] >= probe)
+    resv = (hmg + 1).astype(np.int64)  # flag == 0 → prune marker
+    if ok.any():
+        oi = np.flatnonzero(ok)
+        pos = _lower_bound_vec(lflat, lsg[oi], lo[oi], hi[oi], probe[oi])
+        hit = lflat[lsg[oi] + pos] == probe[oi]
+        diff = (~hit).astype(np.int64)
+        # partition slices: l_l = ls[:pos], l_r = ls[pos+hit:],
+        #                   r_l = rs[:rmid], r_r = rs[rmid+1:]
+        ll_len = pos
+        lr_len = lmg[oi] - pos - hit
+        rl_len = rmid[oi]
+        rr_len = rmg[oi] - rmid[oi] - 1
+        lrdiff = np.abs(lr_len - rr_len)
+        hd0 = np.abs(ll_len - rl_len) + lrdiff + diff
+        hm_local = hmg[oi]
+        over = hd0 > hm_local
+        res_oi = hd0.astype(np.int64).copy()
+        rec = ~over
+        if rec.any():
+            ri = np.flatnonzero(rec)
+            hmL = hm_local[ri] - lrdiff[ri] - diff[ri]
+            e2l = _suffix_est2(lflat, rflat,
+                               lsg[oi][ri], ll_len[ri],
+                               rsg[oi][ri], rl_len[ri], hmL)
+            first = e2l + lrdiff[ri] + diff[ri]
+            res_ri = first.copy()
+            cond = first <= hm_local[ri]
+            if cond.any():
+                ci = np.flatnonzero(cond)
+                hmR = hm_local[ri][ci] - e2l[ci] - diff[ri][ci]
+                e2r = _suffix_est2(
+                    lflat, rflat,
+                    lsg[oi][ri][ci] + pos[ri][ci] + hit[ri][ci],
+                    lr_len[ri][ci],
+                    rsg[oi][ri][ci] + rmid[oi][ri][ci] + 1,
+                    rr_len[ri][ci], hmR)
+                res_ri[ci] = e2l[ci] + e2r + diff[ri][ci]
+            res_oi[ri] = res_ri
+        resv[oi] = res_oi
+    e1[gi] = resv
+    return e1
+
+
 class SuffixFilter(Filter):
     """``filter/suffix_filter.py``: recursive Hamming-distance lower bound on
     the ordered suffixes (max_depth=2).  filter_tables is an O(|L|·|R|)
@@ -659,8 +787,12 @@ class SuffixFilter(Filter):
             RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
 
         sf = self
+        vectorized = bool(getattr(self.tokenizer, 'get_return_set',
+                                  lambda: False)())
 
-        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        def probe_python(batch: pd.DataFrame) -> pd.DataFrame:
+            # bag-tokenizer fallback: duplicate tokens break the
+            # lower-bound equivalence the vectorized search relies on
             l_tbl = ray.get(l_ref)
             out_l, out_r = [], []
             for _, rrow in batch.iterrows():
@@ -680,7 +812,76 @@ class SuffixFilter(Filter):
                         out_l.append(lrow['key']); out_r.append(rrow['key'])
             return pd.DataFrame({'l_key': out_l, 'r_key': out_r})
 
-        pairs = ranked_r.map_batches(probe, batch_format='pandas')
+        def probe_vec(batch: pd.DataFrame) -> pd.DataFrame:
+            l_tbl = ray.get(l_ref)
+            l_keys = l_tbl['key'].to_numpy()
+            nl = len(l_keys)
+            l_lens = np.fromiter((len(x) for x in l_tbl['ranks']), np.int64,
+                                 nl)
+            l_off = np.concatenate(([0], np.cumsum(l_lens)))
+            l_flat = (np.concatenate([np.asarray(x, np.int64)
+                                      for x in l_tbl['ranks']])
+                      if l_lens.sum() else np.empty(0, np.int64))
+            l_sz = l_tbl['sz'].to_numpy().astype(np.int64)
+            l_pl = l_tbl['plen'].to_numpy().astype(np.int64)
+
+            r_keys = batch['key'].to_numpy()
+            nr = len(r_keys)
+            r_lens = np.fromiter((len(x) for x in batch['ranks']), np.int64,
+                                 nr)
+            r_off = np.concatenate(([0], np.cumsum(r_lens)))
+            r_flat = (np.concatenate([np.asarray(x, np.int64)
+                                      for x in batch['ranks']])
+                      if r_lens.sum() else np.empty(0, np.int64))
+            r_sz = batch['sz'].to_numpy().astype(np.int64)
+            r_pl = batch['plen'].to_numpy().astype(np.int64)
+
+            out_l, out_r = [], []
+            # chunk the R side so the m·|L| pair arrays stay cache-sized
+            chunk = max(1, int(2_000_000 // max(nl, 1)))
+            for c0 in range(0, nr, chunk):
+                ri = np.arange(c0, min(c0 + chunk, nr), dtype=np.int64)
+                li = np.tile(np.arange(nl, dtype=np.int64), len(ri))
+                rj = np.repeat(ri, nl)
+                ln, rn = l_sz[li], r_sz[rj]
+                lp, rp = l_pl[li], r_pl[rj]
+                T = bounds.overlap_threshold_many(ln, rn,
+                                                  self.sim_measure_type, t) \
+                    if st != 'EDIT_DISTANCE' else None
+                if T is None:  # pragma: no cover
+                    raise RuntimeError('vectorized path is set-measure only')
+                survive = np.zeros(len(li), dtype=bool)
+                if handle_empty:
+                    survive |= (ln == 0) & (rn == 0)
+                valid = (lp > 0) & (rp > 0)
+                trivial = valid & (lp >= T) & (rp >= T)
+                survive |= trivial
+                rest = valid & ~trivial
+                if rest.any():
+                    ki = np.flatnonzero(rest)
+                    hmax = ln[ki] + rn[ki] - 2 * T[ki]
+                    # slice extents from the actual rank arrays (== sz when
+                    # the ordering covers both tables, which filter_tables
+                    # guarantees; never lets a slice run past the buffer)
+                    e1 = _suffix_e1(
+                        l_flat, r_flat,
+                        l_off[li[ki]] + lp[ki], l_lens[li[ki]] - lp[ki],
+                        r_off[rj[ki]] + rp[ki], r_lens[rj[ki]] - rp[ki],
+                        hmax)
+                    sv = np.zeros(len(li), dtype=bool)
+                    sv[ki] = e1 <= hmax
+                    survive |= sv
+                if survive.any():
+                    out_l.append(l_keys[li[survive]])
+                    out_r.append(r_keys[rj[survive]])
+            if not out_l:
+                return pd.DataFrame({'l_key': np.array([], l_keys.dtype),
+                                     'r_key': np.array([], r_keys.dtype)})
+            return pd.DataFrame({'l_key': np.concatenate(out_l),
+                                 'r_key': np.concatenate(out_r)})
+
+        pairs = ranked_r.map_batches(
+            probe_vec if vectorized else probe_python, batch_format='pandas')
         cfg = _JoinConfig(st, self.tokenizer, t, '>=', False,
                           self.allow_missing, False)
         return _assemble_pandas(pairs, {}, ltable, rtable, l_key_attr,

@@ -139,10 +139,20 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     # semantics; one global artifact instead of per-worker rebuilds).  For a
     # self-join doubling every count leaves the ordering unchanged, so the
     # single tokenized Dataset suffices.
-    freq = token_frequencies(tok_l if same_relation else tok_l.union(tok_r))
-    lut = make_rank_lookup(freq)
+    if cfg.mode == 'join' and cfg.sim_type != 'EDIT_DISTANCE':
+        # hash-tie fast path: one fused vocabulary pass (SURVEY.md §2.9
+        # licenses any consistent total order for set measures — exact
+        # verification makes the join output ordering-independent)
+        from ..stages.postings import fused_rank_lookup
+        lut, heavy = fused_rank_lookup(
+            tok_l if same_relation else tok_l.union(tok_r),
+            cfg.salt_df_threshold)
+    else:
+        freq = token_frequencies(tok_l if same_relation
+                                 else tok_l.union(tok_r))
+        lut = make_rank_lookup(freq)
+        heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
     ordering_ref = ray.put(lut)
-    heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
     heavy_ref = ray.put(heavy) if heavy else None
 
     def ranked(tok_ds):

@@ -38,7 +38,7 @@ def _token_hashes(values: pa.Array) -> np.ndarray:
     return out['h'].to_numpy().astype(np.uint64)
 
 
-def make_rank_lookup(freq_table: pa.Table) -> dict:
+def make_rank_lookup(freq_table: pa.Table, tie: str = 'token') -> dict:
     """Token→rank lookup built ONCE on the driver as two numpy arrays
     (sorted token hashes + the rank at each hash) — numpy payloads live
     zero-copy in the object store, so every worker on a node shares one
@@ -69,7 +69,27 @@ def make_rank_lookup(freq_table: pa.Table) -> dict:
         pass
     con.register('t_vocab', freq_table)
     # plain ORDER BY (parallel radix sort) + arange ranks — ~6x faster than
-    # the row_number() window over multi-million-token vocabularies
+    # the row_number() window over multi-million-token vocabularies.
+    # tie='hash' breaks count ties by token HASH instead of the token string
+    # (radix sort over fixed-width ints, no string comparisons): any
+    # consistent total order yields identical SET-MEASURE join output
+    # because verification is exact (SURVEY.md §2.9 licenses this); filter
+    # modes and EDIT_DISTANCE (whose approximate recall depends on the
+    # reference's (count, token) order) keep tie='token'.
+    if tie == 'hash':
+        # both sorts are DuckDB parallel radix sorts over fixed-width ints;
+        # rowid of the temp table IS the rank (insertion order = rank order)
+        con.execute('CREATE TEMP TABLE t_o1 AS SELECT hash(token) AS h '
+                    'FROM t_vocab ORDER BY count, hash(token)')
+        res = con.execute('SELECT h, CAST(rowid + 1 AS INTEGER) AS rnk '
+                          'FROM t_o1 ORDER BY h').arrow()
+        con.close()
+        sh = res['h'].to_numpy().astype(np.uint64)
+        rnk = res['rnk'].to_numpy().astype(np.int32)
+        if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover
+            from .tokenize import build_ordering_table
+            return {'tokens': build_ordering_table(freq_table)}
+        return {'hashes': sh, 'ranks': rnk}
     res = con.execute(
         'SELECT hash(token) AS h FROM t_vocab ORDER BY count, token').arrow()
     con.close()
@@ -81,6 +101,62 @@ def make_rank_lookup(freq_table: pa.Table) -> dict:
         from .tokenize import build_ordering_table
         return {'tokens': build_ordering_table(freq_table)}
     return {'hashes': sh, 'ranks': rnk[order]}
+
+
+def fused_rank_lookup(tokenized, salt_df_threshold: int,
+                      max_grid: int = 16) -> tuple:
+    """One-pass ordering artifact for the hash-tie join path: per-block
+    combiner partials feed a single DuckDB parallel hash aggregate +
+    radix sort (count asc, token-hash tie) that yields the rank lookup AND
+    the heavy-token table — replaces the
+    token_frequencies → make_rank_lookup → heavy_token_table chain
+    (three serial vocabulary passes) with one.  Returns (lut, heavy)."""
+    import duckdb
+    from .tokenize import partial_token_counts
+    partial = tokenized.map_batches(partial_token_counts,
+                                    batch_format='pyarrow', batch_size=None)
+    parts = [pa.table(b) for b in partial.iter_batches(batch_size=None,
+                                                       batch_format='pyarrow')]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return ({'hashes': np.empty(0, np.uint64),
+                 'ranks': np.empty(0, np.int32)}, {})
+    merged = pa.concat_tables(parts)
+    con = duckdb.connect()
+    try:
+        import ray
+        if ray.is_initialized():
+            con.execute(f"SET threads TO "
+                        f"{max(1, int(ray.cluster_resources().get('CPU', 8)))}")
+    except Exception:  # pragma: no cover
+        pass
+    con.register('t_partials', merged)
+    con.execute('CREATE TEMP TABLE t_o1 AS '
+                'SELECT hash(token) AS h, sum(partial) AS c '
+                'FROM t_partials GROUP BY token '
+                'ORDER BY c, hash(token)')
+    res = con.execute('SELECT h, CAST(rowid + 1 AS INTEGER) AS rnk '
+                      'FROM t_o1 ORDER BY h').arrow()
+    hot = con.execute(
+        'SELECT CAST(rowid + 1 AS BIGINT) AS rnk, CAST(c AS BIGINT) AS c '
+        f'FROM t_o1 WHERE c >= {int(salt_df_threshold)}').arrow()
+    con.close()
+    sh = res['h'].to_numpy().astype(np.uint64)
+    rnk = res['rnk'].to_numpy().astype(np.int32)
+    n = len(sh)
+    if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover
+        # vocabulary hash collision: rebuild exactly via the slow chain
+        from .tokenize import token_frequencies as _tf
+        freq = _tf(tokenized)
+        lut = make_rank_lookup(freq)
+        return lut, heavy_token_table(freq, lut, salt_df_threshold, max_grid)
+    heavy: dict = {}
+    for hidx, (rk, c) in enumerate(zip(hot['rnk'].to_pylist(),
+                                       hot['c'].to_pylist())):
+        g = int(min(max_grid,
+                    max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
+        heavy[int(rk)] = (hidx, g)
+    return {'hashes': sh, 'ranks': rnk}, heavy
 
 
 # Per-worker-process cache for the exact-fallback pandas Index (collision
