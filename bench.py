@@ -185,7 +185,7 @@ def run_linkage_once():
            'num_matches': res['counters']['num_matches'],
            'num_records': res['counters']['num_records'],
            'pairs_verified_per_sec': round(verified / wall, 1),
-           'num_cpus': NUM_CPUS}
+           'num_cpus': NUM_CPUS, 'timings': res.get('timings', {})}
     ray.shutdown()
     print(json.dumps(out))
 

@@ -96,6 +96,24 @@ class _JoinConfig:
         self.full_prefix = mode == 'overlap_candidates'
 
 
+def _prof_mark():
+    """Env-gated (SSJ_STAGE_PROF=1) sub-stage wall profiler for the join's
+    driver-blocking points; prints ``SSJPROF <tag> <sec>`` to stderr."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+    if not _os.environ.get('SSJ_STAGE_PROF'):
+        return lambda tag: None
+    state = {'t': _time.time()}
+
+    def mark(tag):
+        now = _time.time()
+        print(f'SSJPROF {tag} {now - state["t"]:.2f}', file=_sys.stderr,
+              flush=True)
+        state['t'] = now
+    return mark
+
+
 def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                         l_join_attr, r_join_attr, cfg: _JoinConfig):
     """Core distributed pipeline → Dataset[(l_key, r_key[, _sim_score])],
@@ -103,6 +121,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     same_relation = (l_ds is r_ds and l_key_attr == r_key_attr
                      and l_join_attr == r_join_attr)
     l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
+    prof = _prof_mark()
 
     def _tokenized(ds, key_attr, join_attr):
         tok = ds.select_columns(list(dict.fromkeys([key_attr, join_attr]))) \
@@ -124,6 +143,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         tok_r = tok_l  # tokenize once; postings are emitted per side below
     else:
         tok_r = _tokenized(r_ds, r_key_attr, r_join_attr)
+    prof('tokenize')
 
     import os as _os
     if cfg.mode == 'join' and (
@@ -142,9 +162,10 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     if cfg.mode == 'join' and cfg.sim_type != 'EDIT_DISTANCE':
         # hash-tie fast path: one fused vocabulary pass (SURVEY.md §2.9
         # licenses any consistent total order for set measures — exact
-        # verification makes the join output ordering-independent)
+        # verification makes the join output ordering-independent); the
+        # merge runs remotely and the lut stays off the driver (ref only)
         from ..stages.postings import fused_rank_lookup
-        lut, heavy = fused_rank_lookup(
+        ordering_ref, heavy = fused_rank_lookup(
             tok_l if same_relation else tok_l.union(tok_r),
             cfg.salt_df_threshold)
     else:
@@ -152,7 +173,8 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                                  else tok_l.union(tok_r))
         lut = make_rank_lookup(freq)
         heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
-    ordering_ref = ray.put(lut)
+        ordering_ref = ray.put(lut)
+    prof('vocab_ordering')
     heavy_ref = ray.put(heavy) if heavy else None
 
     def ranked(tok_ds):

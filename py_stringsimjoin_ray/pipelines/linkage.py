@@ -224,6 +224,10 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         else:
             matches = matches.materialize()
     counters['num_matches'] = matches.count()
+    import os as _os
+    if _os.environ.get('SSJ_STAGE_PROF'):
+        import sys as _sys
+        print(matches.stats(), file=_sys.stderr, flush=True)
     _mark('matches')
 
     # ---------------- stage 3: clusters ------------------------------

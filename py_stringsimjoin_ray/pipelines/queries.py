@@ -281,6 +281,28 @@ def q_media_decode_documents(sf_dir):
                      ['doc_id', 'byte_len', 'feat_sum_256'])
 
 
+# ---------------------------------------------------------------- windows
+
+def q_window_agg_events(sf_dir):
+    from ..stages.windows import tumbling_window_agg
+    ev = _t(sf_dir, 'events')
+    out = tumbling_window_agg(ev, 'ts', 'user_id', 'value', 3600).to_pandas()
+    out = out[['user_id', 'window_id', 'n_events', 'sum_value']].copy()
+    # inputs are cents-valued; FP error on the partial sums is ~1e-12, far
+    # from any 4-decimal rounding boundary (avg is excluded from the gate —
+    # a rational sum/n CAN sit exactly on a half-tie)
+    out['sum_value'] = out['sum_value'].round(4)
+    return _keys_int(out, ['user_id', 'window_id', 'n_events'])
+
+
+def q_sessionize_events(sf_dir):
+    from ..stages.windows import sessionize
+    ev = _t(sf_dir, 'events')
+    out = sessionize(ev, 'ts', 'user_id', 'event_id', 1800).to_pandas()
+    return _keys_int(out[['event_id', 'user_id', 'session_seq']].copy(),
+                     ['event_id', 'user_id', 'session_seq'])
+
+
 QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
     'cosine_join_part': q_cosine_join_part,
@@ -308,6 +330,8 @@ QUERIES = {
     'cluster_components_part': q_cluster_components_part,
     'media_meta_documents': q_media_meta_documents,
     'media_decode_documents': q_media_decode_documents,
+    'window_agg_events': q_window_agg_events,
+    'sessionize_events': q_sessionize_events,
 }
 
 
@@ -704,6 +728,29 @@ verified AS (
   FROM cand c JOIN ssets sa ON c.l_id = sa.doc_id
               JOIN ssets sb ON c.r_id = sb.doc_id)
 SELECT l_id, r_id FROM verified WHERE j >= 0.6
+""",
+    # tumbling 1-hour windows over the events stream
+    # (stages/windows.py tumbling_window_agg)
+    'window_agg_events': """
+SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    # 30-minute-gap session windows, ties broken by event_id
+    # (stages/windows.py sessionize)
+    'sessionize_events': """
+WITH lagd AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN pt IS NULL OR tu - pt > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+FROM lagd
 """,
 }
 

@@ -155,19 +155,27 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
         batch_format='pyarrow')
 
     def band_postings(batch: pa.Table) -> pa.Table:
-        ids = batch['id'].to_pylist()
-        sig_lists = batch['sig'].to_pylist()
-        out_ids, out_buckets = [], []
-        for i, sig in enumerate(sig_lists):
-            s = np.asarray(sig, dtype=np.int64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band:(b + 1) * rows_per_band]
-                digest = hashlib.md5(
-                    chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                out_ids.append(ids[i])
-                out_buckets.append(digest)
-        return pa.table({'bucket': pa.array(out_buckets, pa.string()),
-                         'id': pa.array(out_ids)})
+        n = len(batch)
+        col = batch['sig']
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        mat = flat.reshape(n, bands, rows_per_band)
+        # 64-bit splitmix-style band digest, vectorized over (doc, band);
+        # like the md5[:16] digest it replaces, equal bands ⇒ equal digests
+        # and cross-band/cross-digest collisions are ~n²/2⁶⁴ (and removed by
+        # exact verification)
+        c1 = np.uint64(0x9E3779B97F4A7C15)
+        c2 = np.uint64(0xBF58476D1CE4E5B9)
+        h = np.arange(bands, dtype=np.uint64)[None, :] * c1
+        h = np.broadcast_to(h, (n, bands)).copy()
+        for r in range(rows_per_band):
+            h = (h ^ mat[:, :, r]) * c2
+            h ^= h >> np.uint64(31)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        return pa.table({'bucket': pa.array(h.ravel().view(np.int64),
+                                            pa.int64()),
+                         'id': batch['id'].take(take)})
 
     posts = sigs.map_batches(band_postings, batch_format='pyarrow')
 
@@ -379,6 +387,22 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
+# 16-bit popcount table (64 KiB, built once per worker import) — numpy<2 has
+# no bitwise_count kernel
+_POP16 = np.unpackbits(
+    np.arange(1 << 16, dtype='>u2').view(np.uint8)).reshape(-1, 16) \
+    .sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count over uint64."""
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    return (_POP16[(x & m).astype(np.int64)].astype(np.int64)
+            + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)])
+
 
 def _simhash_from_hashes(hs: np.ndarray) -> int:
     """±1 bit votes over shingle hashes, fully vectorized: one (m×64)
@@ -418,37 +442,54 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                           batch_format='pyarrow')
 
     def quarter_postings(batch: pa.Table) -> pa.Table:
-        ids = batch['id'].to_pylist()
-        sh = batch['simhash'].to_numpy(zero_copy_only=False)
-        out_b, out_i, out_s = [], [], []
-        for i, h in enumerate(sh):
-            hu = int(h) & 0xFFFFFFFFFFFFFFFF
-            for q in range(4):
-                part = (hu >> (16 * q)) & 0xFFFF
-                out_b.append((q << 16) | part)
-                out_i.append(ids[i])
-                out_s.append(int(h))  # signed int64 representation
-        return pa.table({'bucket': pa.array(out_b, pa.int64()),
-                         'id': pa.array(out_i),
-                         'simhash': pa.array(out_s, pa.int64())})
+        sh = batch['simhash'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        hu = sh.view(np.uint64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))
+        part = ((hu[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = (np.arange(4, dtype=np.int64)[None, :] << 16) | part
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        return pa.table({'bucket': pa.array(bucket.ravel(), pa.int64()),
+                         'id': batch['id'].take(take),
+                         'simhash': batch['simhash'].take(take)})
 
     posts = sigs.map_batches(quarter_postings, batch_format='pyarrow')
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates('id')
         ids = sub['id'].to_numpy()
-        hs = sub['simhash'].to_numpy().astype(np.uint64)
+        hs = sub['simhash'].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(ids)
+        empty = pd.DataFrame({'l_id': np.array([], ids.dtype),
+                              'r_id': np.array([], ids.dtype)})
+        if n < 2:
+            return empty
         out_l, out_r = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(hs[i]) ^ int(hs[j])).count('1')
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_l.append(a)
-                    out_r.append(b)
-        return pd.DataFrame({'l_id': out_l, 'r_id': out_r})
+        # chunk rows so the XOR pair matrix stays cache-sized even in a
+        # degenerate quarter bucket
+        chunk = max(1, int(2_000_000 // n))
+        for s in range(0, n, chunk):
+            i = np.arange(s, min(s + chunk, n), dtype=np.int64)
+            x = hs[i][:, None] ^ hs[None, :]
+            d = _popcount64(x.ravel()).reshape(len(i), n)
+            ii, jj = np.nonzero(d <= max_hamming)
+            gi = i[ii]
+            keep = gi < jj
+            a, b = ids[gi[keep]], ids[jj[keep]]
+            swap = a > b
+            out_l.append(np.where(swap, b, a))
+            out_r.append(np.where(swap, a, b))
+        if not out_l:
+            return empty
+        return pd.DataFrame({'l_id': np.concatenate(out_l),
+                             'r_id': np.concatenate(out_r)})
     pairs.__name__ = 'simhash_pairs'
 
     cand = posts.groupby('bucket').map_groups(pairs, batch_format='pandas')
-    return cand.groupby(['l_id', 'r_id']).map_groups(
-        lambda df: df.head(1), batch_format='pandas')
+    # global pair dedup (a pair can collide in up to 4 quarters): native
+    # C-speed aggregate instead of one Python call per distinct pair
+    from ray.data.aggregate import Count
+    uniq = cand.groupby(['l_id', 'r_id']).aggregate(Count())
+    return uniq.map_batches(lambda b: b.select(['l_id', 'r_id']),
+                            batch_format='pyarrow')

@@ -103,33 +103,25 @@ def make_rank_lookup(freq_table: pa.Table, tie: str = 'token') -> dict:
     return {'hashes': sh, 'ranks': rnk[order]}
 
 
-def fused_rank_lookup(tokenized, salt_df_threshold: int,
-                      max_grid: int = 16) -> tuple:
-    """One-pass ordering artifact for the hash-tie join path: per-block
-    combiner partials feed a single DuckDB parallel hash aggregate +
-    radix sort (count asc, token-hash tie) that yields the rank lookup AND
-    the heavy-token table — replaces the
-    token_frequencies → make_rank_lookup → heavy_token_table chain
-    (three serial vocabulary passes) with one.  Returns (lut, heavy)."""
+def _fused_rank_build(salt_df_threshold, max_grid, threads, *blocks):
+    """Remote body for ``fused_rank_lookup``: concat the combiner partial
+    blocks (zero-copy object-store reads) and run one DuckDB hash aggregate
+    + radix sort.  Returns (lut, heavy, collision_flag); the lut never
+    touches the driver — callers pass the returned object REF to the rank
+    stage."""
     import duckdb
-    from .tokenize import partial_token_counts
-    partial = tokenized.map_batches(partial_token_counts,
-                                    batch_format='pyarrow', batch_size=None)
-    parts = [pa.table(b) for b in partial.iter_batches(batch_size=None,
-                                                       batch_format='pyarrow')]
-    parts = [p for p in parts if len(p)]
+    parts = []
+    for t in blocks:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if len(t) and 'token' in t.column_names:
+            parts.append(t)
     if not parts:
         return ({'hashes': np.empty(0, np.uint64),
-                 'ranks': np.empty(0, np.int32)}, {})
+                 'ranks': np.empty(0, np.int32)}, {}, False)
     merged = pa.concat_tables(parts)
     con = duckdb.connect()
-    try:
-        import ray
-        if ray.is_initialized():
-            con.execute(f"SET threads TO "
-                        f"{max(1, int(ray.cluster_resources().get('CPU', 8)))}")
-    except Exception:  # pragma: no cover
-        pass
+    con.execute(f'SET threads TO {max(1, int(threads))}')
     con.register('t_partials', merged)
     con.execute('CREATE TEMP TABLE t_o1 AS '
                 'SELECT hash(token) AS h, sum(partial) AS c '
@@ -145,18 +137,52 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
     rnk = res['rnk'].to_numpy().astype(np.int32)
     n = len(sh)
     if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover
-        # vocabulary hash collision: rebuild exactly via the slow chain
-        from .tokenize import token_frequencies as _tf
-        freq = _tf(tokenized)
-        lut = make_rank_lookup(freq)
-        return lut, heavy_token_table(freq, lut, salt_df_threshold, max_grid)
+        return None, None, True
     heavy: dict = {}
     for hidx, (rk, c) in enumerate(zip(hot['rnk'].to_pylist(),
                                        hot['c'].to_pylist())):
         g = int(min(max_grid,
                     max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
         heavy[int(rk)] = (hidx, g)
-    return {'hashes': sh, 'ranks': rnk}, heavy
+    return {'hashes': sh, 'ranks': rnk}, heavy, False
+
+
+def fused_rank_lookup(tokenized, salt_df_threshold: int,
+                      max_grid: int = 16) -> tuple:
+    """One-pass ordering artifact for the hash-tie join path: per-block
+    combiner partials feed a single DuckDB parallel hash aggregate +
+    radix sort (count asc, token-hash tie) that yields the rank lookup AND
+    the heavy-token table — replaces the
+    token_frequencies → make_rank_lookup → heavy_token_table chain
+    (three serial vocabulary passes) with one.  The merge runs in a Ray
+    task over the partial-block REFS (the driver never streams the
+    partials).  Returns (lut_ref: ObjectRef, heavy: dict)."""
+    import ray
+
+    from .tokenize import partial_token_counts
+    partial = tokenized.map_batches(partial_token_counts,
+                                    batch_format='pyarrow',
+                                    batch_size=None).materialize()
+    refs = []
+    for bundle in partial.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return (ray.put({'hashes': np.empty(0, np.uint64),
+                         'ranks': np.empty(0, np.int32)}), {})
+    cpus = int(ray.cluster_resources().get('CPU', 8))
+    ncpu = max(2, min(8, cpus // 2))
+    builder = ray.remote(num_cpus=ncpu, num_returns=3)(_fused_rank_build)
+    lut_ref, heavy_ref, coll_ref = builder.remote(
+        salt_df_threshold, max_grid, ncpu, *refs)
+    heavy = ray.get(heavy_ref)
+    if ray.get(coll_ref):  # pragma: no cover
+        # vocabulary hash collision: rebuild exactly via the slow chain
+        from .tokenize import token_frequencies as _tf
+        freq = _tf(tokenized)
+        lut = make_rank_lookup(freq)
+        return (ray.put(lut),
+                heavy_token_table(freq, lut, salt_df_threshold, max_grid))
+    return lut_ref, heavy
 
 
 # Per-worker-process cache for the exact-fallback pandas Index (collision

@@ -162,11 +162,17 @@ class SlimPostingsStage:
     with side membership carried as hl/hr flags."""
 
     def __init__(self, num_buckets: int, heavy_ref=None,
-                 emit_sides: bool = True):
+                 emit_sides: bool = True, num_parts: int | None = None):
         self.num_buckets = num_buckets
         # same-relation broadcast postings have hl = hr = 1 on every row;
         # emit_sides=False drops the two flag columns from the shuffle
         self.emit_sides = emit_sides
+        # num_parts: emit a 'part' = hash(bucket) % num_parts column so the
+        # kernel can process MANY buckets per call (one SQL joining on
+        # (bucket, tok) per partition) — per-group DuckDB planning overhead
+        # (~20 ms) times tens of thousands of grid cells was the flagship's
+        # dominant cost otherwise
+        self.num_parts = num_parts
         heavy = None
         if heavy_ref is not None:
             heavy = (ray.get(heavy_ref)
@@ -246,6 +252,10 @@ class SlimPostingsStage:
             'pos': pa.array(pos),
             'kh': pa.array(kh_col),
         }
+        if self.num_parts:
+            part = ((bucket.astype(np.uint64) * KNUTH) >> np.uint64(9)) \
+                % np.uint64(self.num_parts)
+            cols['part'] = pa.array(part.astype(np.int32), pa.int32())
         if self.emit_sides:
             hl = (batch['c_l'].to_numpy() > 0).astype(np.int8)
             hr_flag = (batch['c_r'].to_numpy() > 0).astype(np.int8)
@@ -590,26 +600,30 @@ class _TsigBroadcast:
         return np.searchsorted(self.sigs, sig_values)
 
 
-def _build_tsig_broadcast(same_relation, keep_string, *blocks):
-    """Remote builder: fold block-distinct payloads + memberships into the
-    broadcast object and the postings-source table.  Runs as a Ray task so
-    the signature table never lands on the driver — the driver holds only
-    the object refs (num_returns=3)."""
+def _build_tsig_shard(shard, nshards, same_relation, keep_string, *blocks):
+    """Shard builder: fold the block-distinct payloads + memberships whose
+    63-bit signature falls in this shard's HIGH-BIT range (so shard order ==
+    global signature sort order) into sorted per-shard arrays.  Runs as one
+    of ``nshards`` parallel Ray tasks; blocks are zero-copy object-store
+    reads."""
+    shift = np.uint64(63 - int(nshards).bit_length() + 1)
     pay_parts, mem_parts = [], []
     for t in blocks:
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
         if 'kind' not in t.column_names:  # schemaless empty block
             continue
+        sig = t['sig'].to_numpy(zero_copy_only=False).astype(np.uint64)
+        in_range = (sig >> shift) == np.uint64(shard)
         kind = t['kind'].to_numpy(zero_copy_only=False)
-        pay_parts.append(t.filter(pa.array(kind == 0)))
-        mem_parts.append(t.filter(pa.array(kind == 1))
+        pay_parts.append(t.filter(pa.array(in_range & (kind == 0))))
+        mem_parts.append(t.filter(pa.array(in_range & (kind == 1)))
                           .select(['sig', 'side', 'key']))
 
     pay = pa.concat_tables(pay_parts).combine_chunks() if pay_parts else None
     mem = pa.concat_tables(mem_parts).combine_chunks() if mem_parts else None
     if pay is None or len(pay) == 0:
-        return None, pa.table({}), 0
+        return None
 
     sigs = pay['sig'].to_numpy()
     order = np.argsort(sigs, kind='stable')
@@ -645,12 +659,52 @@ def _build_tsig_broadcast(same_relation, keep_string, *blocks):
     else:
         r_off, r_flat = side_arrays(m_side == 1)
 
-    bc = _TsigBroadcast(
-        uniq, rank_off, rank_flat,
-        sub['sz'].to_numpy().astype(np.int64),
-        sub['plen'].to_numpy().astype(np.int64),
-        l_off, l_flat, r_off, r_flat,
-        sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
+    return (uniq, rank_off, rank_flat,
+            sub['sz'].to_numpy().astype(np.int64),
+            sub['plen'].to_numpy().astype(np.int64),
+            l_off, l_flat, r_off, r_flat,
+            sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
+
+
+def _stitch_tsig(same_relation, keep_string, *pieces):
+    """Stitch builder: concatenate the shard pieces (already in global
+    signature sort order — shards partition the HIGH bits) into the single
+    broadcast object + postings-source table.  Pure memcpy concatenation;
+    offset arrays are rebased by the running totals."""
+    pieces = [p for p in pieces if p is not None]
+    if not pieces:
+        return None, pa.table({}), 0
+
+    def cat(i, dtype=None):
+        arrs = [p[i] for p in pieces]
+        out = np.concatenate(arrs)
+        return out.astype(dtype) if dtype is not None else out
+
+    def cat_off(i):
+        # piece offset arrays all start at 0; rebase each by the cumulative
+        # flat length of the preceding pieces
+        outs, base = [np.zeros(1, np.int64)], 0
+        for p in pieces:
+            off = p[i]
+            outs.append(off[1:].astype(np.int64) + base)
+            base += int(off[-1])
+        return np.concatenate(outs)
+
+    uniq = cat(0)
+    rank_off = cat_off(1)
+    rank_flat = cat(2)
+    sz = cat(3)
+    plen = cat(4)
+    l_off, l_flat = cat_off(5), cat(6)
+    if same_relation:
+        r_off, r_flat = l_off, l_flat
+    else:
+        r_off, r_flat = cat_off(7), cat(8)
+    s_arr = cat(9) if keep_string else None
+    n = len(uniq)
+
+    bc = _TsigBroadcast(uniq, rank_off, rank_flat, sz, plen,
+                        l_off, l_flat, r_off, r_flat, s_arr)
     post_tbl = pa.table({
         'sig': pa.array(bc.sigs.astype(np.int64)),
         # dense row index into the sorted broadcast table: postings carry
@@ -669,12 +723,12 @@ def _build_tsig_broadcast(same_relation, keep_string, *blocks):
 
 
 def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
-                 keep_string: bool) -> tuple:
+                 keep_string: bool, nshards: int = 8) -> tuple:
     """Fold per-block combiner outputs into the broadcast signature table
-    OFF the driver: the distributed split keeps per-block work parallel and
-    a single Ray task builds the broadcast + postings-source table, so the
-    driver only ever holds object refs.  Returns
-    (bc_ref, postings_table_ref, num_sigs)."""
+    OFF the driver: the distributed split keeps per-block work parallel,
+    ``nshards`` parallel shard tasks fold disjoint signature ranges, and a
+    stitch task concatenates them — the driver only ever holds object refs.
+    Returns (bc_ref, postings_table_ref, num_sigs)."""
 
     def split(b: pa.Table) -> pa.Table:
         # block-distinct payload per sig, tagged kind=0; memberships kind=1
@@ -715,8 +769,13 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
         refs.extend(bundle.block_refs)
     if not refs:
         return None, None, 0
-    builder = ray.remote(num_cpus=2, num_returns=3)(_build_tsig_broadcast)
-    bc_ref, tbl_ref, n_ref = builder.remote(same_relation, keep_string, *refs)
+    shard_builder = ray.remote(num_cpus=1)(_build_tsig_shard)
+    piece_refs = [shard_builder.remote(s, nshards, same_relation,
+                                       keep_string, *refs)
+                  for s in range(nshards)]
+    stitcher = ray.remote(num_cpus=2, num_returns=3)(_stitch_tsig)
+    bc_ref, tbl_ref, n_ref = stitcher.remote(same_relation, keep_string,
+                                             *piece_refs)
     n = int(ray.get(n_ref))
     if n == 0:
         return None, None, 0
@@ -736,22 +795,105 @@ def tsig_postings_input(tbl_ref, num_sigs: int) -> ray.data.Dataset:
     return ds.repartition(nblocks) if nblocks > 1 else ds
 
 
-class BroadcastPairGenVerify:
-    """Single-shuffle bucket kernel for the broadcast regime: candidate
-    generation (size bounds + positional gate + salted-grid role rule),
-    min-common-token OWNERSHIP dedup (exact-once pairs, prefix arrays from
-    the broadcast), exact verification, and membership expansion — emits
-    final (l_key, r_key, _sim_score) record pairs."""
+class BroadcastCandGen:
+    """Per-bucket candidate generation over slim postings: one DuckDB
+    equi-join on the token with size bounds, the salted-grid role rule and
+    the group-local positional gate.  Emits one int64 ``pair64`` =
+    ``(si_a << 32) | si_b`` per distinct in-bucket candidate, keyed by its
+    verify-shuffle bucket ``vb = hash(pair64) % num_vbuckets``.
+
+    Exact-once semantics moved downstream: the global ``np.unique`` in
+    ``BroadcastVerify`` replaces the per-bucket min-common-token ownership
+    pass, which recomputed every pair's FULL prefix intersection in every
+    bucket the pair co-occurred in (measured ~11x the unique-candidate
+    count on the flagship corpus).  Union-over-buckets emission is sound:
+    the bucket of a pair's global-min shared prefix token always applies a
+    sound positional gate, and verification is exact."""
+
+    def __init__(self, sim_type: str, threshold, qval=None,
+                 same_relation: bool = False, num_vbuckets: int = 512):
+        self.__name__ = 'BroadcastCandGen'
+        self.sim_type = sim_type
+        self.threshold = threshold
+        self.qval = qval
+        self.same_relation = same_relation
+        self.num_vbuckets = num_vbuckets
+        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE',
+                                        'OVERLAP')
+
+    def __call__(self, tbl) -> pa.Table:
+        import os as _os
+        import time as _time
+        prof = _os.environ.get('SSJ_KERNEL_PROF')
+        _t0 = _time.perf_counter() if prof else 0.0
+        con = _duck()
+        if con is None:  # pragma: no cover
+            raise RuntimeError('slim join path requires duckdb')
+        if isinstance(tbl, pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        empty = pa.table({'vb': pa.array([], pa.int32()),
+                          'pair64': pa.array([], pa.int64())})
+        if len(tbl) == 0:
+            return empty
+
+        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
+                                               'r1', 'r2')
+                     if self._set_bounds else '')
+        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
+        if self._set_bounds:
+            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
+                                         'any_value(r1.sz)',
+                                         'any_value(r2.sz)')
+            having.append(
+                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
+                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
+        sides = ('r1.hl = 1 AND r2.hr = 1 AND '
+                 if 'hl' in tbl.column_names else '')
+        con.register('t_slim', tbl)
+        # one SQL per PARTITION of buckets: the bucket id joins alongside
+        # the token, so a single call covers every bucket in the group
+        cand = con.execute(f"""
+            SELECT r1.sig AS sa, r2.sig AS sb
+            FROM t_slim r1 JOIN t_slim r2
+              ON r1.bucket = r2.bucket AND r1.tok = r2.tok
+            WHERE {sides}(r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
+            GROUP BY 1, 2
+            HAVING {' AND '.join(having)}""").arrow()
+        con.unregister('t_slim')
+        if prof:
+            import json as _json
+            _os.makedirs('/tmp/ssj_prof_cg', exist_ok=True)
+            bk = tbl['bucket'].to_numpy()
+            with open(f'/tmp/ssj_prof_cg/{_os.getpid()}.jsonl', 'a') as f:
+                f.write(_json.dumps(
+                    {'n_post': len(tbl), 'n_cand': len(cand),
+                     'b_min': int(bk.min()), 'b_max': int(bk.max()),
+                     'sec': round(_time.perf_counter() - _t0, 4)}) + '\n')
+        if len(cand) == 0:
+            return empty
+        sa = cand['sa'].to_numpy().astype(np.int64)
+        sb = cand['sb'].to_numpy().astype(np.int64)
+        pair64 = (sa << np.int64(32)) | sb
+        vb = ((pair64.view(np.uint64) * KNUTH) >> np.uint64(17)) \
+            % np.uint64(self.num_vbuckets)
+        return pa.table({'vb': pa.array(vb.astype(np.int32), pa.int32()),
+                         'pair64': pa.array(pair64, pa.int64())})
+
+
+class BroadcastVerify:
+    """Per-verify-bucket exact-once verification: ``np.unique`` over the
+    incoming pair64s (a pair hashes to exactly one vb group, so this dedup
+    is global), ONE prefix intersection per unique pair (pov/pamax/pbmax),
+    the position-filter upper bound, exact tail-overlap (or Levenshtein)
+    verification, and membership expansion to final
+    (l_key, r_key, _sim_score) record pairs."""
 
     def __init__(self, bc_ref, sim_type: str, threshold, comp_op: str,
                  qval=None, same_relation: bool = False,
                  self_join: bool = False, round_score: bool = True,
-                 counter_name=None, use_index: bool = False):
-        self.__name__ = 'BroadcastPairGenVerify'
+                 counter_name=None):
+        self.__name__ = 'BroadcastVerify'
         self.bc_ref = bc_ref
-        # use_index: postings carry the dense broadcast row index ('si'),
-        # so sa/sb ARE positions in the broadcast arrays — no searchsorted
-        self.use_index = use_index
         self.sim_type = sim_type
         self.threshold = threshold
         self.comp_op = comp_op
@@ -761,9 +903,8 @@ class BroadcastPairGenVerify:
         self.self_join = self_join
         self.round_score = round_score
         self.counter_name = counter_name
-        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE',
-                                        'OVERLAP')
         self._bc = None
+        self._counter = None  # actor handle cached once per task
 
     def _empty(self) -> pd.DataFrame:
         return pd.DataFrame({'l_key': np.array([], object),
@@ -784,9 +925,6 @@ class BroadcastPairGenVerify:
                 _ph[name] = _ph.get(name, 0.0) + (now - _t)
                 _t = now
 
-        con = _duck()
-        if con is None:  # pragma: no cover
-            raise RuntimeError('slim join path requires duckdb')
         if isinstance(tbl, pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
         if len(tbl) == 0:
@@ -794,46 +932,13 @@ class BroadcastPairGenVerify:
         if self._bc is None:
             self._bc = ray.get(self.bc_ref)
         bc = self._bc
+        cand = np.unique(tbl['pair64'].to_numpy(zero_copy_only=False))
+        ia = (cand >> np.int64(32)).astype(np.int64)
+        ib = (cand & np.int64(0xFFFFFFFF)).astype(np.int64)
+        is_ed = self.sim_type == 'EDIT_DISTANCE'
         _mark('setup')
 
-        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
-                                               'r1', 'r2')
-                     if self._set_bounds else '')
-        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
-        if self._set_bounds:
-            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
-                                         'any_value(r1.sz)',
-                                         'any_value(r2.sz)')
-            having.append(
-                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
-                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
-        sides = ('r1.hl = 1 AND r2.hr = 1 AND '
-                 if 'hl' in tbl.column_names else '')
-        con.register('t_slim', tbl)
-        cand = con.execute(f"""
-            SELECT r1.sig AS sa, r2.sig AS sb, min(r1.tok) AS gmin
-            FROM t_slim r1 JOIN t_slim r2 ON r1.tok = r2.tok
-            WHERE {sides}(r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
-            GROUP BY 1, 2
-            HAVING {' AND '.join(having)}""").arrow()
-        con.unregister('t_slim')
-        _mark('candgen')
-        if len(cand) == 0:
-            return self._empty()
-
-        sa = cand['sa'].to_numpy().astype(np.int64)
-        sb = cand['sb'].to_numpy().astype(np.int64)
-        gmin = cand['gmin'].to_numpy().astype(np.int64)
-        if self.use_index:
-            ia, ib = sa, sb
-        else:
-            ia = bc.index_of(sa)
-            ib = bc.index_of(sb)
-        is_ed = self.sim_type == 'EDIT_DISTANCE'
-
-        # ---- one prefix-intersection join computes, per candidate pair:
-        #   mintok = globally-min shared prefix token  → OWNERSHIP (this
-        #            bucket owns the pair iff mintok == its gmin),
+        # ---- one prefix-intersection join computes, per UNIQUE pair:
         #   pov    = |prefix_A ∩ prefix_B|,
         #   pamax/pbmax = positions of the LAST shared prefix token in each
         #            full sorted rank array.
@@ -864,7 +969,6 @@ class BroadcastPairGenVerify:
 
         keyA, pidA, offA, segA = pref_keys(ia, plA)
         keyB, pidB, offB, segB = pref_keys(ib, plB)
-        mintok = np.full(n_pairs, np.iinfo(np.int64).max, dtype=np.int64)
         pov = np.zeros(n_pairs, dtype=np.int64)
         pamax = np.zeros(n_pairs, dtype=np.int64)
         pbmax = np.zeros(n_pairs, dtype=np.int64)
@@ -876,39 +980,37 @@ class BroadcastPairGenVerify:
                 # hits stay sorted by (pid, tok): min/max per pid are the
                 # first/last element of each pid run — no ufunc.at needed
                 hpid = pidB[hit]
-                htok = (keyB[hit] & np.uint64(0xFFFFFFFF)).astype(np.int64)
                 brk = np.flatnonzero(hpid[1:] != hpid[:-1])
                 ifirst = np.concatenate(([0], brk + 1))
                 ilast = np.concatenate((brk, [len(hpid) - 1]))
                 pu = hpid[ifirst]
-                mintok[pu] = htok[ifirst]
                 pov = np.bincount(hpid, minlength=n_pairs)
                 pamax[pu] = (loc[hit] - segA[hpid])[ilast]
                 pbmax[pu] = offB[hit][ilast]
 
-        own = mintok == gmin
         l_cnt = np.diff(bc.l_key_off)
         r_cnt = np.diff(bc.r_key_off)
-        # counter semantics: candidate pairs surviving ownership dedup (the
-        # verify inputs), record-pair weighted — unchanged from round 2
-        checked = int((l_cnt[ia[own]] * r_cnt[ib[own]]).sum())
+        # counter semantics: unique candidate pairs entering verification
+        # (== round 2's ownership survivors), record-pair weighted
+        checked = int((l_cnt[ia] * r_cnt[ib]).sum())
         if self.counter_name and checked:
             try:
-                ray.get_actor(self.counter_name).add.remote(checked)
+                if self._counter is None:
+                    self._counter = ray.get_actor(self.counter_name)
+                self._counter.add.remote(checked)
             except ValueError:
                 pass
 
-        keep = own
         if not is_ed:
             szA = bc.sz[ia]
             szB = bc.sz[ib]
             ovt = bounds.overlap_threshold_many(szA, szB, self.sim_type,
                                                 self.threshold)
             ub = pov + np.minimum(szA - 1 - pamax, szB - 1 - pbmax)
-            keep = own & (ub >= ovt)
-        ia, ib = ia[keep], ib[keep]
-        pov, pamax, pbmax = pov[keep], pamax[keep], pbmax[keep]
-        _mark('ownership')
+            keep = ub >= ovt
+            ia, ib = ia[keep], ib[keep]
+            pov, pamax, pbmax = pov[keep], pamax[keep], pbmax[keep]
+        _mark('intersect')
         if len(ia) == 0:
             return self._empty()
 
@@ -970,8 +1072,8 @@ class BroadcastPairGenVerify:
             import json as _json
             _os.makedirs('/tmp/ssj_prof', exist_ok=True)
             with open(f'/tmp/ssj_prof/{_os.getpid()}.jsonl', 'a') as f:
-                f.write(_json.dumps({'n_post': len(tbl),
-                                     'n_cand': len(cand),
+                f.write(_json.dumps({'n_in': len(tbl),
+                                     'n_uniq': len(cand),
                                      'n_out': len(out_l), **_ph}) + '\n')
         return pd.DataFrame({'l_key': out_l, 'r_key': out_r,
                              '_sim_score': out_s})
@@ -1054,24 +1156,34 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         from ray.data.context import ShuffleStrategy
         ray.data.DataContext.get_current().shuffle_strategy = \
             ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        from ..pipelines.join import _prof_mark
+        prof = _prof_mark()
         bc_ref, tbl_ref, nsig = collect_tsig(tagged, same_relation,
                                              keep_string)
+        prof('collect_tsig')
         if bc_ref is None:
             return ray.data.from_pandas(pd.DataFrame({
                 'l_key': np.array([], object),
                 'r_key': np.array([], object),
                 '_sim_score': np.array([], np.float64)}))
+        # constant across parallelism levels: the kernel-call count (and so
+        # the total candgen work) must not depend on cluster size, only the
+        # packing does
+        nparts = 256
         postings = tsig_postings_input(tbl_ref, nsig).map_batches(
             SlimPostingsStage(nb, heavy_ref,
-                              emit_sides=not same_relation),
+                              emit_sides=not same_relation,
+                              num_parts=nparts),
             batch_format='pyarrow')
-        fn = BroadcastPairGenVerify(
+        cand = postings.groupby('part').map_groups(
+            BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
+                             same_relation=same_relation, num_vbuckets=nb),
+            batch_format='pyarrow')
+        fn = BroadcastVerify(
             bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
             same_relation=same_relation, self_join=cfg.self_join,
-            round_score=True, counter_name=cfg.counter_name,
-            use_index=True)
-        return postings.groupby('bucket').map_groups(
-            fn, batch_format='pyarrow')
+            round_score=True, counter_name=cfg.counter_name)
+        return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
 
     # ---- Tmem: slim membership (sig, side, key) --------------------------
     def mem_cols(b: pa.Table) -> pa.Table:
