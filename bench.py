@@ -31,6 +31,14 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 # dominant
 CORPUS_ARGS = dict(num_clusters=144000, max_cluster=5, num_singletons=240000,
                    tokens_per_file=120, seed=42)
+# --scaling corpus: 2.5x the bench corpus (~1.86M files) so parallel work
+# dominates the fixed per-stage floors at BOTH levels (BASELINE.md §3);
+# selected via SSJ_SCALING_CORPUS=1 in the subprocesses
+SCALING_CORPUS_ARGS = dict(num_clusters=288000, max_cluster=5,
+                           num_singletons=480000, tokens_per_file=120,
+                           seed=42)
+if os.environ.get('SSJ_SCALING_CORPUS') == '1':
+    CORPUS_ARGS = SCALING_CORPUS_ARGS
 _ARGS_TAG = '_'.join(str(v) for v in CORPUS_ARGS.values())
 CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS',
                             f'/tmp/ssj_bench_corpus_{_ARGS_TAG}')
@@ -192,7 +200,8 @@ def run_linkage_once():
 
 def run_scaling():
     def sub_once(ncpu):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   SSJ_SCALING_CORPUS='1')
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             '--linkage-once'], env=env, capture_output=True,
                            text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -218,6 +227,7 @@ def run_scaling():
         'pairs_verified': lo['pairs_verified'],
         'throughput_lo_pairs_per_sec': lo['pairs_verified_per_sec'],
         'throughput_hi_pairs_per_sec': hi['pairs_verified_per_sec'],
+        'corpus_files': lo['num_records'],
     }))
 
 

@@ -41,19 +41,15 @@ def quality_score_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
     punctuation & uppercase ratios.  Formulas are plain integer counts and a
     single float division each, so a SQL oracle can reproduce them
     bit-exactly."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    n_tok = np.empty(n, np.int64)
-    punct = np.empty(n, np.int64)
-    upper = np.empty(n, np.int64)
-    for i, t in enumerate(texts):
-        t = t or ''
-        n_chars[i] = len(t)
-        toks = t.split()
-        n_tok[i] = len(toks)
-        punct[i] = sum(c in '.,;:!?' for c in t)
-        upper[i] = sum('A' <= c <= 'Z' for c in t)
+    col = pc.fill_null(batch[text_col], '')
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_tok = pc.count_substring_regex(col, r'\S+') \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    punct = pc.count_substring_regex(col, r'[.,;:!?]') \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    upper = pc.count_substring_regex(col, r'[A-Z]') \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     denom = np.maximum(n_chars, 1).astype(np.float64)
     out = batch.select([c for c in batch.column_names if c != text_col])
     out = out.append_column('n_chars_calc', pa.array(n_chars))

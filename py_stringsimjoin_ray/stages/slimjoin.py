@@ -304,7 +304,8 @@ class SlimPairGen:
         con.register('t_slim', tbl)
         res = con.execute(f"""
             SELECT r1.sig AS sa, r2.sig AS sb
-            FROM t_slim r1 JOIN t_slim r2 ON r1.tok = r2.tok
+            FROM t_slim r1 JOIN t_slim r2
+              ON r1.bucket = r2.bucket AND r1.tok = r2.tok
             WHERE r1.hl = 1 AND r2.hr = 1
               AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
             GROUP BY 1, 2
@@ -659,11 +660,26 @@ def _build_tsig_shard(shard, nshards, same_relation, keep_string, *blocks):
     else:
         r_off, r_flat = side_arrays(m_side == 1)
 
-    return (uniq, rank_off, rank_flat,
-            sub['sz'].to_numpy().astype(np.int64),
-            sub['plen'].to_numpy().astype(np.int64),
+    sz = sub['sz'].to_numpy().astype(np.int64)
+    plen = sub['plen'].to_numpy().astype(np.int64)
+    # per-shard postings-source piece (si is GLOBAL — the stitcher rebases
+    # it; everything else is final, so the stitched table is a zero-copy
+    # chunked concat)
+    piece_tbl = pa.table({
+        'sig': pa.array(uniq.astype(np.int64)),
+        'si': pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+        'sz': pa.array(sz.astype(np.int32), pa.int32()),
+        'plen': pa.array(plen.astype(np.int32), pa.int32()),
+        'ranks': pa.ListArray.from_arrays(
+            pa.array(rank_off, pa.int32()),
+            pa.array(rank_flat, pa.int32())),
+        'c_l': pa.array(np.diff(l_off)),
+        'c_r': pa.array(np.diff(r_off)),
+    })
+    return (uniq, rank_off, rank_flat, sz, plen,
             l_off, l_flat, r_off, r_flat,
-            sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
+            sub['s'].to_numpy(zero_copy_only=False) if keep_string else None,
+            piece_tbl)
 
 
 def _stitch_tsig(same_relation, keep_string, *pieces):
@@ -705,20 +721,12 @@ def _stitch_tsig(same_relation, keep_string, *pieces):
 
     bc = _TsigBroadcast(uniq, rank_off, rank_flat, sz, plen,
                         l_off, l_flat, r_off, r_flat, s_arr)
-    post_tbl = pa.table({
-        'sig': pa.array(bc.sigs.astype(np.int64)),
-        # dense row index into the sorted broadcast table: postings carry
-        # this 4-byte 'si' instead of the 8-byte sig, and the kernel skips
-        # the index_of searchsorted entirely
-        'si': pa.array(np.arange(n, dtype=np.int32), pa.int32()),
-        'sz': pa.array(bc.sz.astype(np.int32), pa.int32()),
-        'plen': pa.array(bc.plen.astype(np.int32), pa.int32()),
-        'ranks': pa.ListArray.from_arrays(
-            pa.array(bc.rank_off, pa.int32()),
-            pa.array(bc.rank_flat, pa.int32())),
-        'c_l': pa.array(np.diff(bc.l_key_off)),
-        'c_r': pa.array(np.diff(bc.r_key_off)),
-    })
+    # postings source: zero-copy chunked concat of the shard pieces; only
+    # the dense row index ('si', 4 bytes/row) is rebuilt, globally
+    post_tbl = pa.concat_tables([p[10] for p in pieces])
+    post_tbl = post_tbl.set_column(
+        post_tbl.schema.get_field_index('si'), 'si',
+        pa.array(np.arange(n, dtype=np.int32), pa.int32()))
     return bc, post_tbl, n
 
 
@@ -1203,13 +1211,16 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         tsig = tsig.map_batches(both_sides, batch_format='pyarrow')
     tsig = tsig.materialize()
 
-    # ---- postings + per-bucket candidate generation ----------------------
-    postings = tsig.map_batches(SlimPostingsStage(nb, heavy_ref),
+    # ---- postings + per-partition candidate generation -------------------
+    # one SQL per PARTITION of buckets (join keyed on (bucket, tok)), not
+    # one per bucket/grid-cell — see BroadcastCandGen for the rationale
+    postings = tsig.map_batches(SlimPostingsStage(nb, heavy_ref,
+                                                  num_parts=256),
                                 batch_format='pyarrow')
     pair_fn = SlimPairGen(cfg.sim_type, cfg.threshold, cfg.qval,
                           same_relation=same_relation)
-    cands = postings.groupby('bucket').map_groups(pair_fn,
-                                                  batch_format='pyarrow')
+    cands = postings.groupby('part').map_groups(pair_fn,
+                                                batch_format='pyarrow')
 
     sch = tmem.schema()
     key_type = dict(zip(sch.names, sch.types)).get('key', pa.int64())
