@@ -165,7 +165,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         # verification makes the join output ordering-independent); the
         # merge runs remotely and the lut stays off the driver (ref only)
         from ..stages.postings import fused_rank_lookup
-        ordering_ref, heavy = fused_rank_lookup(
+        ordering_ref, heavy, tot_tokens = fused_rank_lookup(
             tok_l if same_relation else tok_l.union(tok_r),
             cfg.salt_df_threshold)
     else:
@@ -174,6 +174,8 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         lut = make_rank_lookup(freq)
         heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
         ordering_ref = ray.put(lut)
+        import pyarrow.compute as _pc
+        tot_tokens = int(_pc.sum(freq['count']).as_py() or 0)
     prof('vocab_ordering')
     heavy_ref = ray.put(heavy) if heavy else None
 
@@ -203,9 +205,16 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         # re-attach (stages/slimjoin.py) — candidate-generation shuffle
         # volume drops from O(n·p) to O(p) per record
         from ..stages.slimjoin import slim_match_pairs
+        # Gate hint = estimated bytes of the broadcast signature table
+        # (_TsigBroadcast), NOT the tokenized dataset: rank arrays are
+        # int32 (4 B/token occurrence, strings only for EDIT_DISTANCE whose
+        # verify needs them, ~1 B/token for qgram bags) plus ~64 B/record
+        # of keys/offsets/sizes.  The string-bytes estimate routed corpora
+        # to the distributed path 2x+ too early (measured 10x slower at
+        # 1.5M records than the broadcast kernel it was protecting).
         try:
-            size_hint = tok_l.size_bytes() + (0 if same_relation
-                                              else tok_r.size_bytes())
+            per_tok = 5 if cfg.keep_string else 4
+            size_hint = tot_tokens * per_tok + rows_est * 64
         except Exception:  # pragma: no cover
             size_hint = None
         pairs = slim_match_pairs(ranked(tok_l),

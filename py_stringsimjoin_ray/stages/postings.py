@@ -118,7 +118,7 @@ def _fused_rank_build(salt_df_threshold, max_grid, threads, *blocks):
             parts.append(t)
     if not parts:
         return ({'hashes': np.empty(0, np.uint64),
-                 'ranks': np.empty(0, np.int32)}, {}, False)
+                 'ranks': np.empty(0, np.int32)}, {}, False, 0)
     merged = pa.concat_tables(parts)
     con = duckdb.connect()
     con.execute(f'SET threads TO {max(1, int(threads))}')
@@ -132,19 +132,24 @@ def _fused_rank_build(salt_df_threshold, max_grid, threads, *blocks):
     hot = con.execute(
         'SELECT CAST(rowid + 1 AS BIGINT) AS rnk, CAST(c AS BIGINT) AS c '
         f'FROM t_o1 WHERE c >= {int(salt_df_threshold)}').arrow()
+    # total token OCCURRENCES across the corpus = exact length of the
+    # broadcast signature table's int32 rank_flat payload — the gate
+    # between the broadcast and distributed join regimes keys on this,
+    # not on the (much larger) tokenized string bytes
+    tot = con.execute('SELECT CAST(sum(c) AS BIGINT) FROM t_o1').fetchone()[0]
     con.close()
     sh = res['h'].to_numpy().astype(np.uint64)
     rnk = res['rnk'].to_numpy().astype(np.int32)
     n = len(sh)
     if n > 1 and bool((sh[1:] == sh[:-1]).any()):  # pragma: no cover
-        return None, None, True
+        return None, None, True, 0
     heavy: dict = {}
     for hidx, (rk, c) in enumerate(zip(hot['rnk'].to_pylist(),
                                        hot['c'].to_pylist())):
         g = int(min(max_grid,
                     max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
         heavy[int(rk)] = (hidx, g)
-    return {'hashes': sh, 'ranks': rnk}, heavy, False
+    return {'hashes': sh, 'ranks': rnk}, heavy, False, int(tot or 0)
 
 
 def fused_rank_lookup(tokenized, salt_df_threshold: int,
@@ -156,7 +161,8 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
     token_frequencies → make_rank_lookup → heavy_token_table chain
     (three serial vocabulary passes) with one.  The merge runs in a Ray
     task over the partial-block REFS (the driver never streams the
-    partials).  Returns (lut_ref: ObjectRef, heavy: dict)."""
+    partials).  Returns (lut_ref: ObjectRef, heavy: dict,
+    total_token_occurrences: int — the broadcast-gate size driver)."""
     import ray
 
     from .tokenize import partial_token_counts
@@ -168,21 +174,23 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
         refs.extend(bundle.block_refs)
     if not refs:
         return (ray.put({'hashes': np.empty(0, np.uint64),
-                         'ranks': np.empty(0, np.int32)}), {})
+                         'ranks': np.empty(0, np.int32)}), {}, 0)
     cpus = int(ray.cluster_resources().get('CPU', 8))
     ncpu = max(2, min(8, cpus // 2))
-    builder = ray.remote(num_cpus=ncpu, num_returns=3)(_fused_rank_build)
-    lut_ref, heavy_ref, coll_ref = builder.remote(
+    builder = ray.remote(num_cpus=ncpu, num_returns=4)(_fused_rank_build)
+    lut_ref, heavy_ref, coll_ref, tot_ref = builder.remote(
         salt_df_threshold, max_grid, ncpu, *refs)
     heavy = ray.get(heavy_ref)
+    tot = int(ray.get(tot_ref))
     if ray.get(coll_ref):  # pragma: no cover
         # vocabulary hash collision: rebuild exactly via the slow chain
         from .tokenize import token_frequencies as _tf
         freq = _tf(tokenized)
         lut = make_rank_lookup(freq)
         return (ray.put(lut),
-                heavy_token_table(freq, lut, salt_df_threshold, max_grid))
-    return lut_ref, heavy
+                heavy_token_table(freq, lut, salt_df_threshold, max_grid),
+                tot)
+    return lut_ref, heavy, tot
 
 
 # Per-worker-process cache for the exact-fallback pandas Index (collision
