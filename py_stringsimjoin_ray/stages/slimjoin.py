@@ -44,7 +44,7 @@ import ray.data
 
 from ..core import bounds
 from ..core.comp_ops import COMP_OP_MAP
-from .pairgen import _duck, _lev_many, _overlap_threshold_sql, _size_bound_sql
+from .pairgen import _duck, _lev_many
 from .postings import KNUTH, _token_hashes
 
 _MASK63 = np.uint64((1 << 63) - 1)
@@ -264,13 +264,192 @@ class SlimPostingsStage:
         return pa.table(cols)
 
 
+def _cand_luts(sim_type: str, threshold, max_sz: int):
+    """Integer lookup tables for the candgen filters, replacing per-pair
+    float rounding (bounds.py round-before-ceil semantics preserved — the
+    LUT is built with the very same expressions over the value range).
+
+    Returns (size_lo, size_hi, ovt_sum, ovt_min):
+      size_lo/size_hi : per partner size sz, allowed own-size interval
+                        (None when the measure has no size bound)
+      ovt_sum         : overlap threshold indexed by szA + szB
+                        (JACCARD / DICE), else None
+      ovt_min         : overlap threshold indexed by min(szA, szB)
+                        (OVERLAP_COEFFICIENT), else None
+    COSINE's ovt (ceil(round(t*sqrt(n1*n2),4))) is computed directly."""
+    s = np.arange(max_sz + 2, dtype=np.float64)
+    size_lo = size_hi = ovt_sum = ovt_min = None
+    if sim_type == 'JACCARD':
+        size_lo = np.ceil(np.round(threshold * s, 4)).astype(np.int64)
+        size_hi = np.floor(np.round(s / threshold, 4)).astype(np.int64)
+    elif sim_type == 'COSINE':
+        tt = threshold * threshold
+        size_lo = np.ceil(np.round(tt * s, 4)).astype(np.int64)
+        size_hi = np.floor(np.round(s / tt, 4)).astype(np.int64)
+    elif sim_type == 'DICE':
+        lo, hi = threshold / (2 - threshold), (2 - threshold) / threshold
+        size_lo = np.ceil(np.round(lo * s, 4)).astype(np.int64)
+        size_hi = np.floor(np.round(hi * s, 4)).astype(np.int64)
+    elif sim_type == 'OVERLAP':
+        size_lo = np.full(max_sz + 2, int(threshold), dtype=np.int64)
+        size_hi = np.full(max_sz + 2, np.iinfo(np.int64).max // 2,
+                          dtype=np.int64)
+    elif sim_type == 'EDIT_DISTANCE':
+        # qgram BAG lengths differ exactly as string lengths do, so the
+        # reference's length filter |len(a)-len(b)| <= d is |szA-szB| <= d
+        size_lo = np.maximum(s - threshold, 0).astype(np.int64)
+        size_hi = (s + threshold).astype(np.int64)
+    s2 = np.arange(2 * (max_sz + 2), dtype=np.float64)
+    if sim_type == 'JACCARD':
+        c = threshold / (1 + threshold)
+        ovt_sum = np.ceil(np.round(c * s2, 4)).astype(np.int64)
+    elif sim_type == 'DICE':
+        ovt_sum = np.ceil(np.round((threshold / 2) * s2, 4)).astype(np.int64)
+    elif sim_type == 'OVERLAP_COEFFICIENT':
+        ovt_min = np.ceil(np.round(threshold * s, 4)).astype(np.int64)
+    return size_lo, size_hi, ovt_sum, ovt_min
+
+
+# triangle-enumeration slab: bounds peak memory of the per-pair arrays
+# (~60 B/pair live at once -> ~250 MB per concurrent task)
+_CAND_SLAB = 4_000_000
+
+
+def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
+                   same_relation: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-partition candidate generation over slim postings.
+
+    Replaces the DuckDB (bucket, tok) self-join + pair-level HAVING gate.
+    A lexsort groups the postings by (bucket, token) with SIZE-ascending
+    order inside each group, and enumeration is restricted to pairs
+    (i, j) where i precedes j and i is *positionally eligible*:
+    ``szi - posi >= ovt(szi, szi)``.  Soundness: at a true pair's first
+    (minimal) shared prefix token every shared token still lies to the
+    right in both arrays, so ``overlap <= min(szA - posA, szB - posB)``
+    (reference anchor: ``filter/position_filter.py:340-344``); for the
+    size-SMALLER side x, ``szx - posx >= overlap >= ovt(szx, szy) >=
+    ovt(szx, szx)`` because ovt is monotone in the partner size and
+    ``szy >= szx``.  Heavy boilerplate-token groups are almost entirely
+    ineligible rows (their prefix positions are deep), so this cuts the
+    enumerated pair volume ~53x on the flagship corpus (695M -> 13M)
+    before the exact joint filters run.
+
+    same_relation: emits each candidate once, canonically (a <= b), plus
+    exact-once identity pairs via each signature's pos==0 posting.
+    Two-table: emits (L, R) oriented pairs via the hl/hr side flags (both
+    orientations when both memberships exist)."""
+    bucket = tbl['bucket'].to_numpy().astype(np.uint64)
+    tok = tbl['tok'].to_numpy().astype(np.uint32)
+    key = (bucket << np.uint64(32)) | tok.astype(np.uint64)
+    si0 = tbl['sig'].to_numpy()
+    sz0 = tbl['sz'].to_numpy()
+    o = np.lexsort((si0, sz0, key))
+    key = key[o]
+    si = si0[o].astype(np.int64)
+    sz = sz0[o].astype(np.int32)
+    pos = tbl['pos'].to_numpy()[o].astype(np.int32)
+    kh = tbl['kh'].to_numpy()[o].astype(np.int16)
+    two_table = not same_relation
+    if two_table:
+        hl = tbl['hl'].to_numpy()[o].astype(bool)
+        hr = tbl['hr'].to_numpy()[o].astype(bool)
+    n = len(key)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    set_measure = sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP',
+                               'OVERLAP_COEFFICIENT')
+    size_lo, size_hi, ovt_sum, ovt_min = _cand_luts(sim_type, threshold,
+                                                    int(sz.max()))
+    rem = (sz - pos).astype(np.int64)
+
+    out_a, out_b = [], []
+    # identity pairs: exactly once, via the signature's first prefix token
+    idm = pos == 0
+    if two_table:
+        idm &= hl & hr
+    idd = si[idm]
+    out_a.append(idd)
+    out_b.append(idd)
+
+    def emit(ii: np.ndarray, ji: np.ndarray) -> None:
+        szi, szj = sz[ii], sz[ji]
+        if size_lo is not None:
+            keep = (szi >= size_lo[szj]) & (szi <= size_hi[szj])
+        else:
+            keep = np.ones(len(ii), dtype=bool)
+        if set_measure:
+            if ovt_sum is not None:
+                ovt = ovt_sum[szi + szj]
+            elif ovt_min is not None:
+                ovt = ovt_min[np.minimum(szi, szj)]
+            elif sim_type == 'COSINE':
+                ovt = np.ceil(np.round(
+                    threshold * np.sqrt((szi * szj).astype(np.float64)),
+                    4)).astype(np.int64)
+            else:  # OVERLAP
+                ovt = np.int64(int(threshold))
+            keep &= (rem[ii] >= ovt) & (rem[ji] >= ovt)
+        khi, khj = kh[ii], kh[ji]
+        keep &= (khi == np.int16(-1)) | (khj == np.int16(-1)) \
+            | (khi != khj)
+        ii, ji = ii[keep], ji[keep]
+        a, b = si[ii], si[ji]
+        if same_relation:
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        else:
+            fwd = hl[ii] & hr[ji]
+            rev = hl[ji] & hr[ii]
+            out_a.append(np.concatenate([a[fwd], b[rev]]))
+            out_b.append(np.concatenate([b[fwd], a[rev]]))
+
+    # positional eligibility of the size-smaller pair side: rem >= ovt(sz, sz)
+    if not set_measure:           # EDIT_DISTANCE: no positional gate
+        elig = np.ones(n, dtype=bool)
+    elif ovt_sum is not None:     # JACCARD / DICE
+        elig = rem >= ovt_sum[2 * sz.astype(np.int64)]
+    elif ovt_min is not None:     # OVERLAP_COEFFICIENT
+        elig = rem >= ovt_min[sz]
+    elif sim_type == 'COSINE':    # sqrt(sz*sz) == sz exactly
+        elig = rem >= np.ceil(np.round(threshold * sz.astype(np.float64),
+                                       4)).astype(np.int64)
+    else:                         # OVERLAP
+        elig = rem >= np.int64(int(threshold))
+
+    gfirst = np.concatenate(([True], key[1:] != key[:-1]))
+    gstart = np.flatnonzero(gfirst)
+    grp = (np.cumsum(gfirst) - 1).astype(np.int64)
+    ec = np.cumsum(elig)                       # inclusive eligible count
+    start_c = np.zeros(len(gstart), np.int64)
+    start_c[1:] = ec[gstart[1:] - 1]           # eligibles before each group
+    # eligible rows strictly before each row, within its group
+    cnt = ec - elig - start_c[grp]
+    e_idx = np.flatnonzero(elig)               # composite order preserved
+    e_base = start_c[grp]                      # group's first eligible, in E
+    rows = np.flatnonzero(cnt > 0)
+    if len(rows):
+        cnt_j = cnt[rows]
+        csum = np.concatenate(([0], np.cumsum(cnt_j)))
+        lo = 0
+        while lo < len(rows):
+            hi = int(np.searchsorted(csum, csum[lo] + _CAND_SLAB, 'left'))
+            hi = min(max(hi, lo + 1), len(rows))
+            rj, cj = rows[lo:hi], cnt_j[lo:hi]
+            base = csum[lo:hi] - csum[lo]
+            lo = hi
+            ji = np.repeat(rj, cj)
+            off = (np.arange(len(ji), dtype=np.int64)
+                   - np.repeat(base, cj))
+            ii = e_idx[np.repeat(e_base[rj], cj) + off]
+            emit(ii, ji)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 class SlimPairGen:
-    """Per-bucket candidate generation over slim postings: one DuckDB hash
-    join with size bounds, the first-shared-token positional gate
-    (sound in every bucket — the bucket holding the pair's globally minimal
-    shared prefix token reproduces the reference's first accumulation step,
-    ``filter/position_filter.py:340-344``), the salted-grid role rule, and
-    exact-once identity pairs.  Emits candidate (sa, sb) sig pairs."""
+    """Per-partition candidate generation over slim postings (distributed
+    attach path) — the shared numpy kernel, emitting deduplicated
+    (sa, sb) signature pairs."""
 
     def __init__(self, sim_type: str, threshold, qval=None,
                  same_relation: bool = False):
@@ -279,40 +458,23 @@ class SlimPairGen:
         self.threshold = threshold
         self.qval = qval
         self.same_relation = same_relation
-        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE', 'OVERLAP')
 
     def __call__(self, tbl: pa.Table) -> pd.DataFrame:
-        con = _duck()
-        if con is None:  # pragma: no cover
-            raise RuntimeError('slim join path requires duckdb')
         if len(tbl) == 0:
             return pd.DataFrame({'sa': np.array([], np.int64),
                                  'sb': np.array([], np.int64)})
         if isinstance(tbl, pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
-        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
-                                               'r1', 'r2')
-                     if self._set_bounds else '')
-        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
-        if self._set_bounds:
-            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
-                                         'any_value(r1.sz)',
-                                         'any_value(r2.sz)')
-            having.append(
-                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
-                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
-        con.register('t_slim', tbl)
-        res = con.execute(f"""
-            SELECT r1.sig AS sa, r2.sig AS sb
-            FROM t_slim r1 JOIN t_slim r2
-              ON r1.bucket = r2.bucket AND r1.tok = r2.tok
-            WHERE r1.hl = 1 AND r2.hr = 1
-              AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
-            GROUP BY 1, 2
-            HAVING {' AND '.join(having)}""").arrow()
-        con.unregister('t_slim')
-        return pd.DataFrame({'sa': res['sa'].to_numpy().astype(np.int64),
-                             'sb': res['sb'].to_numpy().astype(np.int64)})
+        a, b = _np_candidates(tbl, self.sim_type, self.threshold,
+                              self.same_relation)
+        # in-partition dedup (sigs are 63-bit: lexsort, no packing)
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        return pd.DataFrame({'sa': a, 'sb': b})
 
 
 def _ranks_objects(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
@@ -519,7 +681,8 @@ class ExpandSide:
         if self.side == 0:
             empty = {'sb': np.array([], np.int64),
                      'l_key': np.array([], object),
-                     'score': np.array([], np.float64)}
+                     'score': np.array([], np.float64),
+                     'ident': np.array([], np.int8)}
         else:
             empty = {'l_key': np.array([], object),
                      'r_key': np.array([], object),
@@ -535,16 +698,21 @@ class ExpandSide:
                                 'sb': p['other'].to_numpy(
                                     zero_copy_only=False),
                                 'score': p['score'].to_numpy(
+                                    zero_copy_only=False),
+                                'ident': p['ident'].to_numpy(
                                     zero_copy_only=False)})
             out = pdf.merge(mem, on='sig', how='inner')
             if len(out) == 0:
                 return pd.DataFrame(empty)
             return pd.DataFrame({'sb': out['sb'].to_numpy(),
                                  'l_key': out['key'].to_numpy(),
-                                 'score': out['score'].to_numpy()})
+                                 'score': out['score'].to_numpy(),
+                                 'ident': out['ident'].to_numpy()})
         pdf = pd.DataFrame({'sig': p['sig'].to_numpy(),
                             'l_key': p['key'].to_numpy(zero_copy_only=False),
                             'score': p['score'].to_numpy(
+                                zero_copy_only=False),
+                            'ident': p['ident'].to_numpy(
                                 zero_copy_only=False)})
         out = pdf.merge(mem, on='sig', how='inner')
         if len(out) == 0:
@@ -553,8 +721,14 @@ class ExpandSide:
         rk = out['key'].to_numpy()
         sc = out['score'].to_numpy()
         if self.self_join:
-            keep = lk < rk
-            lk, rk, sc = lk[keep], rk[keep], sc[keep]
+            # canonical sig pairs: orient each record pair (min, max);
+            # identity sig pairs expand to the full cross, so keep only
+            # their upper triangle (min/max would double-count them)
+            ident = out['ident'].to_numpy().astype(bool)
+            lo = np.minimum(lk, rk)
+            hi = np.maximum(lk, rk)
+            keep = (lo < hi) & (~ident | (lk < rk))
+            lk, rk, sc = lo[keep], hi[keep], sc[keep]
         return pd.DataFrame({'l_key': lk, 'r_key': rk, '_sim_score': sc})
 
 
@@ -804,19 +978,18 @@ def tsig_postings_input(tbl_ref, num_sigs: int) -> ray.data.Dataset:
 
 
 class BroadcastCandGen:
-    """Per-bucket candidate generation over slim postings: one DuckDB
-    equi-join on the token with size bounds, the salted-grid role rule and
-    the group-local positional gate.  Emits one int64 ``pair64`` =
-    ``(si_a << 32) | si_b`` per distinct in-bucket candidate, keyed by its
-    verify-shuffle bucket ``vb = hash(pair64) % num_vbuckets``.
+    """Per-partition candidate generation over slim postings (broadcast
+    path): the shared numpy triangle kernel (``_np_candidates``) emits one
+    int64 ``pair64`` = ``(si_a << 32) | si_b`` per distinct in-partition
+    candidate, keyed by its verify-shuffle bucket
+    ``vb = hash(pair64) % num_vbuckets``.
 
-    Exact-once semantics moved downstream: the global ``np.unique`` in
-    ``BroadcastVerify`` replaces the per-bucket min-common-token ownership
-    pass, which recomputed every pair's FULL prefix intersection in every
-    bucket the pair co-occurred in (measured ~11x the unique-candidate
-    count on the flagship corpus).  Union-over-buckets emission is sound:
-    the bucket of a pair's global-min shared prefix token always applies a
-    sound positional gate, and verification is exact."""
+    Exact-once semantics live downstream: the global ``np.unique`` in
+    ``BroadcastVerify`` (a pair hashes to exactly one vb group) replaces
+    the round-2 per-bucket min-common-token ownership pass.  Union-over-
+    buckets emission is sound: the bucket of a pair's global-min shared
+    prefix token always applies a sound positional gate, and verification
+    is exact."""
 
     def __init__(self, sim_type: str, threshold, qval=None,
                  same_relation: bool = False, num_vbuckets: int = 512):
@@ -826,64 +999,32 @@ class BroadcastCandGen:
         self.qval = qval
         self.same_relation = same_relation
         self.num_vbuckets = num_vbuckets
-        self._set_bounds = sim_type in ('JACCARD', 'COSINE', 'DICE',
-                                        'OVERLAP')
 
     def __call__(self, tbl) -> pa.Table:
         import os as _os
         import time as _time
         prof = _os.environ.get('SSJ_KERNEL_PROF')
         _t0 = _time.perf_counter() if prof else 0.0
-        con = _duck()
-        if con is None:  # pragma: no cover
-            raise RuntimeError('slim join path requires duckdb')
         if isinstance(tbl, pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
         empty = pa.table({'vb': pa.array([], pa.int32()),
                           'pair64': pa.array([], pa.int64())})
         if len(tbl) == 0:
             return empty
-
-        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
-                                               'r1', 'r2')
-                     if self._set_bounds else '')
-        having = ['(r1.sig <> r2.sig OR min(r1.pos) = 0)']
-        if self._set_bounds:
-            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
-                                         'any_value(r1.sz)',
-                                         'any_value(r2.sz)')
-            having.append(
-                'least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
-                f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
-        sides = ('r1.hl = 1 AND r2.hr = 1 AND '
-                 if 'hl' in tbl.column_names else '')
-        con.register('t_slim', tbl)
-        # one SQL per PARTITION of buckets: the bucket id joins alongside
-        # the token, so a single call covers every bucket in the group
-        cand = con.execute(f"""
-            SELECT r1.sig AS sa, r2.sig AS sb
-            FROM t_slim r1 JOIN t_slim r2
-              ON r1.bucket = r2.bucket AND r1.tok = r2.tok
-            WHERE {sides}(r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh){size_pred}
-            GROUP BY 1, 2
-            HAVING {' AND '.join(having)}""").arrow()
-        con.unregister('t_slim')
+        sa, sb = _np_candidates(tbl, self.sim_type, self.threshold,
+                                self.same_relation)
+        if len(sa) == 0:
+            return empty
+        pair64 = np.unique((sa << np.int64(32)) | sb)
+        vb = ((pair64.view(np.uint64) * KNUTH) >> np.uint64(17)) \
+            % np.uint64(self.num_vbuckets)
         if prof:
             import json as _json
             _os.makedirs('/tmp/ssj_prof_cg', exist_ok=True)
-            bk = tbl['bucket'].to_numpy()
             with open(f'/tmp/ssj_prof_cg/{_os.getpid()}.jsonl', 'a') as f:
                 f.write(_json.dumps(
-                    {'n_post': len(tbl), 'n_cand': len(cand),
-                     'b_min': int(bk.min()), 'b_max': int(bk.max()),
+                    {'n_post': len(tbl), 'n_cand': len(pair64),
                      'sec': round(_time.perf_counter() - _t0, 4)}) + '\n')
-        if len(cand) == 0:
-            return empty
-        sa = cand['sa'].to_numpy().astype(np.int64)
-        sb = cand['sb'].to_numpy().astype(np.int64)
-        pair64 = (sa << np.int64(32)) | sb
-        vb = ((pair64.view(np.uint64) * KNUTH) >> np.uint64(17)) \
-            % np.uint64(self.num_vbuckets)
         return pa.table({'vb': pa.array(vb.astype(np.int32), pa.int32()),
                          'pair64': pa.array(pair64, pa.int64())})
 
@@ -1073,8 +1214,24 @@ class BroadcastVerify:
         out_r = bc.r_key_flat[bc.r_key_off[ib][pair_idx] + off % nr_p]
         out_s = scores[pair_idx]
         if self.self_join:
-            keep = out_l < out_r
-            out_l, out_r, out_s = out_l[keep], out_r[keep], out_s[keep]
+            # candidates are canonical (ia <= ib): orient each expanded
+            # record pair (min, max).  Identity sig pairs (ia == ib)
+            # expand to the full A x A cross — keep only the upper
+            # triangle or min/max would double-count each unordered pair
+            ident = (ia == ib)[pair_idx]
+            lo = np.minimum(out_l, out_r)
+            hi = np.maximum(out_l, out_r)
+            keep = (lo < hi) & (~ident | (out_l < out_r))
+            out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
+        elif self.same_relation:
+            # full pair-matrix semantics (jaccard_join(A, A)): canonical
+            # sig pairs carry both record-pair orientations; identity sig
+            # pairs already expand to the full A x A cross
+            mirror = (ia != ib)[pair_idx]
+            ml, mr, ms = out_r[mirror], out_l[mirror], out_s[mirror]
+            out_l = np.concatenate([out_l, ml])
+            out_r = np.concatenate([out_r, mr])
+            out_s = np.concatenate([out_s, ms])
         _mark('expand')
         if prof:
             import json as _json
@@ -1221,6 +1378,17 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                           same_relation=same_relation)
     cands = postings.groupby('part').map_groups(pair_fn,
                                                 batch_format='pyarrow')
+    if same_relation and not cfg.self_join:
+        # full pair-matrix semantics: restore both orientations of the
+        # canonical candidates (identity pairs mirror to themselves)
+        def mirror(b: pa.Table) -> pa.Table:
+            sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
+            sb = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = sa != sb
+            return pa.table({
+                'sa': np.concatenate([sa, sb[keep]]),
+                'sb': np.concatenate([sb, sa[keep]])})
+        cands = cands.map_batches(mirror, batch_format='pyarrow')
 
     sch = tmem.schema()
     key_type = dict(zip(sch.names, sch.types)).get('key', pa.int64())
@@ -1313,6 +1481,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                 'other': pa.array(np.full(n, -1, np.int64)),
                 'score': _null_col(n, pa.float64()),
                 'key': m['key'],
+                'ident': pa.array(np.zeros(n, np.int8)),
             })
         f.__name__ = f'mem_rows{side}'
         return f
@@ -1323,6 +1492,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         if isinstance(b, pd.DataFrame):
             b = pa.Table.from_pandas(b, preserve_index=False)
         sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb_arr = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(b)
         return pa.table({
             'vb': pa.array(_hash_bucket(sa, nb).astype(np.int64)),
@@ -1330,6 +1500,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             'sig': pa.array(sa), 'other': b['sb'],
             'score': pa.compute.cast(b['score'], pa.float64()),
             'key': _null_col(n, key_type),
+            'ident': pa.array((sa == sb_arr).astype(np.int8)),
         })
 
     e1_in = tmem.map_batches(mem_rows(0), batch_format='pyarrow').union(
@@ -1352,6 +1523,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             'other': pa.array(np.full(n, -1, np.int64)),
             'score': pa.compute.cast(b['score'], pa.float64()),
             'key': lk,
+            'ident': pa.compute.cast(b['ident'], pa.int8()),
         })
 
     e2_in = tmem.map_batches(mem_rows(mem_side_r),

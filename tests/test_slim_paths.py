@@ -94,3 +94,40 @@ def test_distributed_ordering_with_salting_and_strings(monkeypatch):
                         tok, 0.6, salt_df_threshold=20)
     cols = ('l_doc_id', 'r_doc_id', '_sim_score')
     assert _pairs(base, cols) == _pairs(dist, cols)
+
+
+def test_self_join_exact_duplicates_counted_once(tmp_path, monkeypatch):
+    """Identity signature pairs (exact-duplicate records) must expand to
+    each unordered record pair exactly once — regression for the canonical
+    candgen double-counting them via min/max reorientation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from py_stringsimjoin_ray.pipelines.linkage import record_linkage
+
+    base = 'shared alpha beta gamma delta epsilon zeta eta theta iota'
+    rows = []
+    # a 4-way exact-duplicate cluster, a 3-way one, and distinct fillers
+    for i in range(4):
+        rows.append(('r0', f'a{i}.py', 'c0', 'py', base + ' dupA'))
+    base_b = 'other kappa lam mu nu xi omicron pi rho sigma'
+    for i in range(3):
+        rows.append(('r1', f'b{i}.py', 'c1', 'py', base_b + ' dupB'))
+    for i in range(30):
+        rows.append(('r2', f'f{i}.py', 'c2', 'py',
+                     f'unique{i} token{i} word{i} filler{i} onlyone{i} '
+                     f'solo{i} single{i} lone{i} alone{i} apart{i}'))
+    tbl = pa.table({
+        'repo': [r[0] for r in rows], 'path': [r[1] for r in rows],
+        'commit': [r[2] for r in rows], 'lang': [r[3] for r in rows],
+        'content': [r[4] for r in rows]})
+    path = str(tmp_path / 'repos.parquet')
+    pq.write_table(tbl, path)
+
+    res = record_linkage(path, checkpoint_dir=None, threshold=0.7)
+    # C(4,2) + C(3,2) = 6 + 3 = 9 exact-dup pairs, no cross matches
+    assert res['counters']['num_matches'] == 9
+
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    res_d = record_linkage(path, checkpoint_dir=None, threshold=0.7)
+    assert res_d['counters']['num_matches'] == 9
