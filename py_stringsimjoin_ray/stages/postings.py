@@ -152,6 +152,112 @@ def _fused_rank_build(salt_df_threshold, max_grid, threads, *blocks):
     return {'hashes': sh, 'ranks': rnk}, heavy, False, int(tot or 0)
 
 
+def _vocab_shard(shard: int, nshards: int, *blocks):
+    """Sharded vocabulary build, phase A: aggregate the token-hash range
+    ``hash >> shift == shard`` of the combiner partials.  Returns, ordered
+    by hash within the shard: (hashes, counts, li) where li is the token's
+    index within its count group in (count, hash) order — plus the shard's
+    count-value histogram (cv, cf), a collision flag, and the occurrence
+    total.  Hash-range sharding makes the within-count cross-shard order
+    equal the global hash order, so stitching preserves the exact
+    (count asc, token-hash asc) rank semantics of the single-task build."""
+    import duckdb
+    shift = 64 - max(1, (int(nshards) - 1).bit_length())
+    parts = []
+    for t in blocks:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if len(t) and 'token' in t.column_names:
+            parts.append(t)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.int64), False, 0)
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    con = duckdb.connect()
+    con.execute('SET threads TO 2')
+    con.register('t_partials', merged)
+    res = con.execute(f"""
+        SELECT hash(token) AS h, sum(partial) AS c, count(*) AS ntok
+        FROM t_partials
+        WHERE (hash(token) >> {shift}) = {int(shard)}
+        GROUP BY token""").arrow()
+    con.close()
+    if len(res) == 0:
+        return empty
+    h = res['h'].to_numpy().astype(np.uint64)
+    c = res['c'].to_numpy().astype(np.int64)
+    order = np.lexsort((h, c))
+    h_s, c_s = h[order], c[order]
+    # duplicate hash across DISTINCT tokens (counts were grouped by token,
+    # so equal adjacent hashes after the sort mean a real collision)
+    hh = np.sort(h)
+    coll = bool(len(hh) > 1 and (hh[1:] == hh[:-1]).any())
+    firstc = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+    starts = np.where(firstc, np.arange(len(c_s)), 0)
+    li = np.arange(len(c_s)) - np.maximum.accumulate(starts)
+    cv, cf64 = np.unique(c_s, return_counts=True)
+    oh = np.argsort(h_s, kind='stable')
+    return (h_s[oh], c_s[oh], li[oh], cv, cf64.astype(np.int64),
+            coll, int(c.sum()))
+
+
+def _vocab_stitch(salt_df_threshold, max_grid, *pieces):
+    """Sharded vocabulary build, phase B: assign global ranks from the
+    per-shard histograms and concatenate the hash-ordered shard pieces
+    into the LUT.  rank(token) = 1 + base(count) + prefix(shard, count)
+    + li, where base is the exclusive total below the count value and
+    prefix the same-count mass in lower hash ranges."""
+    K = len(pieces)
+    all_cv = np.unique(np.concatenate([p[3] for p in pieces])) \
+        if pieces else np.empty(0, np.int64)
+    ncv = len(all_cv)
+    f = np.zeros((K, ncv), dtype=np.int64)
+    for s, p in enumerate(pieces):
+        if len(p[3]):
+            f[s, np.searchsorted(all_cv, p[3])] = p[4]
+    total_per_cv = f.sum(axis=0)
+    base = np.concatenate(([0], np.cumsum(total_per_cv)[:-1]))
+    prefix = np.vstack([np.zeros(ncv, np.int64),
+                        np.cumsum(f, axis=0)[:-1]]) if K else f
+    hashes, ranks, heavy_rc = [], [], []
+    coll = False
+    tot = 0
+    for s, p in enumerate(pieces):
+        h_s, c_s, li = p[0], p[1], p[2]
+        coll = coll or p[5]
+        tot += p[6]
+        if len(h_s) == 0:
+            continue
+        idx = np.searchsorted(all_cv, c_s)
+        rk = (base[idx] + prefix[s][idx] + li + 1).astype(np.int32)
+        hashes.append(h_s)
+        ranks.append(rk)
+        hot = c_s >= salt_df_threshold
+        if hot.any():
+            heavy_rc.append(np.stack([rk[hot].astype(np.int64), c_s[hot]]))
+    if not hashes:
+        return ({'hashes': np.empty(0, np.uint64),
+                 'ranks': np.empty(0, np.int32)}, {}, False, 0)
+    lut = {'hashes': np.concatenate(hashes),
+           'ranks': np.concatenate(ranks)}
+    heavy: dict = {}
+    if heavy_rc:
+        rc = np.concatenate(heavy_rc, axis=1)
+        order = np.argsort(rc[0], kind='stable')
+        for hidx, (rk, c) in enumerate(zip(rc[0][order], rc[1][order])):
+            g = int(min(max_grid,
+                        max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
+            heavy[int(rk)] = (hidx, g)
+    return lut, heavy, coll, int(tot)
+
+
+# sharded vocabulary build kicks in above this partial-row total; below it
+# a single merge task is faster than K-task scheduling
+_VOCAB_SHARD_MIN_ROWS = 2_000_000
+
+
 def fused_rank_lookup(tokenized, salt_df_threshold: int,
                       max_grid: int = 16) -> tuple:
     """One-pass ordering artifact for the hash-tie join path: per-block
@@ -176,10 +282,22 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
         return (ray.put({'hashes': np.empty(0, np.uint64),
                          'ranks': np.empty(0, np.int32)}), {}, 0)
     cpus = int(ray.cluster_resources().get('CPU', 8))
-    ncpu = max(2, min(8, cpus // 2))
-    builder = ray.remote(num_cpus=ncpu, num_returns=4)(_fused_rank_build)
-    lut_ref, heavy_ref, coll_ref, tot_ref = builder.remote(
-        salt_df_threshold, max_grid, ncpu, *refs)
+    if partial.count() >= _VOCAB_SHARD_MIN_ROWS:
+        # sharded build: K parallel hash-range aggregations + one stitch —
+        # the single merge task was 57% of the flagship matches stage at
+        # 1.5M records (48.8 s at 32 CPUs)
+        nshards = 1 << max(2, min(5, cpus.bit_length() - 1))
+        shard_task = ray.remote(num_cpus=2)(_vocab_shard)
+        piece_refs = [shard_task.remote(s, nshards, *refs)
+                      for s in range(nshards)]
+        stitcher = ray.remote(num_cpus=2, num_returns=4)(_vocab_stitch)
+        lut_ref, heavy_ref, coll_ref, tot_ref = stitcher.remote(
+            salt_df_threshold, max_grid, *piece_refs)
+    else:
+        ncpu = max(2, min(8, cpus // 2))
+        builder = ray.remote(num_cpus=ncpu, num_returns=4)(_fused_rank_build)
+        lut_ref, heavy_ref, coll_ref, tot_ref = builder.remote(
+            salt_df_threshold, max_grid, ncpu, *refs)
     heavy = ray.get(heavy_ref)
     tot = int(ray.get(tot_ref))
     if ray.get(coll_ref):  # pragma: no cover
