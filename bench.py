@@ -184,16 +184,31 @@ def run_linkage_once():
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
         .map_batches(lambda b: b).materialize()
 
+    def _steal_jiffies():
+        try:
+            with open('/proc/stat') as f:
+                v = f.readline().split()
+            return int(v[8]), sum(map(int, v[1:]))
+        except Exception:  # pragma: no cover
+            return 0, 1
+
+    st0, tj0 = _steal_jiffies()
     t0 = time.time()
     res = record_linkage(repos, checkpoint_dir=None, threshold=0.7,
                          counter_name='ssj_pair_counter')
     wall = time.time() - t0
+    st1, tj1 = _steal_jiffies()
+    # hypervisor steal during the run, as % of THIS job's CPU budget — the
+    # shared-VM noise term behind the ±2x run-to-run wall variance
+    steal_pct = round(100.0 * (st1 - st0) / 100.0 / max(wall * NUM_CPUS,
+                                                        1e-9), 1)
     verified = ray.get(counter.get.remote())
     out = {'wall_sec': round(wall, 3), 'pairs_verified': int(verified),
            'num_matches': res['counters']['num_matches'],
            'num_records': res['counters']['num_records'],
            'pairs_verified_per_sec': round(verified / wall, 1),
-           'num_cpus': NUM_CPUS, 'timings': res.get('timings', {})}
+           'num_cpus': NUM_CPUS, 'steal_pct_of_budget': steal_pct,
+           'timings': res.get('timings', {})}
     ray.shutdown()
     print(json.dumps(out))
 
@@ -211,10 +226,12 @@ def run_scaling():
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     def sub(ncpu):
-        # best-of-2: single-machine walls on this box vary run-to-run by up
-        # to ±50% (shared VM); min is the standard noise-robust estimator
-        a, b = sub_once(ncpu), sub_once(ncpu)
-        return a if a['wall_sec'] <= b['wall_sec'] else b
+        # best-of-N: identical runs on this shared VM vary up to ±2x
+        # (hypervisor steal, measured per-run as steal_pct_of_budget);
+        # min is the standard noise-robust estimator
+        reps = int(os.environ.get('SSJ_SCALE_REPS', '3'))
+        runs = [sub_once(ncpu) for _ in range(reps)]
+        return min(runs, key=lambda r: r['wall_sec'])
 
     cpus_lo = int(os.environ.get('SSJ_SCALE_LO', '8'))
     cpus_hi = int(os.environ.get('SSJ_SCALE_HI', '32'))

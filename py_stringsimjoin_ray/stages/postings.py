@@ -178,10 +178,13 @@ def _vocab_shard(shard: int, nshards: int, *blocks):
     con = duckdb.connect()
     con.execute('SET threads TO 2')
     con.register('t_partials', merged)
+    # 'h' is precomputed once per block by partial_token_counts_hashed;
+    # the range filter is an integer compare, so the K-way scan
+    # amplification touches only the uint64 column
     res = con.execute(f"""
-        SELECT hash(token) AS h, sum(partial) AS c, count(*) AS ntok
+        SELECT any_value(h) AS h, sum(partial) AS c
         FROM t_partials
-        WHERE (hash(token) >> {shift}) = {int(shard)}
+        WHERE (h >> {shift}) = {int(shard)}
         GROUP BY token""").arrow()
     con.close()
     if len(res) == 0:
@@ -271,8 +274,8 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
     total_token_occurrences: int — the broadcast-gate size driver)."""
     import ray
 
-    from .tokenize import partial_token_counts
-    partial = tokenized.map_batches(partial_token_counts,
+    from .tokenize import partial_token_counts_hashed
+    partial = tokenized.map_batches(partial_token_counts_hashed,
                                     batch_format='pyarrow',
                                     batch_size=None).materialize()
     refs = []

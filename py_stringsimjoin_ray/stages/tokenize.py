@@ -73,6 +73,19 @@ def partial_token_counts(batch: pa.Table) -> pa.Table:
                      'partial': vc.field('counts')})
 
 
+def partial_token_counts_hashed(batch: pa.Table) -> pa.Table:
+    """``partial_token_counts`` plus the token's 64-bit hash, computed ONCE
+    here (parallel, fused with tokenize) so the sharded vocabulary build's
+    range filter is an integer compare instead of re-hashing every partial
+    row in every shard task."""
+    from .postings import _token_hashes
+    t = partial_token_counts(batch)
+    if len(t) == 0:
+        return t.append_column('h', pa.array([], pa.uint64()))
+    return t.append_column('h', pa.array(_token_hashes(
+        t['token'].combine_chunks()), pa.uint64()))
+
+
 def token_frequencies(tokenized: ray.data.Dataset) -> 'pa.Table':
     """Global (token, count) table.  Per-batch combiners shrink each block to
     its distinct tokens; the partials are merged on the DRIVER (one vectorized

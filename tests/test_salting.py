@@ -101,6 +101,7 @@ def test_sharded_vocab_build_matches_single_task():
     import pyarrow as pa
 
     from py_stringsimjoin_ray.stages.postings import (_fused_rank_build,
+                                                      _token_hashes,
                                                       _vocab_shard,
                                                       _vocab_stitch)
     rng = np.random.default_rng(7)
@@ -110,7 +111,10 @@ def test_sharded_vocab_build_matches_single_task():
         sel = rng.random(len(toks)) < 0.6
         t = toks[sel]
         p = rng.integers(1, 12, len(t))
-        blocks.append(pa.table({'token': pa.array(t), 'partial': pa.array(p)}))
+        tok_arr = pa.array(t)
+        blocks.append(pa.table({'token': tok_arr, 'partial': pa.array(p),
+                                'h': pa.array(_token_hashes(tok_arr),
+                                              pa.uint64())}))
     lut1, heavy1, coll1, tot1 = _fused_rank_build(40, 16, 2, *blocks)
     K = 8
     pieces = [_vocab_shard(s, K, *blocks) for s in range(K)]
