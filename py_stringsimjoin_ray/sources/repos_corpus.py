@@ -249,10 +249,20 @@ def generate_repos_corpus(out_dir: str, num_clusters: int = 120,
         cid += 1
     del edge_rng
 
-    # small row groups so ray.data.read_parquet can split the read across
-    # tasks (a single row group serializes the whole ingest)
-    pq.write_table(pa.table({k: pa.array(v) for k, v in rows.items()}),
-                   repos_path, row_group_size=2048)
+    # multi-file directory + small row groups: ray.data parallelizes the
+    # read per FILE first, so a single big file floor-bounds ingest at any
+    # CPU count (measured ~8 s flat at both 8 and 32 CPUs on 1.5M rows);
+    # file names are zero-padded so name order == row order (determinism)
+    tbl = pa.table({k: pa.array(v) for k, v in rows.items()})
+    if os.path.isfile(repos_path):
+        os.remove(repos_path)
+    os.makedirs(repos_path, exist_ok=True)
+    nfiles = max(1, min(64, len(tbl) // 16384))
+    step = (len(tbl) + nfiles - 1) // nfiles
+    for i in range(nfiles):
+        pq.write_table(tbl.slice(i * step, step),
+                       os.path.join(repos_path, f'part-{i:04d}.parquet'),
+                       row_group_size=2048)
     pq.write_table(pa.table({k: pa.array(v) for k, v in truth.items()}),
                    truth_path, row_group_size=4096)
     return repos_path, truth_path

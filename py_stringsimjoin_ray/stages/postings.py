@@ -161,32 +161,50 @@ def _vocab_shard(shard: int, nshards: int, *blocks):
     total.  Hash-range sharding makes the within-count cross-shard order
     equal the global hash order, so stitching preserves the exact
     (count asc, token-hash asc) rank semantics of the single-task build."""
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get('SSJ_KERNEL_PROF')
+    _t0 = _time.perf_counter() if _prof else 0.0
     import duckdb
     shift = 64 - max(1, (int(nshards) - 1).bit_length())
+    lo = np.uint64(int(shard) << shift)
+    hi = np.uint64((int(shard) + 1) << shift) if shard + 1 < nshards else None
     parts = []
     for t in blocks:
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t, preserve_index=False)
-        if len(t) and 'token' in t.column_names:
-            parts.append(t)
+        if len(t) == 0 or 'token' not in t.column_names:
+            continue
+        # blocks are hash-sorted by the combiner: the shard's range is a
+        # zero-copy binary-search slice, not a scan
+        hcol = t['h'].to_numpy(zero_copy_only=False)
+        a = int(np.searchsorted(hcol, lo, 'left'))
+        b = int(np.searchsorted(hcol, hi, 'left')) if hi is not None \
+            else len(hcol)
+        if b > a:
+            parts.append(t.slice(a, b - a))
     empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
              np.empty(0, np.int64), np.empty(0, np.int64),
              np.empty(0, np.int64), False, 0)
     if not parts:
         return empty
     merged = pa.concat_tables(parts)
+    _t1 = _time.perf_counter() if _prof else 0.0
     con = duckdb.connect()
-    con.execute('SET threads TO 2')
+    con.execute('SET threads TO 1')  # matches the task's num_cpus=1
     con.register('t_partials', merged)
-    # 'h' is precomputed once per block by partial_token_counts_hashed;
-    # the range filter is an integer compare, so the K-way scan
-    # amplification touches only the uint64 column
-    res = con.execute(f"""
+    res = con.execute("""
         SELECT any_value(h) AS h, sum(partial) AS c
-        FROM t_partials
-        WHERE (h >> {shift}) = {int(shard)}
-        GROUP BY token""").arrow()
+        FROM t_partials GROUP BY token""").arrow()
     con.close()
+    _t2 = _time.perf_counter() if _prof else 0.0
+    if _prof:
+        import json as _json
+        _os.makedirs('/tmp/ssj_prof_vs', exist_ok=True)
+        with open(f'/tmp/ssj_prof_vs/{_os.getpid()}.jsonl', 'a') as f:
+            f.write(_json.dumps({'shard': int(shard), 'rows': len(merged),
+                                 'slice': round(_t1 - _t0, 3),
+                                 'group': round(_t2 - _t1, 3)}) + '\n')
     if len(res) == 0:
         return empty
     h = res['h'].to_numpy().astype(np.uint64)
@@ -206,12 +224,12 @@ def _vocab_shard(shard: int, nshards: int, *blocks):
             coll, int(c.sum()))
 
 
-def _vocab_stitch(salt_df_threshold, max_grid, *pieces):
-    """Sharded vocabulary build, phase B: assign global ranks from the
-    per-shard histograms and concatenate the hash-ordered shard pieces
-    into the LUT.  rank(token) = 1 + base(count) + prefix(shard, count)
-    + li, where base is the exclusive total below the count value and
-    prefix the same-count mass in lower hash ranges."""
+def _vocab_offsets(pieces):
+    """Global rank offsets from the per-shard count-value histograms.
+    rank(token) = 1 + base(count) + prefix(shard, count) + li, where base
+    is the exclusive total below the count value and prefix the same-count
+    mass in lower hash ranges (hash-contiguous shards, so within-count
+    cross-shard order == global hash order)."""
     K = len(pieces)
     all_cv = np.unique(np.concatenate([p[3] for p in pieces])) \
         if pieces else np.empty(0, np.int64)
@@ -220,39 +238,61 @@ def _vocab_stitch(salt_df_threshold, max_grid, *pieces):
     for s, p in enumerate(pieces):
         if len(p[3]):
             f[s, np.searchsorted(all_cv, p[3])] = p[4]
-    total_per_cv = f.sum(axis=0)
-    base = np.concatenate(([0], np.cumsum(total_per_cv)[:-1]))
+    base = np.concatenate(([0], np.cumsum(f.sum(axis=0))[:-1]))
     prefix = np.vstack([np.zeros(ncv, np.int64),
                         np.cumsum(f, axis=0)[:-1]]) if K else f
-    hashes, ranks, heavy_rc = [], [], []
-    coll = False
-    tot = 0
-    for s, p in enumerate(pieces):
-        h_s, c_s, li = p[0], p[1], p[2]
-        coll = coll or p[5]
-        tot += p[6]
-        if len(h_s) == 0:
-            continue
-        idx = np.searchsorted(all_cv, c_s)
-        rk = (base[idx] + prefix[s][idx] + li + 1).astype(np.int32)
-        hashes.append(h_s)
-        ranks.append(rk)
-        hot = c_s >= salt_df_threshold
-        if hot.any():
-            heavy_rc.append(np.stack([rk[hot].astype(np.int64), c_s[hot]]))
-    if not hashes:
-        return ({'hashes': np.empty(0, np.uint64),
-                 'ranks': np.empty(0, np.int32)}, {}, False, 0)
-    lut = {'hashes': np.concatenate(hashes),
-           'ranks': np.concatenate(ranks)}
+    return all_cv, base, prefix
+
+
+def _vocab_rank_piece(all_cv, base, prefix_row, salt_df_threshold, piece):
+    """Round-2 shard task: assign this piece's global ranks (parallel)."""
+    h_s, c_s, li = piece[0], piece[1], piece[2]
+    if len(h_s) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int32),
+                np.zeros((2, 0), np.int64))
+    idx = np.searchsorted(all_cv, c_s)
+    rk = (base[idx] + prefix_row[idx] + li + 1).astype(np.int32)
+    hot = c_s >= salt_df_threshold
+    heavy_rc = (np.stack([rk[hot].astype(np.int64), c_s[hot]])
+                if hot.any() else np.zeros((2, 0), np.int64))
+    return h_s, rk, heavy_rc
+
+
+def _heavy_from_rc(rc: np.ndarray, salt_df_threshold, max_grid) -> dict:
     heavy: dict = {}
-    if heavy_rc:
-        rc = np.concatenate(heavy_rc, axis=1)
-        order = np.argsort(rc[0], kind='stable')
-        for hidx, (rk, c) in enumerate(zip(rc[0][order], rc[1][order])):
-            g = int(min(max_grid,
-                        max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
-            heavy[int(rk)] = (hidx, g)
+    order = np.argsort(rc[0], kind='stable')
+    for hidx, (rk, c) in enumerate(zip(rc[0][order], rc[1][order])):
+        g = int(min(max_grid,
+                    max(2, round((c / salt_df_threshold) ** 0.5) + 1)))
+        heavy[int(rk)] = (hidx, g)
+    return heavy
+
+
+def _vocab_concat(salt_df_threshold, max_grid, *ranked):
+    """Final stitch: pure concatenation of the hash-ordered ranked pieces
+    (shards partition the hash high bits, so the concat is globally
+    hash-sorted) + the heavy-token table."""
+    ranked = [r for r in ranked if len(r[0])]
+    if not ranked:
+        return ({'hashes': np.empty(0, np.uint64),
+                 'ranks': np.empty(0, np.int32)}, {})
+    lut = {'hashes': np.concatenate([r[0] for r in ranked]),
+           'ranks': np.concatenate([r[1] for r in ranked])}
+    rc = np.concatenate([r[2] for r in ranked], axis=1)
+    heavy = _heavy_from_rc(rc, salt_df_threshold, max_grid) if rc.size else {}
+    return lut, heavy
+
+
+def _vocab_stitch(salt_df_threshold, max_grid, *pieces):
+    """In-process composition of offsets -> rank pieces -> concat; the
+    reference semantics of the distributed three-round flow in
+    ``fused_rank_lookup`` (and the form the unit test pins)."""
+    all_cv, base, prefix = _vocab_offsets(pieces)
+    ranked = [_vocab_rank_piece(all_cv, base, prefix[s], salt_df_threshold, p)
+              for s, p in enumerate(pieces)]
+    lut, heavy = _vocab_concat(salt_df_threshold, max_grid, *ranked)
+    coll = any(bool(p[5]) for p in pieces)
+    tot = sum(int(p[6]) for p in pieces)
     return lut, heavy, coll, int(tot)
 
 
@@ -274,10 +314,24 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
     total_token_occurrences: int — the broadcast-gate size driver)."""
     import ray
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get('SSJ_STAGE_PROF')
+    _t0 = _time.time()
+
+    def _mark(tag):
+        nonlocal _t0
+        if _prof:
+            print(f'SSJPROF vocab.{tag} {_time.time() - _t0:.2f}',
+                  file=_sys.stderr, flush=True)
+        _t0 = _time.time()
+
     from .tokenize import partial_token_counts_hashed
     partial = tokenized.map_batches(partial_token_counts_hashed,
                                     batch_format='pyarrow',
                                     batch_size=None).materialize()
+    _mark('partials')
     refs = []
     for bundle in partial.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -286,24 +340,40 @@ def fused_rank_lookup(tokenized, salt_df_threshold: int,
                          'ranks': np.empty(0, np.int32)}), {}, 0)
     cpus = int(ray.cluster_resources().get('CPU', 8))
     if partial.count() >= _VOCAB_SHARD_MIN_ROWS:
-        # sharded build: K parallel hash-range aggregations + one stitch —
-        # the single merge task was 57% of the flagship matches stage at
-        # 1.5M records (48.8 s at 32 CPUs)
+        # three-round sharded build (the single merge task was 57% of the
+        # flagship matches stage at 1.5M records): K parallel hash-range
+        # slice+aggregate tasks; a tiny driver-side histogram exchange; K
+        # parallel rank-assignment tasks; one pure-concat stitch.  The
+        # driver reads only the small histogram fields of each piece
+        # (numpy payloads resolve as zero-copy plasma views).
         nshards = 1 << max(2, min(5, cpus.bit_length() - 1))
-        shard_task = ray.remote(num_cpus=2)(_vocab_shard)
+        shard_task = ray.remote(num_cpus=1)(_vocab_shard)
         piece_refs = [shard_task.remote(s, nshards, *refs)
                       for s in range(nshards)]
-        stitcher = ray.remote(num_cpus=2, num_returns=4)(_vocab_stitch)
-        lut_ref, heavy_ref, coll_ref, tot_ref = stitcher.remote(
-            salt_df_threshold, max_grid, *piece_refs)
+        pieces = ray.get(piece_refs)
+        _mark('shards')
+        coll = any(bool(p[5]) for p in pieces)
+        tot = sum(int(p[6]) for p in pieces)
+        all_cv, base, prefix = _vocab_offsets(pieces)
+        rank_task = ray.remote(num_cpus=1)(_vocab_rank_piece)
+        ranked_refs = [rank_task.remote(all_cv, base, prefix[s],
+                                        salt_df_threshold, piece_refs[s])
+                       for s in range(nshards)]
+        concat_task = ray.remote(num_cpus=2, num_returns=2)(_vocab_concat)
+        lut_ref, heavy_ref = concat_task.remote(salt_df_threshold, max_grid,
+                                                *ranked_refs)
+        heavy = ray.get(heavy_ref)
+        _mark('rank_concat')
     else:
         ncpu = max(2, min(8, cpus // 2))
         builder = ray.remote(num_cpus=ncpu, num_returns=4)(_fused_rank_build)
         lut_ref, heavy_ref, coll_ref, tot_ref = builder.remote(
             salt_df_threshold, max_grid, ncpu, *refs)
-    heavy = ray.get(heavy_ref)
-    tot = int(ray.get(tot_ref))
-    if ray.get(coll_ref):  # pragma: no cover
+        heavy = ray.get(heavy_ref)
+        tot = int(ray.get(tot_ref))
+        coll = bool(ray.get(coll_ref))
+        _mark('build_get')
+    if coll:  # pragma: no cover
         # vocabulary hash collision: rebuild exactly via the slow chain
         from .tokenize import token_frequencies as _tf
         freq = _tf(tokenized)

@@ -798,7 +798,7 @@ def _build_tsig_shard(shard, nshards, same_relation, keep_string, *blocks):
     pay = pa.concat_tables(pay_parts).combine_chunks() if pay_parts else None
     mem = pa.concat_tables(mem_parts).combine_chunks() if mem_parts else None
     if pay is None or len(pay) == 0:
-        return None
+        return None, 0
 
     sigs = pay['sig'].to_numpy()
     order = np.argsort(sigs, kind='stable')
@@ -853,17 +853,19 @@ def _build_tsig_shard(shard, nshards, same_relation, keep_string, *blocks):
     return (uniq, rank_off, rank_flat, sz, plen,
             l_off, l_flat, r_off, r_flat,
             sub['s'].to_numpy(zero_copy_only=False) if keep_string else None,
-            piece_tbl)
+            piece_tbl), n
 
 
-def _stitch_tsig(same_relation, keep_string, *pieces):
-    """Stitch builder: concatenate the shard pieces (already in global
-    signature sort order — shards partition the HIGH bits) into the single
-    broadcast object + postings-source table.  Pure memcpy concatenation;
-    offset arrays are rebased by the running totals."""
+def _stitch_bc(same_relation, keep_string, *pieces):
+    """Broadcast-object stitch: concatenate the shard pieces (already in
+    global signature sort order — shards partition the HIGH bits) into the
+    single verify-side broadcast.  Pure memcpy concatenation; offset arrays
+    are rebased by the running totals.  The postings source does NOT pass
+    through here — the shard piece tables feed candgen directly (si rebased
+    per shard), so this stitch overlaps with postings + candgen."""
     pieces = [p for p in pieces if p is not None]
     if not pieces:
-        return None, pa.table({}), 0
+        return None
 
     def cat(i, dtype=None):
         arrs = [p[i] for p in pieces]
@@ -891,17 +893,18 @@ def _stitch_tsig(same_relation, keep_string, *pieces):
     else:
         r_off, r_flat = cat_off(7), cat(8)
     s_arr = cat(9) if keep_string else None
-    n = len(uniq)
+    return _TsigBroadcast(uniq, rank_off, rank_flat, sz, plen,
+                          l_off, l_flat, r_off, r_flat, s_arr)
 
-    bc = _TsigBroadcast(uniq, rank_off, rank_flat, sz, plen,
-                        l_off, l_flat, r_off, r_flat, s_arr)
-    # postings source: zero-copy chunked concat of the shard pieces; only
-    # the dense row index ('si', 4 bytes/row) is rebuilt, globally
-    post_tbl = pa.concat_tables([p[10] for p in pieces])
-    post_tbl = post_tbl.set_column(
-        post_tbl.schema.get_field_index('si'), 'si',
-        pa.array(np.arange(n, dtype=np.int32), pa.int32()))
-    return bc, post_tbl, n
+
+def _rebase_piece_tbl(base: int, piece) -> pa.Table:
+    """Per-shard postings-source table with the GLOBAL dense si index
+    (shard base + local row number)."""
+    tbl = piece[10]
+    n = len(tbl)
+    return tbl.set_column(
+        tbl.schema.get_field_index('si'), 'si',
+        pa.array(np.arange(base, base + n, dtype=np.int32), pa.int32()))
 
 
 def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
@@ -945,35 +948,60 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
                 [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
         return pa.table(cols)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get('SSJ_STAGE_PROF')
+    _t0 = _time.time()
+
+    def _mark(tag):
+        nonlocal _t0
+        if _prof:
+            print(f'SSJPROF tsig.{tag} {_time.time() - _t0:.2f}',
+                  file=_sys.stderr, flush=True)
+        _t0 = _time.time()
+
     split_ds = tagged.map_batches(split, batch_format='pyarrow').materialize()
+    _mark('split')
     refs = []
     for bundle in split_ds.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
     if not refs:
         return None, None, 0
-    shard_builder = ray.remote(num_cpus=1)(_build_tsig_shard)
-    piece_refs = [shard_builder.remote(s, nshards, same_relation,
-                                       keep_string, *refs)
-                  for s in range(nshards)]
-    stitcher = ray.remote(num_cpus=2, num_returns=3)(_stitch_tsig)
-    bc_ref, tbl_ref, n_ref = stitcher.remote(same_relation, keep_string,
-                                             *piece_refs)
-    n = int(ray.get(n_ref))
+    shard_builder = ray.remote(num_cpus=1, num_returns=2)(_build_tsig_shard)
+    out = [shard_builder.remote(s, nshards, same_relation,
+                                keep_string, *refs)
+           for s in range(nshards)]
+    piece_refs = [o[0] for o in out]
+    sizes = [int(x) for x in ray.get([o[1] for o in out])]
+    _mark('shards')
+    n = sum(sizes)
     if n == 0:
         return None, None, 0
-    return bc_ref, tbl_ref, n
+    # the broadcast stitch is submitted but NOT waited on: the postings
+    # pieces feed candgen directly (si rebased per shard below), so the
+    # serial concat overlaps with the postings shuffle + candgen; only the
+    # verify stage (downstream) blocks on bc_ref
+    stitcher = ray.remote(num_cpus=2)(_stitch_bc)
+    bc_ref = stitcher.remote(same_relation, keep_string, *piece_refs)
+    rebase = ray.remote(num_cpus=1)(_rebase_piece_tbl)
+    bases = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    tbl_refs = [rebase.remote(int(b), pr)
+                for b, s_, pr in zip(bases, sizes, piece_refs) if s_ > 0]
+    _mark('rebase_submit')
+    return bc_ref, tbl_refs, n
 
 
-def tsig_postings_input(tbl_ref, num_sigs: int) -> ray.data.Dataset:
-    """Dataset view of the postings-source table built by the remote
-    collect_tsig builder — constructed from the REF, never fetched to the
-    driver."""
+def tsig_postings_input(tbl_refs, num_sigs: int) -> ray.data.Dataset:
+    """Dataset view of the per-shard postings-source tables built by the
+    remote collect_tsig builders — constructed from REFS, never fetched to
+    the driver."""
     # enough blocks that the downstream groupby(bucket).map_groups stage
     # gets fine-grained tasks — its task count follows the shuffle's block
     # count, and the per-bucket kernel cost is heavily skewed
     cpus = int(ray.cluster_resources().get('CPU', 8))
     nblocks = int(min(cpus * 8, max(cpus, num_sigs // 128, 1)))
-    ds = ray.data.from_arrow_refs([tbl_ref])
+    ds = ray.data.from_arrow_refs(list(tbl_refs))
     return ds.repartition(nblocks) if nblocks > 1 else ds
 
 
@@ -1323,8 +1351,8 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         from ..pipelines.join import _prof_mark
         prof = _prof_mark()
-        bc_ref, tbl_ref, nsig = collect_tsig(tagged, same_relation,
-                                             keep_string)
+        bc_ref, tbl_refs, nsig = collect_tsig(tagged, same_relation,
+                                              keep_string)
         prof('collect_tsig')
         if bc_ref is None:
             return ray.data.from_pandas(pd.DataFrame({
@@ -1335,7 +1363,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         # the total candgen work) must not depend on cluster size, only the
         # packing does
         nparts = 256
-        postings = tsig_postings_input(tbl_ref, nsig).map_batches(
+        postings = tsig_postings_input(tbl_refs, nsig).map_batches(
             SlimPostingsStage(nb, heavy_ref,
                               emit_sides=not same_relation,
                               num_parts=nparts),

@@ -75,15 +75,19 @@ def partial_token_counts(batch: pa.Table) -> pa.Table:
 
 def partial_token_counts_hashed(batch: pa.Table) -> pa.Table:
     """``partial_token_counts`` plus the token's 64-bit hash, computed ONCE
-    here (parallel, fused with tokenize) so the sharded vocabulary build's
-    range filter is an integer compare instead of re-hashing every partial
-    row in every shard task."""
+    here (parallel, fused with tokenize), with rows SORTED by hash — the
+    sharded vocabulary build then takes its hash range from each block as
+    a binary-search slice (zero scan amplification across shards)."""
+    import numpy as np
+
     from .postings import _token_hashes
     t = partial_token_counts(batch)
     if len(t) == 0:
         return t.append_column('h', pa.array([], pa.uint64()))
-    return t.append_column('h', pa.array(_token_hashes(
-        t['token'].combine_chunks()), pa.uint64()))
+    h = _token_hashes(t['token'].combine_chunks())
+    order = np.argsort(h, kind='stable')
+    t = t.take(pa.array(order))
+    return t.append_column('h', pa.array(h[order], pa.uint64()))
 
 
 def token_frequencies(tokenized: ray.data.Dataset) -> 'pa.Table':

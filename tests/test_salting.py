@@ -112,9 +112,11 @@ def test_sharded_vocab_build_matches_single_task():
         t = toks[sel]
         p = rng.integers(1, 12, len(t))
         tok_arr = pa.array(t)
-        blocks.append(pa.table({'token': tok_arr, 'partial': pa.array(p),
-                                'h': pa.array(_token_hashes(tok_arr),
-                                              pa.uint64())}))
+        h = _token_hashes(tok_arr)
+        order = np.argsort(h, kind='stable')  # combiner contract: h-sorted
+        blocks.append(pa.table({'token': tok_arr.take(pa.array(order)),
+                                'partial': pa.array(p[order]),
+                                'h': pa.array(h[order], pa.uint64())}))
     lut1, heavy1, coll1, tot1 = _fused_rank_build(40, 16, 2, *blocks)
     K = 8
     pieces = [_vocab_shard(s, K, *blocks) for s in range(K)]
