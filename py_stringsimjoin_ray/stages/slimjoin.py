@@ -1123,47 +1123,53 @@ class BroadcastVerify:
         # the whole prefix, filter/position_filter.py:340-344): every shared
         # token ranked below the last shared prefix token is itself in both
         # prefixes, so  overlap <= pov + min(szA-1-pamax, szB-1-pbmax).
+        # EDIT_DISTANCE never reads pov/pamax/pbmax (its verify is the exact
+        # Levenshtein on the strings) — skip the whole pass.
         n_pairs = len(ia)
-        plA = np.minimum(bc.rank_off[ia + 1] - bc.rank_off[ia], bc.plen[ia])
-        plB = np.minimum(bc.rank_off[ib + 1] - bc.rank_off[ib], bc.plen[ib])
+        pov = pamax = pbmax = None
+        if not is_ed:
+            plA = np.minimum(bc.rank_off[ia + 1] - bc.rank_off[ia],
+                             bc.plen[ia])
+            plB = np.minimum(bc.rank_off[ib + 1] - bc.rank_off[ib],
+                             bc.plen[ib])
 
-        def pref_keys(idx, pl):
-            # (pid << 32 | tok) keys over each pair's prefix slice; pid
-            # ascends block-wise and tok ascends within each block (rank
-            # arrays are sorted), so the keys come out GLOBALLY sorted —
-            # the whole intersection is sort-free
-            tot = int(pl.sum())
-            seg = np.concatenate(([0], np.cumsum(pl))).astype(np.int64)
-            if tot == 0:
-                return (np.empty(0, np.uint64), np.empty(0, np.int64),
-                        np.empty(0, np.int64), seg)
-            pid = np.repeat(np.arange(n_pairs, dtype=np.int64), pl)
-            off = np.arange(tot, dtype=np.int64) - np.repeat(seg[:-1], pl)
-            tok = bc.rank_flat[np.repeat(bc.rank_off[idx], pl) + off]
-            key = ((pid.astype(np.uint64) << np.uint64(32))
-                   | tok.astype(np.uint64))
-            return key, pid, off, seg
+            def pref_keys(idx, pl):
+                # (pid << 32 | tok) keys over each pair's prefix slice; pid
+                # ascends block-wise and tok ascends within each block (rank
+                # arrays are sorted), so the keys come out GLOBALLY sorted —
+                # the whole intersection is sort-free
+                tot = int(pl.sum())
+                seg = np.concatenate(([0], np.cumsum(pl))).astype(np.int64)
+                if tot == 0:
+                    return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                            np.empty(0, np.int64), seg)
+                pid = np.repeat(np.arange(n_pairs, dtype=np.int64), pl)
+                off = np.arange(tot, dtype=np.int64) - np.repeat(seg[:-1], pl)
+                tok = bc.rank_flat[np.repeat(bc.rank_off[idx], pl) + off]
+                key = ((pid.astype(np.uint64) << np.uint64(32))
+                       | tok.astype(np.uint64))
+                return key, pid, off, seg
 
-        keyA, pidA, offA, segA = pref_keys(ia, plA)
-        keyB, pidB, offB, segB = pref_keys(ib, plB)
-        pov = np.zeros(n_pairs, dtype=np.int64)
-        pamax = np.zeros(n_pairs, dtype=np.int64)
-        pbmax = np.zeros(n_pairs, dtype=np.int64)
-        if len(keyA) and len(keyB):
-            loc = np.searchsorted(keyA, keyB)
-            loc = np.minimum(loc, len(keyA) - 1)
-            hit = keyA[loc] == keyB
-            if hit.any():
-                # hits stay sorted by (pid, tok): min/max per pid are the
-                # first/last element of each pid run — no ufunc.at needed
-                hpid = pidB[hit]
-                brk = np.flatnonzero(hpid[1:] != hpid[:-1])
-                ifirst = np.concatenate(([0], brk + 1))
-                ilast = np.concatenate((brk, [len(hpid) - 1]))
-                pu = hpid[ifirst]
-                pov = np.bincount(hpid, minlength=n_pairs)
-                pamax[pu] = (loc[hit] - segA[hpid])[ilast]
-                pbmax[pu] = offB[hit][ilast]
+            keyA, pidA, offA, segA = pref_keys(ia, plA)
+            keyB, pidB, offB, segB = pref_keys(ib, plB)
+            pov = np.zeros(n_pairs, dtype=np.int64)
+            pamax = np.zeros(n_pairs, dtype=np.int64)
+            pbmax = np.zeros(n_pairs, dtype=np.int64)
+            if len(keyA) and len(keyB):
+                loc = np.searchsorted(keyA, keyB)
+                loc = np.minimum(loc, len(keyA) - 1)
+                hit = keyA[loc] == keyB
+                if hit.any():
+                    # hits stay sorted by (pid, tok): min/max per pid are
+                    # the first/last element of each pid run
+                    hpid = pidB[hit]
+                    brk = np.flatnonzero(hpid[1:] != hpid[:-1])
+                    ifirst = np.concatenate(([0], brk + 1))
+                    ilast = np.concatenate((brk, [len(hpid) - 1]))
+                    pu = hpid[ifirst]
+                    pov = np.bincount(hpid, minlength=n_pairs)
+                    pamax[pu] = (loc[hit] - segA[hpid])[ilast]
+                    pbmax[pu] = offB[hit][ilast]
 
         l_cnt = np.diff(bc.l_key_off)
         r_cnt = np.diff(bc.r_key_off)
