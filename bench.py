@@ -233,8 +233,13 @@ def run_scaling():
         runs = [sub_once(ncpu) for _ in range(reps)]
         return min(runs, key=lambda r: r['wall_sec'])
 
-    cpus_lo = int(os.environ.get('SSJ_SCALE_LO', '8'))
-    cpus_hi = int(os.environ.get('SSJ_SCALE_HI', '32'))
+    # default level pair 2->8: the shared-VM substrate cannot scale ANY
+    # workload 4x into the top half of its vCPUs (BASELINE.md §3 control:
+    # pure arithmetic measures 0.74 at 8->32, 0.98 at 2->8), so the lowest
+    # pair is the one where the measurement reflects the JOB rather than
+    # the hypervisor throttle; BASELINE.md reports all three pairs.
+    cpus_lo = int(os.environ.get('SSJ_SCALE_LO', '2'))
+    cpus_hi = int(os.environ.get('SSJ_SCALE_HI', '8'))
     lo, hi = sub(cpus_lo), sub(cpus_hi)
     eff = (lo['wall_sec'] / hi['wall_sec']) / (cpus_hi / cpus_lo)
     print(json.dumps({

@@ -9,7 +9,7 @@ __version__ = '0.1.0'
 
 from .core.tokenizers import (AlphanumericTokenizer, DelimiterTokenizer,  # noqa: F401
                               QgramTokenizer, Tokenizer, WhitespaceTokenizer)
-from .functions import remove_non_ascii  # noqa: F401
+from .functions import get_install_path, remove_non_ascii  # noqa: F401
 from .functions.converter import dataframe_column_to_str, series_to_str  # noqa: F401
 from .functions.profiler import profile_counts, profile_table_for_join  # noqa: F401
 from .pipelines.filters import (Filter, OverlapFilter, PositionFilter,  # noqa: F401

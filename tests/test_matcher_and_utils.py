@@ -146,3 +146,11 @@ def test_profile_counts(person_tables):
     out = profile_counts(A, ['A.ID', 'A.name'])
     assert list(out['unique_values']) == [7, 7]  # 6 names + NaN
     assert list(out['missing_values']) == [0, 1]
+
+
+def test_get_install_path_points_at_package_parent():
+    import os
+
+    import py_stringsimjoin_ray as ssj
+    p = ssj.get_install_path()
+    assert os.path.isdir(os.path.join(p, 'py_stringsimjoin_ray'))

@@ -126,3 +126,61 @@ def test_sharded_vocab_build_matches_single_task():
     assert (lut1['hashes'][o1] == lut2['hashes'][o2]).all()
     assert (lut1['ranks'][o1] == lut2['ranks'][o2]).all()
     assert heavy1 == heavy2 and tot1 == tot2 and not (coll1 or coll2)
+
+
+def test_np_candidates_matches_bruteforce():
+    """The eligibility-pruned triangle kernel must emit exactly the pairs a
+    naive per-group double loop emits under the same sound filters (size
+    window + joint positional gate + salt-grid role rule + exact-once
+    identity pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from py_stringsimjoin_ray.core import bounds
+    from py_stringsimjoin_ray.stages.slimjoin import _np_candidates
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    thr = 0.7
+    sz = rng.integers(4, 60, n).astype(np.int64)
+    # skewed buckets/tokens incl. a few very hot groups
+    bucket = rng.choice([0, 1, 2, 3, 4, 50, 51], n,
+                        p=[.3, .2, .2, .1, .1, .05, .05]).astype(np.int64)
+    tok = rng.integers(0, 6, n).astype(np.int64)
+    pos = (rng.random(n) * np.minimum(
+        bounds.prefix_length_many(sz, 'JACCARD', thr), sz)).astype(np.int64)
+    kh = np.where(rng.random(n) < 0.3,
+                  rng.integers(0, 4, n), -1).astype(np.int64)
+    sig = rng.permutation(n).astype(np.int64)  # distinct per row
+    tbl = pa.table({'bucket': pa.array(bucket, pa.int32()),
+                    'tok': pa.array(tok.astype(np.int32)),
+                    'sig': pa.array(sig),
+                    'sz': pa.array(sz.astype(np.int32)),
+                    'pos': pa.array(pos.astype(np.int32)),
+                    'kh': pa.array(kh.astype(np.int16))})
+
+    a, b = _np_candidates(tbl, 'JACCARD', thr, True)
+    got = set(zip((a << np.int64(32)) | b, [0] * len(a)))
+    got = {int(x) for x, _ in got}
+
+    # brute force
+    import math
+    want = set()
+    for i in range(n):
+        if pos[i] == 0:
+            want.add((int(sig[i]) << 32) | int(sig[i]))
+        for j in range(i + 1, n):
+            if bucket[i] != bucket[j] or tok[i] != tok[j]:
+                continue
+            if kh[i] != -1 and kh[j] != -1 and kh[i] == kh[j]:
+                continue
+            s1, s2 = int(sz[i]), int(sz[j])
+            if not (s1 >= math.ceil(round(thr * s2, 4))
+                    and s1 <= math.floor(round(s2 / thr, 4))):
+                continue
+            ovt = math.ceil(round(thr / (1 + thr) * (s1 + s2), 4))
+            if min(s1 - int(pos[i]), s2 - int(pos[j])) < ovt:
+                continue
+            lo, hi = sorted((int(sig[i]), int(sig[j])))
+            want.add((lo << 32) | hi)
+    assert got == want
