@@ -44,7 +44,7 @@ import ray.data
 
 from ..core import bounds
 from ..core.comp_ops import COMP_OP_MAP
-from .pairgen import _duck, _lev_many
+from .pairgen import _lev_many
 from .postings import KNUTH, _token_hashes
 
 _MASK63 = np.uint64((1 << 63) - 1)
@@ -638,32 +638,30 @@ class AttachBVerify:
 
     @staticmethod
     def _overlaps(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
-        """Exact per-pair token overlap via one exploded DuckDB hash join
-        (bag-product counting; with set tokenizers arrays are unique so the
-        count equals |X ∩ Y|)."""
-        con = _duck()
+        """Exact per-pair token overlap |X ∩ Y| via a sort-free merge over
+        (pair, token) keys: per-row rank arrays are sorted ascending and
+        pair ids ascend block-wise, so both key streams are globally
+        sorted already (set tokenizers make per-side tokens unique)."""
         n = len(ra)
-        la = np.fromiter((len(x) for x in ra), np.int64, n)
-        lb = np.fromiter((len(x) for x in rb), np.int64, n)
-        ea = pa.table({
-            'i': np.repeat(np.arange(n), la),
-            'tok': (np.concatenate(ra) if la.sum() else
-                    np.empty(0, np.int32)).astype(np.int64)})
-        eb = pa.table({
-            'i': np.repeat(np.arange(n), lb),
-            'tok': (np.concatenate(rb) if lb.sum() else
-                    np.empty(0, np.int32)).astype(np.int64)})
-        con.register('t_va', ea)
-        con.register('t_vb', eb)
-        res = con.execute("""
-            SELECT a.i AS i, count(*) AS o
-            FROM t_va a JOIN t_vb b ON a.i = b.i AND a.tok = b.tok
-            GROUP BY 1""").arrow()
-        con.unregister('t_va')
-        con.unregister('t_vb')
+
+        def keys(rows):
+            lens = np.fromiter((len(x) for x in rows), np.int64, n)
+            tot = int(lens.sum())
+            if tot == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.int64)
+            pid = np.repeat(np.arange(n, dtype=np.int64), lens)
+            tok = np.concatenate(rows).astype(np.uint64)
+            return (pid.astype(np.uint64) << np.uint64(32)) | tok, pid
+
+        keyA, _ = keys(ra)
+        keyB, pidB = keys(rb)
         out = np.zeros(n, dtype=np.int64)
-        idx = res['i'].to_numpy().astype(np.int64)
-        out[idx] = res['o'].to_numpy().astype(np.int64)
+        if len(keyA) == 0 or len(keyB) == 0:
+            return out
+        loc = np.minimum(np.searchsorted(keyA, keyB), len(keyA) - 1)
+        hit = keyA[loc] == keyB
+        if hit.any():
+            out = np.bincount(pidB[hit], minlength=n)
         return out
 
 
