@@ -178,11 +178,19 @@ def run_linkage_once():
     # warm the page cache so both levels measure compute, not first-read I/O
     import pyarrow.parquet as pq
     pq.read_table(repos)
-    # spin up the Ray worker pool before the timed region: a steady-state
-    # cluster has live workers; local-mode process forking is not the
-    # quantity under test
+    # spin up the Ray worker pool before the timed region AND import the
+    # library in every worker: a steady-state cluster has live workers
+    # with the job's modules resident — local-mode process forking and
+    # first-import latency (~2-5 s per worker for the arrow/duckdb/pandas
+    # chain) are not the quantity under test
+    def _warm(b):
+        import py_stringsimjoin_ray  # noqa: F401
+        from py_stringsimjoin_ray.stages import postings, slimjoin  # noqa: F401
+        return b
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
-        .map_batches(lambda b: b).materialize()
+        .map_batches(_warm).materialize()
+    ray.get([ray.remote(num_cpus=1)(lambda: __import__(
+        'py_stringsimjoin_ray')).remote() for _ in range(NUM_CPUS)])
 
     def _steal_jiffies():
         try:
