@@ -407,8 +407,14 @@ def map_tokens_to_ranks(lut: dict, token_values: pa.Array,
         if len(sh) == 0 or len(token_values) == 0:
             return np.zeros(len(token_values), dtype=np.int64)
         th = _token_hashes(token_values)
-        pos = np.minimum(np.searchsorted(sh, th), len(sh) - 1)
-        return np.where(sh[pos] == th, ranks[pos], 0).astype(np.int64)
+        # dedup + sort the probes first: token batches repeat heavily, and
+        # sorted probes walk the (DRAM-resident, multi-million-entry) LUT
+        # monotonically instead of issuing a random ~24-miss binary search
+        # per occurrence
+        uh, inv = np.unique(th, return_inverse=True)
+        pos = np.minimum(np.searchsorted(sh, uh), len(sh) - 1)
+        ranks_u = np.where(sh[pos] == uh, ranks[pos], 0).astype(np.int64)
+        return ranks_u[inv]
     idx = _fallback_index(ref_key, lut['tokens'])  # pragma: no cover
     return (idx.get_indexer(token_values.to_pandas()) + 1).astype(np.int64)
 
