@@ -240,6 +240,14 @@ def q_ann_topk_embeddings(sf_dir):
     return _keys_int(out, ['query_id', 'vec_id', 'rank'])
 
 
+def q_cosine_neardup_embeddings(sf_dir):
+    # exact brute-force baseline (broadcast corpus + per-batch matmul block);
+    # the LSH-table variant is the 100-TB path, recall-gated in tests
+    emb = _t(sf_dir, 'embeddings')
+    out = ann.cosine_neardup_pairs(emb, 'vec_id', 'embedding', threshold=0.4)
+    return _keys_int(out, ['l_id', 'r_id'])
+
+
 # ------------------------------------------------------------- clustering
 
 def q_cluster_components_part(sf_dir):
@@ -327,6 +335,7 @@ QUERIES = {
     'langid_documents': q_langid_documents,
     'fingerprint_documents': q_fingerprint_documents,
     'ann_topk_embeddings': q_ann_topk_embeddings,
+    'cosine_neardup_embeddings': q_cosine_neardup_embeddings,
     'cluster_components_part': q_cluster_components_part,
     'media_meta_documents': q_media_meta_documents,
     'media_decode_documents': q_media_decode_documents,
@@ -580,6 +589,12 @@ SELECT query_id, vec_id,
                                ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= 5
+""",
+    'cosine_neardup_embeddings': """
+SELECT a.vec_id AS l_id, b.vec_id AS r_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY l_id, r_id
 """,
     'cluster_components_part': """
 WITH tok AS (SELECT p_partkey AS id,

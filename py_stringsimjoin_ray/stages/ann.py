@@ -175,3 +175,119 @@ def ann_topk_lsh(ds: ray.data.Dataset, query_matrix: np.ndarray,
             rows.append((int(qi), int(r.vec_id), float(r.cosine), rank))
     return pd.DataFrame(rows, columns=['query_id', 'vec_id', 'cosine',
                                        'rank'])
+
+
+def _corpus_matrix(ds: ray.data.Dataset, id_col: str,
+                   vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (ids, unit-normalized matrix) for the broadcast side.
+
+    Small-side broadcast pattern (same as the rank LUT): built once, shipped
+    via ``ray.put``; callers document that the corpus matrix must fit in a
+    worker's heap — the ``method='lsh'`` path is the 100-TB alternative."""
+    parts = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: pa.table({
+            id_col: b[id_col],
+            vec_col: b[vec_col]}), batch_format='pyarrow') \
+        .to_pandas()
+    ids = parts[id_col].to_numpy().astype(np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in parts[vec_col]]) \
+        if len(parts) else np.empty((0, 0), np.float64)
+    n = np.linalg.norm(X, axis=1) if len(X) else np.empty(0)
+    n[n == 0] = 1.0
+    return ids, X / n[:, None] if len(X) else X
+
+
+def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
+                         vec_col: str = 'embedding',
+                         threshold: float = 0.4,
+                         method: str = 'bruteforce',
+                         nbits: int = 8, seed: int = 42,
+                         tables: int = 4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: all unordered id pairs with
+    cosine(u, v) >= threshold (ids ascending within a pair).
+
+    - ``method='bruteforce'`` (exact baseline): the unit-normalized corpus is
+      broadcast once via ``ray.put``; each batch computes its block of the
+      similarity matrix with one float64 matmul and emits only its rows'
+      (l_id < r_id) half, so every pair surfaces exactly once with no
+      shuffle and no driver-side pair loop.
+    - ``method='lsh'`` (scale path): ``tables`` independent sign-LSH tables
+      (hyperplane signatures, seeds ``seed..seed+tables-1``) bucket the
+      vectors; exact float64 cosine runs inside each (table, signature)
+      group and a groupby over (l, r) dedupes pairs found by several
+      tables. Recall < 1 by construction; gated vs brute force in
+      tests/test_cluster_dedup_ann.py.
+    """
+    if method == 'bruteforce':
+        ids, C = _corpus_matrix(ds, id_col, vec_col)
+        cref = ray.put((ids, C))
+
+        def block_pairs(batch: pa.Table) -> pa.Table:
+            cids, CM = ray.get(cref)
+            X = _batch_matrix(batch, vec_col)
+            bids = batch[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(X) == 0 or len(CM) == 0:
+                return pa.table({'l_id': pa.array([], pa.int64()),
+                                 'r_id': pa.array([], pa.int64())})
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            S = (X / xn[:, None]) @ CM.T
+            li, rj = np.nonzero((S >= threshold) &
+                                (bids[:, None] < cids[None, :]))
+            return pa.table({'l_id': pa.array(bids[li]),
+                             'r_id': pa.array(cids[rj])})
+        out = ds.map_batches(block_pairs, batch_format='pyarrow').to_pandas()
+        return out.sort_values(['l_id', 'r_id'],
+                               ignore_index=True) if len(out) else \
+            pd.DataFrame({'l_id': pd.Series([], dtype=np.int64),
+                          'r_id': pd.Series([], dtype=np.int64)})
+
+    if method != 'lsh':
+        raise ValueError(f'unknown method: {method!r}')
+    dim = None
+
+    def sig_postings(batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(X) == 0:
+            return pa.table({'tbl': pa.array([], pa.int32()),
+                             'sig': pa.array([], pa.int64()),
+                             'id': pa.array([], pa.int64()),
+                             'vec': pa.array([], pa.list_(pa.float64()))})
+        out_t, out_s, out_i, out_v = [], [], [], []
+        for ti in range(tables):
+            h = HyperplaneSig(X.shape[1], nbits, seed + ti)
+            out_t.append(np.full(len(X), ti, np.int32))
+            out_s.append(h.sig(X))
+            out_i.append(ids)
+            out_v.append(X)
+        return pa.table({'tbl': pa.array(np.concatenate(out_t)),
+                         'sig': pa.array(np.concatenate(out_s)),
+                         'id': pa.array(np.concatenate(out_i)),
+                         'vec': pa.array(list(np.concatenate(out_v, axis=0)),
+                                         pa.list_(pa.float64()))})
+
+    posts = ds.map_batches(sig_postings, batch_format='pyarrow')
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({'l_id': pd.Series([], dtype=np.int64),
+                                 'r_id': pd.Series([], dtype=np.int64)})
+        X = np.stack([np.asarray(v, np.float64) for v in df['vec']])
+        ids = df['id'].to_numpy().astype(np.int64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        S = Xn @ Xn.T
+        li, rj = np.nonzero((S >= threshold) &
+                            (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({'l_id': ids[li], 'r_id': ids[rj]})
+    bucket_pairs.__name__ = 'cosine_bucket_pairs'
+
+    cand = posts.groupby(['tbl', 'sig']).map_groups(
+        bucket_pairs, batch_format='pandas')
+    from ray.data.aggregate import Count
+    uniq = cand.groupby(['l_id', 'r_id']).aggregate(Count()).to_pandas()
+    out = uniq[['l_id', 'r_id']].astype(np.int64)
+    return out.sort_values(['l_id', 'r_id'], ignore_index=True)

@@ -230,3 +230,52 @@ class TestAnnRecall:
                                              probes=2))
         # isotropic corpus: assert the knob works, report the numbers
         assert r2 >= r1 > 0
+
+
+class TestCosineNearDup:
+    """Embedding-cosine near-duplicate pairs (the remaining dedup mode from
+    the build brief): brute-force is exact (oracle-checked in the driver
+    queries), the LSH-table variant is the scale path with recall gated on
+    planted near-dup clusters."""
+
+    @staticmethod
+    def _planted(seed=7, dim=32, n_clusters=30, per=6, noise=0.05):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, dim))
+        vecs, ids = [], []
+        for c in range(n_clusters):
+            for j in range(per):
+                vecs.append(centers[c] + noise * rng.standard_normal(dim))
+                ids.append(c * per + j)
+        return pd.DataFrame({'vec_id': ids,
+                             'embedding': [v.tolist() for v in vecs]})
+
+    def test_bruteforce_matches_numpy(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = self._planted()
+        ds = ray.data.from_pandas(df).repartition(4)
+        t = 0.8
+        out = ann.cosine_neardup_pairs(ds, threshold=t)
+        X = np.stack([np.asarray(v, np.float64) for v in df['embedding']])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        ids = df['vec_id'].to_numpy()
+        li, rj = np.nonzero((S >= t) & (ids[:, None] < ids[None, :]))
+        want = sorted(zip(ids[li], ids[rj]))
+        got = list(map(tuple, out[['l_id', 'r_id']].values))
+        assert got == want and len(want) > 100
+
+    def test_lsh_subset_and_recall(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = self._planted()
+        ds = ray.data.from_pandas(df).repartition(4)
+        t = 0.8
+        exact = set(map(tuple,
+                        ann.cosine_neardup_pairs(ds, threshold=t).values))
+        lsh = set(map(tuple, ann.cosine_neardup_pairs(
+            ds, threshold=t, method='lsh', nbits=8, tables=6).values))
+        assert lsh <= exact  # in-bucket scoring is exact: no false pairs
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f'neardup recall = {recall:.3f}'
