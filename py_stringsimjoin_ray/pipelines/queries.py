@@ -240,6 +240,19 @@ def q_ann_topk_embeddings(sf_dir):
     return _keys_int(out, ['query_id', 'vec_id', 'rank'])
 
 
+def q_ann_topk_ivf_embeddings(sf_dir):
+    # IVF with nprobe == nlist probes every inverted list, so the result is
+    # exact and shares the brute-force SQL oracle; recall at nprobe < nlist
+    # is gated in tests/test_cluster_dedup_ann.py
+    emb = _t(sf_dir, 'embeddings')
+    Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                  for r in emb.filter(expr='vec_id < 10').take(10)])
+    out = ann.ann_topk_ivf(emb, Q, 'vec_id', 'embedding', k=5,
+                           nlist=8, nprobe=8)
+    out = out[['query_id', 'vec_id', 'rank']].copy()
+    return _keys_int(out, ['query_id', 'vec_id', 'rank'])
+
+
 def q_cosine_neardup_embeddings(sf_dir):
     # exact brute-force baseline (broadcast corpus + per-batch matmul block);
     # the LSH-table variant is the 100-TB path, recall-gated in tests
@@ -335,6 +348,7 @@ QUERIES = {
     'langid_documents': q_langid_documents,
     'fingerprint_documents': q_fingerprint_documents,
     'ann_topk_embeddings': q_ann_topk_embeddings,
+    'ann_topk_ivf_embeddings': q_ann_topk_ivf_embeddings,
     'cosine_neardup_embeddings': q_cosine_neardup_embeddings,
     'cluster_components_part': q_cluster_components_part,
     'media_meta_documents': q_media_meta_documents,
@@ -768,6 +782,9 @@ SELECT event_id, user_id,
 FROM lagd
 """,
 }
+
+# IVF at nprobe == nlist is exact, so it shares the brute-force top-k oracle
+ORACLE_SQL['ann_topk_ivf_embeddings'] = ORACLE_SQL['ann_topk_embeddings']
 
 
 def run_query(name: str, sf_dir: str):

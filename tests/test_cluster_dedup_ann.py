@@ -279,3 +279,39 @@ class TestCosineNearDup:
         assert lsh <= exact  # in-bucket scoring is exact: no false pairs
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.9, f'neardup recall = {recall:.3f}'
+
+
+class TestIvf:
+    """IVF coarse-quantizer ANN: exact at nprobe == nlist (shares the
+    brute-force oracle in the driver queries); recall at nprobe < nlist is
+    the knob, gated on planted clusters."""
+
+    def test_exact_when_probing_all_lists(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=3)
+        ds = ray.data.from_pandas(df).repartition(4)
+        Q = np.stack([np.asarray(v, np.float64)
+                      for v in df['embedding'][:12]])
+        exact = ann.ann_topk_bruteforce(ds, Q, k=10)
+        ivf = ann.ann_topk_ivf(ds, Q, k=10, nlist=8, nprobe=8)
+        pd.testing.assert_frame_equal(
+            exact[['query_id', 'vec_id', 'rank']].reset_index(drop=True),
+            ivf[['query_id', 'vec_id', 'rank']].reset_index(drop=True))
+
+    def test_recall_monotone_in_nprobe(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=11, n_clusters=40, per=12)
+        ds = ray.data.from_pandas(df).repartition(4)
+        Q = np.stack([np.asarray(v, np.float64)
+                      for v in df['embedding'][::12][:15]])
+        exact = ann.ann_topk_bruteforce(ds, Q, k=10)
+        spec = None
+        r = {}
+        for npb in (1, 4):
+            ivf = ann.ann_topk_ivf(ds, Q, k=10, nlist=16, nprobe=npb,
+                                   seed=5)
+            r[npb] = _recall(exact, ivf)
+        assert r[4] >= r[1]
+        assert r[4] >= 0.9, f'ivf recall@10 = {r[4]:.3f}'
