@@ -293,8 +293,15 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         counters['sha256_invariant_ok'] = (
             m_in and m_out and m_in.get('sha256_xor') == m_out.get('sha256_xor'))
     else:
-        counters['sha256_invariant_ok'] = (
-            mf.sha256_xor_rollup(ingest) == mf.sha256_xor_rollup(clusters))
+        # the two roll-ups scan independent materialized datasets — run the
+        # executions concurrently so the fixed per-dataset launch latency
+        # overlaps instead of stacking
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as ex:
+            f_in = ex.submit(mf.sha256_xor_rollup, ingest)
+            f_out = ex.submit(mf.sha256_xor_rollup, clusters)
+            counters['sha256_invariant_ok'] = (f_in.result() ==
+                                               f_out.result())
     _mark('invariant')
     if ingest_manifest:
         counters['ingest_rows'] = ingest_manifest['num_rows']
