@@ -202,7 +202,8 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
                          threshold: float = 0.4,
                          method: str = 'bruteforce',
                          nbits: int = 8, seed: int = 42,
-                         tables: int = 4) -> pd.DataFrame:
+                         tables: int = 4,
+                         output: str = 'pandas'):
     """Embedding-cosine near-duplicate pairs: all unordered id pairs with
     cosine(u, v) >= threshold (ids ascending within a pair).
 
@@ -217,6 +218,9 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
       group and a groupby over (l, r) dedupes pairs found by several
       tables. Recall < 1 by construction; gated vs brute force in
       tests/test_cluster_dedup_ann.py.
+
+    ``output='dataset'`` keeps the pair stream distributed (unsorted) for
+    100-TB outputs; ``'pandas'`` collects and sorts (test/driver scale).
     """
     if method == 'bruteforce':
         ids, C = _corpus_matrix(ds, id_col, vec_col)
@@ -237,7 +241,10 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
                                 (bids[:, None] < cids[None, :]))
             return pa.table({'l_id': pa.array(bids[li]),
                              'r_id': pa.array(cids[rj])})
-        out = ds.map_batches(block_pairs, batch_format='pyarrow').to_pandas()
+        pairs_ds = ds.map_batches(block_pairs, batch_format='pyarrow')
+        if output == 'dataset':
+            return pairs_ds
+        out = pairs_ds.to_pandas()
         return out.sort_values(['l_id', 'r_id'],
                                ignore_index=True) if len(out) else \
             pd.DataFrame({'l_id': pd.Series([], dtype=np.int64),
@@ -288,7 +295,10 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
     cand = posts.groupby(['tbl', 'sig']).map_groups(
         bucket_pairs, batch_format='pandas')
     from ray.data.aggregate import Count
-    uniq = cand.groupby(['l_id', 'r_id']).aggregate(Count()).to_pandas()
+    uniq_ds = cand.groupby(['l_id', 'r_id']).aggregate(Count())
+    if output == 'dataset':
+        return uniq_ds.select_columns(['l_id', 'r_id'])
+    uniq = uniq_ds.to_pandas()
     out = uniq[['l_id', 'r_id']].astype(np.int64)
     return out.sort_values(['l_id', 'r_id'], ignore_index=True)
 

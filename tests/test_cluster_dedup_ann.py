@@ -315,3 +315,15 @@ class TestIvf:
             r[npb] = _recall(exact, ivf)
         assert r[4] >= r[1]
         assert r[4] >= 0.9, f'ivf recall@10 = {r[4]:.3f}'
+
+    def test_dataset_output_stays_distributed(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=5)
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = ann.cosine_neardup_pairs(ds, threshold=0.8, output='dataset')
+        assert isinstance(out, ray.data.Dataset)
+        got = sorted(map(tuple, out.to_pandas()[['l_id', 'r_id']].values))
+        want = sorted(map(tuple, ann.cosine_neardup_pairs(
+            ds, threshold=0.8).values))
+        assert got == want
