@@ -299,6 +299,9 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
     if output == 'dataset':
         return uniq_ds.select_columns(['l_id', 'r_id'])
     uniq = uniq_ds.to_pandas()
+    if uniq.empty:  # zero near-dups: keep the (l_id, r_id) schema
+        return pd.DataFrame({'l_id': pd.Series([], dtype=np.int64),
+                             'r_id': pd.Series([], dtype=np.int64)})
     out = uniq[['l_id', 'r_id']].astype(np.int64)
     return out.sort_values(['l_id', 'r_id'], ignore_index=True)
 
@@ -358,6 +361,11 @@ def ann_topk_ivf(ds: ray.data.Dataset, query_matrix: np.ndarray,
     Q = np.asarray(query_matrix, dtype=np.float64)
     if spec is None:
         rows = ds.limit(train_sample).take_all()
+        if not rows:  # empty corpus: no neighbors to return
+            return pd.DataFrame({'query_id': pd.Series([], dtype=np.int64),
+                                 'vec_id': pd.Series([], dtype=np.int64),
+                                 'cosine': pd.Series([], dtype=np.float64),
+                                 'rank': pd.Series([], dtype=np.int64)})
         sample = np.stack([np.asarray(r[vec_col], np.float64) for r in rows])
         spec = IVFIndexSpec.train(sample, nlist, seed=seed)
     nlist_eff = len(spec.C)

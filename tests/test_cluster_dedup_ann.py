@@ -327,3 +327,16 @@ class TestIvf:
         want = sorted(map(tuple, ann.cosine_neardup_pairs(
             ds, threshold=0.8).values))
         assert got == want
+
+    def test_empty_edges(self, ray_session):
+        import ray.data
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=2, n_clusters=4, per=3)
+        ds = ray.data.from_pandas(df)
+        # threshold above any pair: zero near-dups with stable schema
+        none = ann.cosine_neardup_pairs(ds, threshold=1.1, method='lsh')
+        assert list(none.columns) == ['l_id', 'r_id'] and none.empty
+        # empty corpus: IVF returns an empty frame instead of crashing
+        empty = ray.data.from_pandas(df.iloc[0:0])
+        out = ann.ann_topk_ivf(empty, np.ones((2, 32)), k=3)
+        assert out.empty and 'rank' in out.columns
