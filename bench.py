@@ -239,6 +239,11 @@ def run_scaling():
         # min is the standard noise-robust estimator
         reps = int(os.environ.get('SSJ_SCALE_REPS', '3'))
         runs = [sub_once(ncpu) for _ in range(reps)]
+        # audit trail: every rep's wall + hypervisor steal, not just the min
+        sys.stderr.write(
+            f"SCALEREPS cpus={ncpu} " + " ".join(
+                f"{r['wall_sec']}s/steal{r['steal_pct_of_budget']}%"
+                for r in runs) + "\n")
         return min(runs, key=lambda r: r['wall_sec'])
 
     # default level pair 2->8: the shared-VM substrate cannot scale ANY
