@@ -658,6 +658,12 @@ class AttachBVerify:
         out = np.zeros(n, dtype=np.int64)
         if len(keyA) == 0 or len(keyB) == 0:
             return out
+        # defensive: the invariant (per-row ranks ascending) is produced two
+        # modules away (RankPrefixStage / dist_ordering.regroup); an O(n)
+        # check catches any future producer that breaks it, and the repair
+        # sort on nearly-sorted data costs ~nothing
+        if np.any(np.diff(keyA) < 0):  # pragma: no cover - invariant repair
+            keyA.sort()
         loc = np.minimum(np.searchsorted(keyA, keyB), len(keyA) - 1)
         hit = keyA[loc] == keyB
         if hit.any():
