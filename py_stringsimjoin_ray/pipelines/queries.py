@@ -231,10 +231,20 @@ def q_fingerprint_documents(sf_dir):
 
 # --------------------------------------------------------------- ann
 
+def _query_matrix(emb, n=10):
+    """First n vectors by vec_id, stacked in vec_id order — ``take`` after a
+    filter does NOT preserve row order under Ray Data's default
+    preserve_order=False, so sort explicitly (query_id i must be vec_id i
+    for the SQL oracle's positional mapping)."""
+    rows = sorted(emb.filter(expr=f'vec_id < {n}').take(n),
+                  key=lambda r: r['vec_id'])
+    return np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                     for r in rows])
+
+
 def q_ann_topk_embeddings(sf_dir):
     emb = _t(sf_dir, 'embeddings')
-    Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
-                  for r in emb.filter(expr='vec_id < 10').take(10)])
+    Q = _query_matrix(emb)
     out = ann.ann_topk_bruteforce(emb, Q, 'vec_id', 'embedding', k=5)
     out = out[['query_id', 'vec_id', 'rank']].copy()
     return _keys_int(out, ['query_id', 'vec_id', 'rank'])
@@ -245,8 +255,7 @@ def q_ann_topk_ivf_embeddings(sf_dir):
     # exact and shares the brute-force SQL oracle; recall at nprobe < nlist
     # is gated in tests/test_cluster_dedup_ann.py
     emb = _t(sf_dir, 'embeddings')
-    Q = np.stack([np.asarray(r['embedding'], dtype=np.float64)
-                  for r in emb.filter(expr='vec_id < 10').take(10)])
+    Q = _query_matrix(emb)
     out = ann.ann_topk_ivf(emb, Q, 'vec_id', 'embedding', k=5,
                            nlist=8, nprobe=8)
     out = out[['query_id', 'vec_id', 'rank']].copy()
