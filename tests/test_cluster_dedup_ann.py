@@ -154,6 +154,41 @@ class TestTextStats:
         assert textstats.fingerprint64('a b c') != \
             textstats.fingerprint64('c b a')
 
+    def test_vectorized_kernels_pinned_to_scalar_definitions(self):
+        """The batch kernels (Arrow split + dictionary md5 + lockstep
+        Horner; index_in stopword vote) must agree with the scalar
+        definitions on every row — including RE2-vs-Python whitespace
+        edge cases (\\xa0 NBSP is NOT a separator, \\v triggers the
+        exact-regex fallback path) and empty/null rows."""
+        import pyarrow as pa
+        import random
+        rng = random.Random(11)
+        vocab = ['the', 'and', 'der', 'die', 'le', 'la', 'foo', 'café',
+                 'und', 'est', 'in', 'a', 'zu', 'bar']
+        texts = []
+        for _ in range(200):
+            sep = rng.choice([' ', '  ', '\t', '\n', '\f', '\r',
+                              ' \xa0 ', '\x0b'])
+            texts.append(sep.join(rng.choice(vocab)
+                                  for _ in range(rng.randrange(0, 25))))
+        texts += ['', '   ', 'the', 'a\xa0b', 'a\x0bthe', None,
+                  'the,and of', 'der und ist le la the and of to']
+        batch = pa.table({'doc_id': list(range(len(texts))),
+                          'text': texts})
+        fps = textstats.fingerprint_batch(batch)['fingerprint'].to_pylist()
+        langs = textstats.langid_batch(batch)['lang_pred'].to_pylist()
+        n_tok = textstats.token_count_batch(batch)['n_tokens'].to_pylist()
+        for i, t in enumerate(texts):
+            toks = textstats._re2_tokens(t or '')
+            assert fps[i] == textstats.fingerprint64(t or ''), (i, t)
+            assert n_tok[i] == len(toks), (i, t)
+            words = set(w.lower() for w in toks)
+            scores = {lang: len(words & sw)
+                      for lang, sw in textstats.STOPWORDS.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            exp = best if scores[best] > 0 else 'und'
+            assert langs[i] == exp, (i, t)
+
 
 class TestMedia:
     def test_pipeline_shape(self, docs_ds):
