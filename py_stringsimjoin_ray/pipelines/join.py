@@ -120,6 +120,18 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     plus the empty-record key lists needed for the allow_empty fast path."""
     same_relation = (l_ds is r_ds and l_key_attr == r_key_attr
                      and l_join_attr == r_join_attr)
+
+    # size-gated local fast path (stages/localjoin.py): identical kernels
+    # run in-process (plain-task fan-out for big candidate sets), skipping
+    # the Dataset stage barriers that dominate small-input latency.  The
+    # probe cost is bounded (limit(cap).count()), so huge inputs pay O(cap)
+    # to be routed to the distributed pipeline below.
+    from ..stages.localjoin import local_join_eligible, local_match_pairs
+    if local_join_eligible(l_ds, r_ds, cfg, same_relation):
+        return local_match_pairs(l_ds, r_ds, l_key_attr, r_key_attr,
+                                 l_join_attr, r_join_attr, cfg,
+                                 same_relation)
+
     l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
     prof = _prof_mark()
 
@@ -359,7 +371,8 @@ def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
     l_pd = l_table if isinstance(l_table, pd.DataFrame) else l_table.to_pandas()
     r_pd = r_table if isinstance(r_table, pd.DataFrame) else r_table.to_pandas()
 
-    pairs = pairs_ds.to_pandas()
+    pairs = (pairs_ds if isinstance(pairs_ds, pd.DataFrame)
+             else pairs_ds.to_pandas())
     if len(pairs) == 0:
         pairs = pd.DataFrame({'l_key': [], 'r_key': [], '_sim_score': []})
     if '_sim_score' not in pairs.columns:
@@ -453,7 +466,8 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if output == 'dataset':
-            return pairs
+            return (ray.data.from_pandas(pairs)
+                    if isinstance(pairs, pd.DataFrame) else pairs)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,
@@ -579,7 +593,8 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if kw.get('output') == 'dataset':
-            return pairs
+            return (ray.data.from_pandas(pairs)
+                    if isinstance(pairs, pd.DataFrame) else pairs)
         # reference emits integer edit distances (dtype parity)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,

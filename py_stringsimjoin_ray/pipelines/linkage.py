@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -211,6 +212,9 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
                           counter_name=counter_name)
         pairs, _ = match_pairs_dataset(ingest, ingest, 'record_id',
                                        'record_id', 'content', 'content', cfg)
+        if isinstance(pairs, pd.DataFrame):
+            # small corpora ride the local fast path (stages/localjoin.py)
+            pairs = ray.data.from_pandas(pairs)
 
         def cast_pairs(batch: pa.Table) -> pa.Table:
             return pa.table({

@@ -1,0 +1,280 @@
+"""Size-gated local fast path for ``mode='join'``.
+
+A Ray Data pipeline pays ~8 stage barriers (tokenize, vocabulary,
+signature fold, postings shuffle, candgen, verify, expand) at 0.3-0.6 s
+of fixed scheduling/exchange latency each — irrelevant at 100 TB, but it
+makes a 10k x 10k join ~30x slower than the reference's single-process
+loop (measured: 4.6 s warm vs 0.39 s).  This module runs the SAME stage
+kernels (``TokenizeStage`` -> rank lookup -> ``RankPrefixStage`` ->
+``SigStage`` -> Tsig fold -> ``SlimPostingsStage`` -> ``_np_candidates``
+-> ``BroadcastVerify``) synchronously on in-memory Arrow tables, fanning
+candidate generation and verification out to plain Ray tasks when the
+work is large enough to parallelize — no Dataset machinery, so the whole
+join is kernel-bound.
+
+Gate: both inputs at most ``SSJ_LOCAL_MAX_ROWS`` (default 200k) total
+rows, probed at bounded cost (``len(df)`` for pandas;
+``ds.limit(cap).count()`` for Datasets — the limit early-terminates
+streaming execution, so the probe never scans more than the cap even on
+a 100 TB input).  Beyond the gate the distributed slim-postings pipeline
+(stages/slimjoin.py) runs unchanged.  ``SSJ_LOCAL_JOIN=0`` disables the
+fast path, ``=force`` takes it regardless of size (tests use both to
+pin path equivalence).
+
+Output parity: candidate recall is guaranteed for ANY consistent global
+token order by prefix-filter theory (verification is exact), and
+EDIT_DISTANCE — whose approximate recall DOES depend on the order —
+uses the same (count asc, token asc) ordering as the distributed path's
+``make_rank_lookup(tie='token')``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .postings import RankPrefixStage, heavy_token_table, make_rank_lookup
+from .slimjoin import (BroadcastVerify, SigStage, SlimPostingsStage,
+                       _np_candidates, _TsigBroadcast)
+from .tokenize import TokenizeStage, partial_token_counts
+
+DEFAULT_LOCAL_MAX_ROWS = 200_000
+# above these, candgen / verify fan out to plain Ray tasks (ms-latency)
+_FANOUT_POSTINGS = 300_000
+_FANOUT_PAIRS = 250_000
+
+
+def _probe_rows(table, cap: int) -> int:
+    """Bounded-cost row estimate: exact for pandas; for Datasets the
+    ``limit(cap)`` pushes into the streaming executor and terminates
+    execution after ~cap rows, so probing a huge input costs O(cap)."""
+    if isinstance(table, pd.DataFrame):
+        return len(table)
+    try:
+        return int(table.limit(cap).count())
+    except Exception:  # pragma: no cover - treat unknowns as large
+        return cap
+
+
+def local_join_eligible(ltable, rtable, cfg, same_relation: bool) -> bool:
+    if cfg.mode != 'join':
+        return False
+    flag = os.environ.get('SSJ_LOCAL_JOIN', '1')
+    if flag == '0':
+        return False
+    if getattr(cfg, 'force_distributed', False) \
+            or os.environ.get('SSJ_FORCE_DISTRIBUTED') == '1' \
+            or os.environ.get('SSJ_DISTRIBUTED_ORDERING') == '1' \
+            or getattr(cfg, 'distributed_ordering', False):
+        return False
+    if flag == 'force':
+        return True
+    max_rows = int(os.environ.get('SSJ_LOCAL_MAX_ROWS',
+                                  DEFAULT_LOCAL_MAX_ROWS))
+    est = _probe_rows(ltable, max_rows + 1)
+    if est > max_rows:
+        return False
+    if not same_relation:
+        est += _probe_rows(rtable, max_rows + 1)
+    return est <= max_rows
+
+
+def _to_arrow(table, cols: list) -> pa.Table:
+    cols = list(dict.fromkeys(cols))
+    if isinstance(table, pd.DataFrame):
+        return pa.Table.from_pandas(table[cols].reset_index(drop=True),
+                                    preserve_index=False)
+    return pa.Table.from_pandas(table.select_columns(cols).to_pandas(),
+                                preserve_index=False)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({'l_key': np.array([], object),
+                         'r_key': np.array([], object),
+                         '_sim_score': np.array([], np.float64)})
+
+
+def _local_empties(cfg, tok_l: pa.Table, tok_r: pa.Table) -> dict:
+    """allow_empty inputs, mirroring join._empty_key_lists semantics."""
+    empties: dict = {}
+    if cfg.allow_empty and cfg.sim_type not in ('OVERLAP', 'EDIT_DISTANCE') \
+            and cfg.mode != 'overlap_candidates':
+        for name, t in (('l', tok_l), ('r', tok_r)):
+            m = pc.equal(pc.list_value_length(t['tokens']), 0)
+            empties[name] = t['key'].filter(m).to_pylist()
+    return empties
+
+
+def _local_lut(tok_tables: list, cfg):
+    """Vocabulary + ordering artifact, built in-process.  Set measures use
+    the hash tie-break (any consistent order is exact under verification);
+    EDIT_DISTANCE keeps the reference's (count, token) order, which its
+    approximate recall depends on."""
+    parts = [partial_token_counts(t) for t in tok_tables if len(t)]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return ({'hashes': np.empty(0, np.uint64),
+                 'ranks': np.empty(0, np.int32)}, {}, 0)
+    merged = pa.concat_tables(parts)
+    agg = merged.group_by('token').aggregate([('partial', 'sum')])
+    freq = pa.table({'token': agg['token'], 'count': agg['partial_sum']})
+    tie = 'token' if cfg.sim_type == 'EDIT_DISTANCE' else 'hash'
+    lut = make_rank_lookup(freq, tie=tie)
+    heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
+    tot = int(pc.sum(freq['count']).as_py() or 0)
+    return lut, heavy, tot
+
+
+def _local_tsig(tagged: pa.Table, same_relation: bool, keep_string: bool):
+    """Single-shard equivalent of slimjoin._build_tsig_shard: fold the
+    tagged records into the in-process signature table + memberships."""
+    sigs = tagged['sig'].to_numpy()
+    if len(sigs) == 0:
+        return None, None
+    order = np.argsort(sigs, kind='stable')
+    ss = sigs[order]
+    first = np.concatenate(([True], ss[1:] != ss[:-1]))
+    take = order[first]
+    uniq = ss[first]
+    sub = tagged.take(pa.array(take))
+    ranks = sub['ranks'].combine_chunks()
+    rank_off = ranks.offsets.to_numpy().astype(np.int64)
+    rank_flat = (ranks.values.to_numpy(zero_copy_only=False)
+                 if len(ranks.values) else np.empty(0, np.int32))
+
+    side = tagged['side'].to_numpy(zero_copy_only=False)
+    keys = tagged['key'].to_numpy(zero_copy_only=False)
+    m_idx = np.searchsorted(uniq, sigs)
+    n = len(uniq)
+
+    def side_arrays(mask):
+        idx, kk = m_idx[mask], keys[mask]
+        o = np.argsort(idx, kind='stable')
+        idx, kk = idx[o], kk[o]
+        counts = np.bincount(idx, minlength=n)
+        off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        return off, kk
+
+    l_off, l_flat = side_arrays(side == 0)
+    if same_relation:
+        r_off, r_flat = l_off, l_flat
+    else:
+        r_off, r_flat = side_arrays(side == 1)
+
+    sz = sub['sz'].to_numpy().astype(np.int64)
+    plen = sub['plen'].to_numpy().astype(np.int64)
+    bc = _TsigBroadcast(
+        uniq.astype(np.int64), rank_off, rank_flat, sz, plen,
+        l_off, l_flat, r_off, r_flat,
+        sub['s'].to_numpy(zero_copy_only=False) if keep_string else None)
+    tsig_tbl = pa.table({
+        'sig': pa.array(uniq.astype(np.int64)),
+        'si': pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+        'sz': pa.array(sz.astype(np.int32), pa.int32()),
+        'plen': pa.array(plen.astype(np.int32), pa.int32()),
+        'ranks': pa.ListArray.from_arrays(
+            pa.array(rank_off, pa.int32()),
+            pa.array(rank_flat, pa.int32())),
+        'c_l': pa.array(np.diff(l_off)),
+        'c_r': pa.array(np.diff(r_off)),
+    })
+    return bc, tsig_tbl
+
+
+def _candgen_chunk(tbl: pa.Table, sim_type: str, threshold, same_relation):
+    """Candidate pair64s for one postings slice (whole buckets only)."""
+    sa, sb = _np_candidates(tbl, sim_type, threshold, same_relation)
+    if len(sa) == 0:
+        return np.empty(0, np.int64)
+    return np.unique((sa << np.int64(32)) | sb)
+
+
+def _verify_chunk(bc_or_ref, pair64: np.ndarray, sim_type, threshold,
+                  comp_op, qval, same_relation, self_join,
+                  counter_name) -> pd.DataFrame:
+    vf = BroadcastVerify(bc_or_ref, sim_type, threshold, comp_op, qval,
+                         same_relation=same_relation, self_join=self_join,
+                         round_score=True, counter_name=counter_name)
+    if not isinstance(bc_or_ref, ray.ObjectRef):
+        vf._bc = bc_or_ref
+    return vf(pa.table({'vb': pa.array(np.zeros(len(pair64), np.int32)),
+                        'pair64': pa.array(pair64, pa.int64())}))
+
+
+def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
+                      l_join_attr, r_join_attr, cfg,
+                      same_relation: bool) -> tuple:
+    """In-process join body → (pairs DataFrame, empties dict); exact-same
+    kernels and therefore exact-same output as the distributed pipeline
+    (pinned by tests/test_local_join.py against SSJ_LOCAL_JOIN=0 runs)."""
+    keep_string = cfg.keep_string
+    tok_stage_l = TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
+                                keep_string=keep_string)
+    tok_l = tok_stage_l(_to_arrow(ltable, [l_key_attr, l_join_attr]))
+    if same_relation:
+        tok_r = tok_l
+    else:
+        tok_stage_r = TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
+                                    keep_string=keep_string)
+        tok_r = tok_stage_r(_to_arrow(rtable, [r_key_attr, r_join_attr]))
+    empties = _local_empties(cfg, tok_l, tok_r)
+
+    lut, heavy, _tot = _local_lut([tok_l] if same_relation else
+                                  [tok_l, tok_r], cfg)
+    rp = RankPrefixStage(lut, cfg.sim_type, cfg.threshold, cfg.qval,
+                         keep_string=keep_string)
+    sig = SigStage(hash_string=keep_string)
+
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        t = sig(rp(t))
+        return t.append_column(
+            'side', pa.array(np.full(len(t), side, np.int8)))
+
+    tagged = (tag(tok_l, 0) if same_relation else
+              pa.concat_tables([tag(tok_l, 0), tag(tok_r, 1)]))
+    bc, tsig_tbl = _local_tsig(tagged, same_relation, keep_string)
+    if bc is None:
+        return _empty_pairs(), empties
+
+    nb = int(min(cfg.num_buckets, max(32, len(tsig_tbl) // 4 + 16)))
+    postings = SlimPostingsStage(nb, heavy or None,
+                                 emit_sides=not same_relation)(tsig_tbl)
+
+    cpus = int(ray.cluster_resources().get('CPU', 8)) \
+        if ray.is_initialized() else 0
+    if len(postings) > _FANOUT_POSTINGS and cpus > 1:
+        ntasks = cpus
+        chunk_of = postings['bucket'].to_numpy() % ntasks
+        rem = ray.remote(num_cpus=1)(_candgen_chunk)
+        refs = [rem.remote(postings.filter(pa.array(chunk_of == i)),
+                           cfg.sim_type, cfg.threshold, same_relation)
+                for i in range(ntasks)]
+        parts = ray.get(refs)
+        pair64 = (np.unique(np.concatenate(parts))
+                  if parts else np.empty(0, np.int64))
+    else:
+        pair64 = _candgen_chunk(postings, cfg.sim_type, cfg.threshold,
+                                same_relation)
+    if len(pair64) == 0:
+        return _empty_pairs(), empties
+
+    if len(pair64) > _FANOUT_PAIRS and cpus > 1:
+        bc_ref = ray.put(bc)
+        rem = ray.remote(num_cpus=1)(_verify_chunk)
+        chunks = [c for c in np.array_split(pair64, cpus) if len(c)]
+        dfs = ray.get([rem.remote(bc_ref, c, cfg.sim_type, cfg.threshold,
+                                  cfg.comp_op, cfg.qval, same_relation,
+                                  cfg.self_join, cfg.counter_name)
+                       for c in chunks])
+        df = pd.concat(dfs, ignore_index=True) if dfs else _empty_pairs()
+    else:
+        df = _verify_chunk(bc, pair64, cfg.sim_type, cfg.threshold,
+                           cfg.comp_op, cfg.qval, same_relation,
+                           cfg.self_join, cfg.counter_name)
+    return df, empties

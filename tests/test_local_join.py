@@ -1,0 +1,186 @@
+"""Local fast path (stages/localjoin.py) vs the distributed pipeline.
+
+Every case runs the SAME join twice — SSJ_LOCAL_JOIN=force (in-process
+kernels) and SSJ_LOCAL_JOIN=0 (the full Dataset pipeline) — and asserts
+exact frame equality including dtypes.  The local path reuses the
+distributed stages' kernels, so any divergence is a routing bug.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from py_stringsimjoin_ray.core.tokenizers import (QgramTokenizer,
+                                                  WhitespaceTokenizer)
+from py_stringsimjoin_ray.pipelines import join
+from py_stringsimjoin_ray.stages import localjoin
+
+VOCAB = np.array(['tok%03d' % i for i in range(60)])
+
+
+def _table(n, seed):
+    r = np.random.RandomState(seed)
+    texts = [' '.join(r.choice(VOCAB, r.randint(1, 9))) for _ in range(n)]
+    texts[3] = ''      # empty token set (allow_empty fast path)
+    texts[5] = None    # null join attr (dropped pre-join)
+    return pd.DataFrame({'id': np.arange(n), 'txt': texts,
+                         'extra': r.randint(0, 5, n)})
+
+
+@pytest.fixture(scope='module')
+def tables(ray_session):
+    return _table(400, 1), _table(350, 2)
+
+
+def _canon(df):
+    df = df.drop(columns=['_id'])
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _both_paths(monkeypatch, fn, *args, **kwargs):
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', 'force')
+    loc = fn(*args, **kwargs)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    dist = fn(*args, **kwargs)
+    pd.testing.assert_frame_equal(_canon(loc), _canon(dist),
+                                  check_dtype=True)
+    return loc
+
+
+CASES = [
+    ('jaccard', dict(threshold=0.3)),
+    ('cosine', dict(threshold=0.4)),
+    ('dice', dict(threshold=0.4)),
+    ('overlap', dict(threshold=2)),
+    ('overlap_coefficient', dict(threshold=0.5)),
+]
+
+
+@pytest.mark.parametrize('measure,kw', CASES)
+def test_two_table_parity(tables, monkeypatch, measure, kw):
+    A, B = tables
+    fn = getattr(join, f'{measure}_join')
+    out = _both_paths(monkeypatch, fn, A, B, 'id', 'id', 'txt', 'txt',
+                      WhitespaceTokenizer(return_set=True), **kw,
+                      l_out_attrs=['extra'], r_out_attrs=['txt'])
+    assert len(out) > 0
+
+
+def test_self_join_parity(tables, monkeypatch):
+    A, _ = tables
+    out = _both_paths(monkeypatch, join.jaccard_join, A, A, 'id', 'id',
+                      'txt', 'txt', WhitespaceTokenizer(return_set=True),
+                      0.4)
+    assert len(out) > 0
+
+
+def test_qgram_parity(tables, monkeypatch):
+    A, B = tables
+    out = _both_paths(monkeypatch, join.jaccard_join, A, B, 'id', 'id',
+                      'txt', 'txt', QgramTokenizer(qval=3, return_set=True),
+                      0.35)
+    assert len(out) > 0
+
+
+def test_edit_distance_parity(tables, monkeypatch):
+    # EDIT_DISTANCE output depends on the token ordering — the local path
+    # must reproduce the reference (count, token) order exactly
+    A, B = tables
+    out = _both_paths(monkeypatch, join.edit_distance_join, A, B, 'id',
+                      'id', 'txt', 'txt', 3)
+    assert len(out) > 0
+
+
+def test_salted_grid_parity(tables, monkeypatch):
+    # salt_df_threshold=5 forces heavy-token grid salting on both paths
+    A, B = tables
+    _both_paths(monkeypatch, join.jaccard_join, A, B, 'id', 'id', 'txt',
+                'txt', WhitespaceTokenizer(return_set=True), 0.3,
+                salt_df_threshold=5)
+    _both_paths(monkeypatch, join.jaccard_join, A, A, 'id', 'id', 'txt',
+                'txt', WhitespaceTokenizer(return_set=True), 0.3,
+                salt_df_threshold=5)
+
+
+def test_allow_missing_and_comp_op(tables, monkeypatch):
+    A, B = tables
+    _both_paths(monkeypatch, join.jaccard_join, A, B, 'id', 'id', 'txt',
+                'txt', WhitespaceTokenizer(return_set=True), 0.5,
+                allow_missing=True)
+    _both_paths(monkeypatch, join.jaccard_join, A, B, 'id', 'id', 'txt',
+                'txt', WhitespaceTokenizer(return_set=True), 0.3,
+                comp_op='>')
+
+
+def test_string_keys(tables, monkeypatch):
+    A, B = tables
+    A2 = A.assign(id=['a%d' % i for i in range(len(A))])
+    B2 = B.assign(id=['b%d' % i for i in range(len(B))])
+    out = _both_paths(monkeypatch, join.jaccard_join, A2, B2, 'id', 'id',
+                      'txt', 'txt', WhitespaceTokenizer(return_set=True),
+                      0.3)
+    assert out['l_id'].str.startswith('a').all()
+
+
+def test_dataset_io_parity(tables, monkeypatch, ray_session):
+    import ray.data
+    A, B = tables
+    dsA = ray.data.from_pandas(A.dropna(subset=['txt']))
+    dsB = ray.data.from_pandas(B.dropna(subset=['txt']))
+    tok = WhitespaceTokenizer(return_set=True)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', 'force')
+    loc = join.jaccard_join(dsA, dsB, 'id', 'id', 'txt', 'txt', tok, 0.3,
+                            output='dataset', validate_keys=False)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    dist = join.jaccard_join(dsA, dsB, 'id', 'id', 'txt', 'txt', tok, 0.3,
+                             output='dataset', validate_keys=False)
+    lp = loc.to_pandas().sort_values(['l_key', 'r_key']).reset_index(drop=True)
+    dp = dist.to_pandas().sort_values(['l_key', 'r_key']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lp, dp, check_dtype=False)
+
+
+def test_empty_result(monkeypatch, ray_session):
+    A = pd.DataFrame({'id': [0, 1], 'txt': ['aa bb', 'cc dd']})
+    B = pd.DataFrame({'id': [0, 1], 'txt': ['ee ff', 'gg hh']})
+    out = _both_paths(monkeypatch, join.jaccard_join, A, B, 'id', 'id',
+                      'txt', 'txt', WhitespaceTokenizer(return_set=True),
+                      0.9)
+    assert len(out) == 0
+
+
+def test_fanout_thresholds(tables, monkeypatch, ray_session):
+    # drive the plain-task fan-out branches (candgen + verify) and pin
+    # equality against the inline branch
+    A, B = tables
+    tok = WhitespaceTokenizer(return_set=True)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', 'force')
+    base = join.jaccard_join(A, B, 'id', 'id', 'txt', 'txt', tok, 0.3)
+    monkeypatch.setattr(localjoin, '_FANOUT_POSTINGS', 1)
+    monkeypatch.setattr(localjoin, '_FANOUT_PAIRS', 1)
+    fanned = join.jaccard_join(A, B, 'id', 'id', 'txt', 'txt', tok, 0.3)
+    pd.testing.assert_frame_equal(_canon(base), _canon(fanned))
+
+
+def test_gate_routing(monkeypatch, ray_session):
+    cfg = join._JoinConfig('JACCARD', WhitespaceTokenizer(return_set=True),
+                           0.5, '>=', True, False, True)
+    small = pd.DataFrame({'id': [0], 'txt': ['a']})
+    assert localjoin.local_join_eligible(small, small, cfg, True)
+    monkeypatch.setenv('SSJ_LOCAL_MAX_ROWS', '3')
+    big = pd.DataFrame({'id': range(5), 'txt': ['a'] * 5})
+    assert not localjoin.local_join_eligible(big, big, cfg, True)
+    # two-table sum crosses the gate even when each side fits
+    two = pd.DataFrame({'id': range(2), 'txt': ['a'] * 2})
+    assert not localjoin.local_join_eligible(two, two.copy(), cfg, False)
+    monkeypatch.delenv('SSJ_LOCAL_MAX_ROWS')
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    assert not localjoin.local_join_eligible(small, small, cfg, True)
+    monkeypatch.delenv('SSJ_FORCE_DISTRIBUTED')
+    cfg.mode = 'overlap_candidates'
+    assert not localjoin.local_join_eligible(small, small, cfg, True)
+
+
+def test_dataset_probe_is_bounded(monkeypatch, ray_session):
+    import ray.data
+    ds = ray.data.range(10_000)
+    assert localjoin._probe_rows(ds, 50) == 50   # capped, not 10_000
