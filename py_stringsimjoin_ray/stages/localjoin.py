@@ -48,6 +48,10 @@ DEFAULT_LOCAL_MAX_ROWS = 200_000
 # above these, candgen / verify fan out to plain Ray tasks (ms-latency)
 _FANOUT_POSTINGS = 300_000
 _FANOUT_PAIRS = 250_000
+# candgen cost tracks per-bucket pair tests (sum of squared bucket sizes),
+# not posting count: a 5-token prefix over 15k records is only 75k postings
+# but can mean 10^8 pair tests concentrated in a few dense buckets
+_FANOUT_WORK = 5_000_000
 
 
 def _probe_rows(table, cap: int) -> int:
@@ -248,14 +252,26 @@ def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
 
     cpus = int(ray.cluster_resources().get('CPU', 8)) \
         if ray.is_initialized() else 0
-    if len(postings) > _FANOUT_POSTINGS and cpus > 1:
-        ntasks = cpus
-        chunk_of = postings['bucket'].to_numpy() % ntasks
+    buckets = postings['bucket'].to_numpy()
+    uniq, counts = np.unique(buckets, return_counts=True)
+    work = counts.astype(np.int64) ** 2  # per-bucket pair-test upper bound
+    if cpus > 1 and (len(postings) > _FANOUT_POSTINGS
+                     or int(work.sum()) > _FANOUT_WORK):
+        # greedy LPT: heaviest buckets first into the lightest task bin, so
+        # one dense bucket can't serialize the whole fan-out
+        ntasks = min(cpus, len(uniq))
+        bins = np.zeros(ntasks, np.int64)
+        assign = np.empty(len(uniq), np.int32)
+        for i in np.argsort(work)[::-1]:
+            j = int(np.argmin(bins))
+            bins[j] += work[i]
+            assign[i] = j
+        chunk_of = assign[np.searchsorted(uniq, buckets)]
         rem = ray.remote(num_cpus=1)(_candgen_chunk)
         refs = [rem.remote(postings.filter(pa.array(chunk_of == i)),
                            cfg.sim_type, cfg.threshold, same_relation)
                 for i in range(ntasks)]
-        parts = ray.get(refs)
+        parts = [p for p in ray.get(refs) if len(p)]
         pair64 = (np.unique(np.concatenate(parts))
                   if parts else np.empty(0, np.int64))
     else:
