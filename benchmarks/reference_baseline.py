@@ -70,20 +70,31 @@ def pair_key_set(df: pd.DataFrame, lcol: str, rcol: str) -> set:
     return set(zip(df[lcol].astype(np.int64), df[rcol].astype(np.int64)))
 
 
+REPS = int(os.environ.get('SSJ_REF_REPS', '3'))
+
+
 def run_reference(ltable, rtable, n_jobs):
+    """Best-of-REPS wall for the reference path (steady-state: imports and
+    the joblib worker pool warm-up paid before the timed runs)."""
     sys.path.insert(0, os.path.join(HERE, 'ref_shims'))
     sys.path.insert(0, REFERENCE)
     from py_stringmatching.tokenizer.whitespace_tokenizer import \
         WhitespaceTokenizer
     from py_stringsimjoin.join.jaccard_join_py import jaccard_join_py
     tok = WhitespaceTokenizer(return_set=True)
-    t0 = time.time()
-    out = jaccard_join_py(ltable, rtable, 'id', 'id', 'text', 'text', tok,
-                          THRESHOLD, n_jobs=n_jobs, show_progress=False)
-    return time.time() - t0, out
+    best, out = float('inf'), None
+    for _ in range(REPS):
+        t0 = time.time()
+        out = jaccard_join_py(ltable, rtable, 'id', 'id', 'text', 'text',
+                              tok, THRESHOLD, n_jobs=n_jobs,
+                              show_progress=False)
+        best = min(best, time.time() - t0)
+    return best, out
 
 
 def run_ours(ltable, rtable):
+    """Best-of-REPS wall for our path (steady-state: Ray init and the first
+    Dataset execution's one-time machinery paid before the timed runs)."""
     import ray
     import ray.data
     if not ray.is_initialized():
@@ -94,14 +105,15 @@ def run_ours(ltable, rtable):
     sys.path.insert(0, REPO)
     from py_stringsimjoin_ray.core.tokenizers import WhitespaceTokenizer
     from py_stringsimjoin_ray.pipelines import join
-    lds = ray.data.from_pandas(ltable)
-    rds = ray.data.from_pandas(rtable)
     tok = WhitespaceTokenizer(return_set=True)
-    t0 = time.time()
-    out = join.jaccard_join(lds, rds, 'id', 'id', 'text', 'text', tok,
-                            THRESHOLD)
-    wall = time.time() - t0
-    return wall, out
+    best, out = float('inf'), None
+    for _ in range(REPS):
+        # same call signature as the reference: pandas tables in, pandas out
+        t0 = time.time()
+        out = join.jaccard_join(ltable, rtable, 'id', 'id', 'text', 'text',
+                                tok, THRESHOLD)
+        best = min(best, time.time() - t0)
+    return best, out
 
 
 def main():
@@ -143,9 +155,11 @@ def main():
         'ours_ray_sec': round(ours_wall, 3),
         'ours_num_cpus': NUM_CPUS,
         'speedup_vs_best_reference': round(best_ref / ours_wall, 2),
+        'reps_best_of': REPS,
         'note': ('reference = public repo pure-Python path via shims '
                  '(its Cython twins are not buildable in this container); '
-                 'pair sets asserted identical before timing'),
+                 'pair sets asserted identical before timing; both engines '
+                 'best-of-REPS steady-state walls'),
     }
     print(json.dumps(result))
     import ray

@@ -25,6 +25,11 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
 
 def _dedup_preserving_order(tokens: list[str]) -> list[str]:
     seen = set()
@@ -34,6 +39,43 @@ def _dedup_preserving_order(tokens: list[str]) -> list[str]:
             seen.add(t)
             out.append(t)
     return out
+
+
+def _row_ids(lists: pa.ListArray) -> np.ndarray:
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    return np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(offs))
+
+
+def _rebuild(lists: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
+    """Keep a boolean-masked subset of flat values, preserving in-row order."""
+    row = _row_ids(lists)
+    counts = np.bincount(row[keep], minlength=len(lists))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        lists.values.filter(pa.array(keep)).cast(pa.string()))
+
+
+def _drop_empty(lists: pa.ListArray) -> pa.ListArray:
+    mask = pc.not_equal(pc.binary_length(lists.values), 0).to_numpy(
+        zero_copy_only=False)
+    if mask.all():
+        return lists
+    return _rebuild(lists, mask)
+
+
+def _dedup_lists(lists: pa.ListArray) -> pa.ListArray:
+    """Vectorized first-occurrence per-row dedup: one C-level hash pass over
+    the flat (row, token) pairs instead of a Python set walk per row."""
+    if len(lists.values) == 0:
+        return lists
+    dup = pd.DataFrame(
+        {'r': _row_ids(lists),
+         't': lists.values.to_numpy(zero_copy_only=False)}
+    ).duplicated().to_numpy()
+    if not dup.any():
+        return lists
+    return _rebuild(lists, ~dup)
 
 
 class Tokenizer:
@@ -71,12 +113,35 @@ class Tokenizer:
         tok = self.tokenize
         return [tok(s) for s in strings]
 
+    def _raw_tokenize_arrow(self, col: pa.Array) -> pa.ListArray:
+        """Subclasses override with an Arrow kernel where one exists."""
+        return pa.array([self._raw_tokenize(s) for s in col.to_pylist()],
+                        type=pa.list_(pa.string()))
+
+    def tokenize_arrow(self, col) -> pa.ListArray:
+        """Arrow-native batch tokenize: string array → list<string> array,
+        identical output to per-row ``tokenize`` (pinned by
+        tests/test_core_tokenizers.py).  Nulls must be masked by the caller."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = self._raw_tokenize_arrow(col)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        if self.return_set:
+            lists = _dedup_lists(lists)
+        return lists
+
 
 class WhitespaceTokenizer(Tokenizer):
     """Split on runs of whitespace (``str.split()`` semantics)."""
 
     def _raw_tokenize(self, s: str) -> list[str]:
         return s.split()
+
+    def _raw_tokenize_arrow(self, col: pa.Array) -> pa.ListArray:
+        # Arrow emits empty tokens at string edges where str.split() drops
+        # them ("  a " → ['', 'a', '']), hence the empty filter
+        return _drop_empty(pc.utf8_split_whitespace(col))
 
 
 class DelimiterTokenizer(Tokenizer):
@@ -91,6 +156,9 @@ class DelimiterTokenizer(Tokenizer):
 
     def _raw_tokenize(self, s: str) -> list[str]:
         return [t for t in self._re.split(s) if t != '']
+
+    def _raw_tokenize_arrow(self, col: pa.Array) -> pa.ListArray:
+        return _drop_empty(pc.split_pattern_regex(col, self._re.pattern))
 
     def __getstate__(self):
         d = self.__dict__.copy()
@@ -131,6 +199,41 @@ class QgramTokenizer(Tokenizer):
             return []
         return [s[i:i + q] for i in range(n - q + 1)]
 
+    def _raw_tokenize_arrow(self, col: pa.Array) -> pa.ListArray:
+        """ASCII batches: all windows built with one numpy gather over the
+        padded strings' byte buffer (bytes == codepoints for ASCII); any
+        non-ASCII row falls back to the per-row slicer for the whole batch."""
+        q = self.qval
+        if not (pc.all(pc.string_is_ascii(col)).as_py()
+                and self.prefix_pad.isascii() and self.suffix_pad.isascii()):
+            return super()._raw_tokenize_arrow(col)
+        if self.padding:
+            col = pc.binary_join_element_wise(
+                pa.scalar(self.prefix_pad * (q - 1)), col,
+                pa.scalar(self.suffix_pad * (q - 1)), '')
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # StringArray buffers: [validity, int32 offsets, utf8 data]
+        offs = np.frombuffer(col.buffers()[1], np.int32, count=len(col) + 1,
+                             offset=col.offset * 4).astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], np.uint8,
+                             count=int(offs[-1])) if offs[-1] else \
+            np.empty(0, np.uint8)
+        lens = np.diff(offs)
+        nwin = np.maximum(lens - q + 1, 0)
+        # global byte position of every window start, all rows at once
+        base = np.repeat(offs[:-1], nwin)
+        local = np.arange(int(nwin.sum()), dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(nwin)[:-1])), nwin)
+        starts = base + local
+        flat = data[(starts[:, None] + np.arange(q, dtype=np.int64)).ravel()]
+        tok_offs = np.arange(len(starts) + 1, dtype=np.int32) * q
+        values = pa.StringArray.from_buffers(
+            len(starts), pa.py_buffer(tok_offs.tobytes()),
+            pa.py_buffer(flat.tobytes()))
+        list_offs = np.concatenate(([0], np.cumsum(nwin))).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(list_offs, pa.int32()),
+                                        values)
+
 
 class WordQgramTokenizer(Tokenizer):
     """Word-level k-gram shingles (contiguous words joined by a single
@@ -161,6 +264,10 @@ class AlphanumericTokenizer(Tokenizer):
 
     def _raw_tokenize(self, s: str) -> list[str]:
         return self._re.findall(s)
+
+    def _raw_tokenize_arrow(self, col: pa.Array) -> pa.ListArray:
+        # findall on runs == split on the complement, dropping empties
+        return _drop_empty(pc.split_pattern_regex(col, '[^a-zA-Z0-9]+'))
 
 
 def whitespace(return_set: bool = False) -> WhitespaceTokenizer:

@@ -124,13 +124,15 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     # size-gated local fast path (stages/localjoin.py): identical kernels
     # run in-process (plain-task fan-out for big candidate sets), skipping
     # the Dataset stage barriers that dominate small-input latency.  The
-    # probe cost is bounded (limit(cap).count()), so huge inputs pay O(cap)
-    # to be routed to the distributed pipeline below.
+    # probe-and-fetch is bounded (limit(cap+1)), so huge inputs pay O(cap)
+    # rows to be routed to the distributed pipeline below.
     from ..stages.localjoin import local_join_eligible, local_match_pairs
     if local_join_eligible(l_ds, r_ds, cfg, same_relation):
-        return local_match_pairs(l_ds, r_ds, l_key_attr, r_key_attr,
-                                 l_join_attr, r_join_attr, cfg,
-                                 same_relation)
+        res = local_match_pairs(l_ds, r_ds, l_key_attr, r_key_attr,
+                                l_join_attr, r_join_attr, cfg,
+                                same_relation)
+        if res is not None:
+            return res
 
     l_ds, r_ds = _to_dataset(l_ds), _to_dataset(r_ds)
     prof = _prof_mark()

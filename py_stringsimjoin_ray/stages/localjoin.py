@@ -54,19 +54,9 @@ _FANOUT_PAIRS = 250_000
 _FANOUT_WORK = 5_000_000
 
 
-def _probe_rows(table, cap: int) -> int:
-    """Bounded-cost row estimate: exact for pandas; for Datasets the
-    ``limit(cap)`` pushes into the streaming executor and terminates
-    execution after ~cap rows, so probing a huge input costs O(cap)."""
-    if isinstance(table, pd.DataFrame):
-        return len(table)
-    try:
-        return int(table.limit(cap).count())
-    except Exception:  # pragma: no cover - treat unknowns as large
-        return cap
-
-
 def local_join_eligible(ltable, rtable, cfg, same_relation: bool) -> bool:
+    """Flag/mode gate only — the size gate lives in ``_fetch_local``, which
+    probes and materializes in the same bounded pass."""
     if cfg.mode != 'join':
         return False
     flag = os.environ.get('SSJ_LOCAL_JOIN', '1')
@@ -77,25 +67,41 @@ def local_join_eligible(ltable, rtable, cfg, same_relation: bool) -> bool:
             or os.environ.get('SSJ_DISTRIBUTED_ORDERING') == '1' \
             or getattr(cfg, 'distributed_ordering', False):
         return False
-    if flag == 'force':
-        return True
-    max_rows = int(os.environ.get('SSJ_LOCAL_MAX_ROWS',
-                                  DEFAULT_LOCAL_MAX_ROWS))
-    est = _probe_rows(ltable, max_rows + 1)
-    if est > max_rows:
-        return False
-    if not same_relation:
-        est += _probe_rows(rtable, max_rows + 1)
-    return est <= max_rows
+    return True
 
 
-def _to_arrow(table, cols: list) -> pa.Table:
+def _local_row_cap() -> int:
+    if os.environ.get('SSJ_LOCAL_JOIN') == 'force':
+        return 2 ** 62  # tests pin path parity regardless of size
+    return int(os.environ.get('SSJ_LOCAL_MAX_ROWS', DEFAULT_LOCAL_MAX_ROWS))
+
+
+def _fetch_local(table, cols: list, cap: int) -> pa.Table | None:
+    """Probe-and-fetch in ONE bounded pass: materialize at most ``cap + 1``
+    rows of the needed columns; None means the input exceeds the gate and
+    the caller must take the distributed pipeline.  ``limit()`` pushes into
+    the streaming executor (and into parquet reads), so a 100 TB input pays
+    O(cap) rows here — and a small input pays a single Dataset execution
+    instead of a count() probe plus a separate to_pandas()."""
     cols = list(dict.fromkeys(cols))
     if isinstance(table, pd.DataFrame):
+        if len(table) > cap:
+            return None
         return pa.Table.from_pandas(table[cols].reset_index(drop=True),
                                     preserve_index=False)
-    return pa.Table.from_pandas(table.select_columns(cols).to_pandas(),
-                                preserve_index=False)
+    try:
+        limited = table.select_columns(cols) if cap >= 2 ** 62 \
+            else table.select_columns(cols).limit(cap + 1)
+        parts = [pa.table(b) for b in limited.iter_batches(
+            batch_size=None, batch_format='pyarrow')]
+    except Exception:  # pragma: no cover - unreadable input → distributed
+        return None
+    if not parts:  # empty input: let the distributed path shape the schema
+        return None
+    t = pa.concat_tables(parts).combine_chunks()
+    if len(t) > cap:
+        return None
+    return t
 
 
 def _empty_pairs() -> pd.DataFrame:
@@ -213,20 +219,31 @@ def _verify_chunk(bc_or_ref, pair64: np.ndarray, sim_type, threshold,
 
 def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
                       l_join_attr, r_join_attr, cfg,
-                      same_relation: bool) -> tuple:
-    """In-process join body → (pairs DataFrame, empties dict); exact-same
-    kernels and therefore exact-same output as the distributed pipeline
-    (pinned by tests/test_local_join.py against SSJ_LOCAL_JOIN=0 runs)."""
+                      same_relation: bool):
+    """In-process join body → (pairs DataFrame, empties dict), or None when
+    either input exceeds the size gate (caller falls through to the
+    distributed pipeline).  Exact-same kernels and therefore exact-same
+    output as the distributed pipeline (pinned by tests/test_local_join.py
+    against SSJ_LOCAL_JOIN=0 runs)."""
+    cap = _local_row_cap()
+    arr_l = _fetch_local(ltable, [l_key_attr, l_join_attr], cap)
+    if arr_l is None:
+        return None
+    if same_relation:
+        arr_r = arr_l
+    else:
+        arr_r = _fetch_local(rtable, [r_key_attr, r_join_attr],
+                             cap - len(arr_l))
+        if arr_r is None:
+            return None
     keep_string = cfg.keep_string
-    tok_stage_l = TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
-                                keep_string=keep_string)
-    tok_l = tok_stage_l(_to_arrow(ltable, [l_key_attr, l_join_attr]))
+    tok_l = TokenizeStage(l_key_attr, l_join_attr, cfg.tokenizer,
+                          keep_string=keep_string)(arr_l)
     if same_relation:
         tok_r = tok_l
     else:
-        tok_stage_r = TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
-                                    keep_string=keep_string)
-        tok_r = tok_stage_r(_to_arrow(rtable, [r_key_attr, r_join_attr]))
+        tok_r = TokenizeStage(r_key_attr, r_join_attr, cfg.tokenizer,
+                              keep_string=keep_string)(arr_r)
     empties = _local_empties(cfg, tok_l, tok_r)
 
     lut, heavy, _tot = _local_lut([tok_l] if same_relation else

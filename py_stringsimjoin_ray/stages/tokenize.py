@@ -38,10 +38,13 @@ class TokenizeStage:
         if not pa.compute.all(mask).as_py():
             batch = batch.filter(mask)
             col = batch[self.join_attr]
-        strings = col.to_pylist()
-        token_lists = self.tokenizer.tokenize_many(strings)
-        cols = {'key': batch[self.key_attr],
-                'tokens': pa.array(token_lists, type=pa.list_(pa.string()))}
+        if hasattr(self.tokenizer, 'tokenize_arrow'):
+            tokens = self.tokenizer.tokenize_arrow(col)
+        else:  # user-supplied tokenizer: reference contract is .tokenize(str)
+            tk = self.tokenizer.tokenize
+            tokens = pa.array([tk(s) for s in col.to_pylist()],
+                              type=pa.list_(pa.string()))
+        cols = {'key': batch[self.key_attr], 'tokens': tokens}
         if self.keep_string:
             cols['s'] = col
         for a in self.extra_attrs:

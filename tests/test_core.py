@@ -53,6 +53,56 @@ class TestTokenizers:
         with pytest.raises(TypeError):
             WhitespaceTokenizer().tokenize(42)
 
+    # edge strings exercising empty-token filtering, dedup, unicode widths
+    EDGE = ['', '  ', 'a', ' a  b\tc a ', 'b a b c a', 'aaa', 'héllo wörld',
+            'café café', 'a,b c,,d', 'ab-c12 .x', '#$', 'x' * 50,
+            '日本 語 日本', 'tab\there', 'a.b.c', '--', '123 123 456']
+
+    @pytest.mark.parametrize('tok', [
+        WhitespaceTokenizer(), WhitespaceTokenizer(return_set=True),
+        DelimiterTokenizer([',', ' ']),
+        DelimiterTokenizer([',', '. '], return_set=True),
+        QgramTokenizer(qval=2), QgramTokenizer(qval=2, return_set=True),
+        QgramTokenizer(qval=3, padding=False),
+        QgramTokenizer(qval=1, return_set=True),
+        AlphanumericTokenizer(), AlphanumericTokenizer(return_set=True),
+    ], ids=lambda t: type(t).__name__ + ('_set' if t.return_set else '')
+       + str(getattr(t, 'qval', '')))
+    def test_tokenize_arrow_matches_per_row(self, tok):
+        import pyarrow as pa
+        got = tok.tokenize_arrow(pa.array(self.EDGE)).to_pylist()
+        assert got == [tok.tokenize(s) for s in self.EDGE]
+
+    # pure-ASCII batch: drives the qgram byte-window fast path (a single
+    # non-ASCII row above routes the whole batch to the per-row fallback)
+    ASCII_EDGE = ['', 'a', 'ab', 'aaa', 'abcdef', 'a b,c', 'x' * 40, '##$$']
+
+    @pytest.mark.parametrize('tok', [
+        QgramTokenizer(qval=2), QgramTokenizer(qval=2, return_set=True),
+        QgramTokenizer(qval=3, padding=False), QgramTokenizer(qval=1),
+        QgramTokenizer(qval=4, prefix_pad='<', suffix_pad='>'),
+    ], ids=['q2', 'q2set', 'q3nopad', 'q1', 'q4pads'])
+    def test_qgram_ascii_fast_path(self, tok):
+        import pyarrow as pa
+        got = tok.tokenize_arrow(pa.array(self.ASCII_EDGE)).to_pylist()
+        assert got == [tok.tokenize(s) for s in self.ASCII_EDGE]
+
+    def test_qgram_fast_path_on_sliced_array(self):
+        import pyarrow as pa
+        tok = QgramTokenizer(qval=2)
+        arr = pa.array(['zz', 'ab', 'cd', 'zz']).slice(1, 2)  # offset != 0
+        assert tok.tokenize_arrow(arr).to_pylist() == \
+            [tok.tokenize('ab'), tok.tokenize('cd')]
+
+    def test_tokenize_arrow_chunked_and_empty(self):
+        import pyarrow as pa
+        tok = WhitespaceTokenizer(return_set=True)
+        chunked = pa.chunked_array([['a b a'], ['c']])
+        assert tok.tokenize_arrow(chunked).to_pylist() == [['a', 'b'], ['c']]
+        assert tok.tokenize_arrow(pa.array([], pa.string())).to_pylist() == []
+        q = QgramTokenizer(qval=2)
+        assert q.tokenize_arrow(pa.array([], pa.string())).to_pylist() == []
+
 
 class TestMeasures:
     def test_empty_conventions(self):

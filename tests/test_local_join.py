@@ -166,13 +166,6 @@ def test_gate_routing(monkeypatch, ray_session):
                            0.5, '>=', True, False, True)
     small = pd.DataFrame({'id': [0], 'txt': ['a']})
     assert localjoin.local_join_eligible(small, small, cfg, True)
-    monkeypatch.setenv('SSJ_LOCAL_MAX_ROWS', '3')
-    big = pd.DataFrame({'id': range(5), 'txt': ['a'] * 5})
-    assert not localjoin.local_join_eligible(big, big, cfg, True)
-    # two-table sum crosses the gate even when each side fits
-    two = pd.DataFrame({'id': range(2), 'txt': ['a'] * 2})
-    assert not localjoin.local_join_eligible(two, two.copy(), cfg, False)
-    monkeypatch.delenv('SSJ_LOCAL_MAX_ROWS')
     monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
     assert not localjoin.local_join_eligible(small, small, cfg, True)
     monkeypatch.delenv('SSJ_FORCE_DISTRIBUTED')
@@ -180,7 +173,19 @@ def test_gate_routing(monkeypatch, ray_session):
     assert not localjoin.local_join_eligible(small, small, cfg, True)
 
 
-def test_dataset_probe_is_bounded(monkeypatch, ray_session):
+def test_fetch_gate(monkeypatch, ray_session):
     import ray.data
+    big = pd.DataFrame({'id': range(5), 'txt': ['a'] * 5})
+    assert localjoin._fetch_local(big, ['id', 'txt'], 3) is None
+    got = localjoin._fetch_local(big, ['id', 'txt'], 5)
+    assert got is not None and len(got) == 5
+    # oversized Dataset input is rejected after a BOUNDED fetch
     ds = ray.data.range(10_000)
-    assert localjoin._probe_rows(ds, 50) == 50   # capped, not 10_000
+    assert localjoin._fetch_local(ds, ['id'], 50) is None
+    # two-table sum crosses the gate even when each side fits: the join
+    # routes to the distributed path and still returns correct output
+    monkeypatch.setenv('SSJ_LOCAL_MAX_ROWS', '3')
+    two = pd.DataFrame({'id': [0, 1], 'txt': ['aa bb', 'cc dd']})
+    out = join.jaccard_join(two, two.copy(), 'id', 'id', 'txt', 'txt',
+                            WhitespaceTokenizer(return_set=True), 0.9)
+    assert len(out) == 2  # each row matches only itself across tables
