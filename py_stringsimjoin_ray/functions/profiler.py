@@ -3,12 +3,16 @@
 attribute, unique-value count, missing-value count, percentages and a
 key-suitability comment.
 
-On a Dataset the counts are computed distributed — null count via a
-vectorized map_batches partial + sum, unique count via an exact
-``groupby(col).count()`` per attribute (pandas' ``unique`` counts NaN as a
-value; the Dataset path reproduces that)."""
+On a Dataset the counts are computed distributed — null counts for every
+attribute in ONE vectorized pass, unique counts via per-block pre-dedup
+followed by ``groupby(col).count().count()`` so only a scalar (the group
+count) ever reaches the driver (pandas' ``unique`` counts NaN as a value;
+the Dataset path reproduces that).  The per-attribute pipelines run
+concurrently so their stage barriers overlap."""
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 import pyarrow as pa
@@ -20,22 +24,58 @@ def _format_statistic(stat, stat_percent):
     return ''.join([str(stat), ' (', str(stat_percent), '%)'])
 
 
-def _dataset_counts(ds, attr):
+def _null_row_counts(ds, attrs):
+    """rows + per-attribute null counts, one streaming pass, scalars out."""
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch[attr]
-        return pa.table({
-            'nulls': pa.array([col.null_count], type=pa.int64()),
-            'rows': pa.array([len(col)], type=pa.int64()),
-        })
-    agg = ds.select_columns([attr]).map_batches(
+        cols = {'rows': pa.array([len(batch)], type=pa.int64())}
+        for i, a in enumerate(attrs):
+            cols[f'n{i}'] = pa.array([batch[a].null_count], type=pa.int64())
+        return pa.table(cols)
+    agg = ds.select_columns(list(dict.fromkeys(attrs))).map_batches(
         partial, batch_format='pyarrow').to_pandas().sum()
-    uniq = ds.select_columns([attr]).unique(attr)
-    n_unique = len(uniq)
-    # pandas .unique() counts NaN as one distinct value; ray's unique drops
-    # nulls from the distinct list, so add it back when nulls exist
-    if agg['nulls'] > 0 and not any(v is None for v in uniq):
-        n_unique += 1
-    return int(agg['rows']), n_unique, int(agg['nulls'])
+    return int(agg['rows']), {a: int(agg[f'n{i}'])
+                              for i, a in enumerate(attrs)}
+
+
+def _unique_count(ds, attr) -> int:
+    """Exact distinct count, no distinct VALUES on the driver: per-block
+    dedup (combiner — bounds shuffle volume by the per-block distinct sum),
+    one groupby shuffle, then count groups (scalar)."""
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        col = batch[attr]
+        if col.null_count:
+            col = col.drop_null()
+        return pa.table({attr: col.unique()})
+    return int(ds.select_columns([attr])
+               .map_batches(block_distinct, batch_format='pyarrow')
+               .groupby(attr).count().count())
+
+
+def _dataset_profile(ds, attrs):
+    """{attr: (rows, unique, nulls)} for all attrs.
+
+    Size-gated like the join fast path: a bounded probe-and-fetch
+    materializes small inputs once and profiles them in-process (the
+    groupby shuffles' fixed overhead dominates at small scale); inputs
+    over the cap take the distributed pipelines, where no distinct VALUE
+    ever reaches the driver."""
+    from ..stages.localjoin import _fetch_local, _local_row_cap
+    local = _fetch_local(ds, list(attrs), _local_row_cap())
+    if local is not None:
+        pdf = local.to_pandas()
+        return {a: (len(pdf), len(pdf[a].unique()),
+                    int(pd.isnull(pdf[a]).sum())) for a in attrs}
+    num_rows, nulls = _null_row_counts(ds, attrs)
+    with ThreadPoolExecutor(max_workers=min(8, len(attrs))) as pool:
+        uniq = list(pool.map(lambda a: _unique_count(ds, a), attrs))
+    out = {}
+    for a, u in zip(attrs, uniq):
+        # pandas .unique() counts NaN as one distinct value; the Dataset
+        # path drops nulls before the groupby, so add it back
+        if nulls[a] > 0:
+            u += 1
+        out[a] = (num_rows, u, nulls[a])
+    return out
 
 
 def profile_table_for_join(input_table, profile_attrs=None):
@@ -51,13 +91,14 @@ def profile_table_for_join(input_table, profile_attrs=None):
     profile_output = []
     if is_pd:
         num_rows = len(input_table)
+    else:
+        stats = _dataset_profile(input_table, list(profile_attrs))
     for attr in profile_attrs:
         if is_pd:
             unique_values = len(input_table[attr].unique())
             missing_values = int(sum(pd.isnull(input_table[attr])))
         else:
-            num_rows, unique_values, missing_values = _dataset_counts(
-                input_table, attr)
+            num_rows, unique_values, missing_values = stats[attr]
         unique_percent = round((float(unique_values) / float(num_rows)) * 100, 2)
         missing_percent = round((float(missing_values) / float(num_rows)) * 100, 2)
         comments = ''
@@ -85,12 +126,14 @@ def profile_counts(input_table, profile_attrs=None):
     if profile_attrs is None:
         profile_attrs = list(cols)
     rows = []
+    if not is_pd:
+        stats = _dataset_profile(input_table, list(profile_attrs))
     for attr in profile_attrs:
         if is_pd:
             rows.append((attr, len(input_table[attr].unique()),
                          int(sum(pd.isnull(input_table[attr])))))
         else:
-            _, u, m = _dataset_counts(input_table, attr)
+            _, u, m = stats[attr]
             rows.append((attr, u, m))
     return pd.DataFrame(rows, columns=['attribute', 'unique_values',
                                        'missing_values'])

@@ -74,30 +74,38 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
     def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
         lt = ray.get(l_ref)
         rt = ray.get(r_ref)
-        tok_cache: dict = {}
+        # one vectorized positional gather per side instead of a pandas
+        # label lookup per pair
+        li = lt.index.get_indexer(batch[candset_l_key_attr])
+        ri = rt.index.get_indexer(batch[candset_r_key_attr])
+        if (li < 0).any() or (ri < 0).any():
+            bad = (batch[candset_l_key_attr][li < 0].tolist()
+                   + batch[candset_r_key_attr][ri < 0].tolist())
+            raise KeyError(f'candset keys not present in the input tables: '
+                           f'{bad[:5]}')
+        lv_all = lt[l_match_attr].to_numpy()[li]
+        rv_all = rt[r_match_attr].to_numpy()[ri]
+        null_mask = pd.isnull(lv_all) | pd.isnull(rv_all)
 
-        def toks(v):
-            if v not in tok_cache:
+        if tokenizer is not None:
+            # tokenize each distinct string once per batch
+            tok_cache = {}
+            for v in pd.unique(np.concatenate([lv_all[~null_mask],
+                                               rv_all[~null_mask]])):
                 tok_cache[v] = tokenizer.tokenize(v)
-            return tok_cache[v]
+            get = tok_cache.get
+        else:
+            get = lambda v: v  # noqa: E731 - raw-value contract
 
-        keep, scores = [], []
-        lvals = lt[l_match_attr]
-        rvals = rt[r_match_attr]
-        for lk, rk in zip(batch[candset_l_key_attr], batch[candset_r_key_attr]):
-            lv, rv = lvals[lk], rvals[rk]
-            if pd.isnull(lv) or pd.isnull(rv):
-                keep.append(bool(allow_missing))
-                scores.append(np.nan)
-                continue
-            if tokenizer is not None:
-                lv, rv = toks(lv), toks(rv)
-            s = sim_function(lv, rv)
-            scores.append(s)
-            keep.append(bool(comp_fn(s, threshold)))
+        scores = np.full(len(batch), np.nan)
+        keep = np.full(len(batch), bool(allow_missing))
+        for i in np.flatnonzero(~null_mask):
+            s = sim_function(get(lv_all[i]), get(rv_all[i]))
+            scores[i] = s
+            keep[i] = bool(comp_fn(s, threshold))
         out = batch.copy()
         out['__score'] = scores
-        return out[np.asarray(keep, dtype=bool)]
+        return out[keep]
 
     cand_ds = _to_dataset(cand_pd)
     kept = cand_ds.map_batches(score_batch, batch_format='pandas').to_pandas()
