@@ -82,6 +82,27 @@ def test_qgram_parity(tables, monkeypatch):
     assert len(out) > 0
 
 
+def test_qgram_unicode_parity(monkeypatch):
+    """Mixed ASCII/non-ASCII batches: the qgram Arrow byte-window fast path
+    must bail to the per-row slicer and both join paths must match a
+    brute-force ground truth computed with the per-row tokenizer."""
+    A = pd.DataFrame({'id': range(6), 'txt': [
+        'café au lait', 'cafe au lait', 'naïve test', 'naive test',
+        '日本語のテキスト', 'plain ascii text']})
+    tok = QgramTokenizer(qval=2, return_set=True)
+    out = _both_paths(monkeypatch, join.jaccard_join, A, A.copy(), 'id',
+                      'id', 'txt', 'txt', tok, 0.5)
+    got = {(int(a), int(b)) for a, b in zip(out['l_id'], out['r_id'])}
+    exp = set()
+    for i, s in zip(A['id'], A['txt']):
+        ti = set(tok.tokenize(s))
+        for j, u in zip(A['id'], A['txt']):
+            tj = set(tok.tokenize(u))
+            if ti | tj and len(ti & tj) / len(ti | tj) >= 0.5:
+                exp.add((int(i), int(j)))
+    assert got == exp and (0, 1) in got and (4, 4) in got
+
+
 def test_edit_distance_parity(tables, monkeypatch):
     # EDIT_DISTANCE output depends on the token ordering — the local path
     # must reproduce the reference (count, token) order exactly
