@@ -41,10 +41,12 @@ def entry() -> Any:
     base = docs.map_batches(
         lambda b: pa.table({'doc_id': b['doc_id'], 'component': b['doc_id']}),
         batch_format='pyarrow')
-    membership = base.union(comp).groupby('doc_id').min('component')
+    from py_stringsimjoin_ray.stages.groupagg import bucketed_group_agg
+    membership = bucketed_group_agg(base.union(comp), ['doc_id'],
+                                    [('cluster', 'component', 'min')])
     return membership.map_batches(
         lambda b: pa.table({'doc_id': b['doc_id'],
-                            'cluster': b['min(component)']}),
+                            'cluster': b['cluster']}),
         batch_format='pyarrow')
 
 

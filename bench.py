@@ -33,10 +33,16 @@ CORPUS_ARGS = dict(num_clusters=144000, max_cluster=5, num_singletons=240000,
                    tokens_per_file=120, seed=42)
 # --scaling corpus: 2.5x the bench corpus (~1.86M files) so parallel work
 # dominates the fixed per-stage floors at BOTH levels (BASELINE.md §3);
-# selected via SSJ_SCALING_CORPUS=1 in the subprocesses
-SCALING_CORPUS_ARGS = dict(num_clusters=288000, max_cluster=5,
-                           num_singletons=480000, tokens_per_file=120,
-                           seed=42)
+# selected via SSJ_SCALING_CORPUS=1 in the subprocesses.
+# SSJ_SCALE_CORPUS_MULT grows it further — per-stage fixed latencies
+# (barrier setup, Dataset launch, the clusters/invariant tails) are
+# constant in corpus size, so the ratio at a given pair of levels rises
+# toward the hardware ceiling as the corpus grows; the knob makes that
+# amortization measurable instead of asserted.
+_MULT = int(os.environ.get('SSJ_SCALE_CORPUS_MULT', '1'))
+SCALING_CORPUS_ARGS = dict(num_clusters=288000 * _MULT, max_cluster=5,
+                           num_singletons=480000 * _MULT,
+                           tokens_per_file=120, seed=42)
 if os.environ.get('SSJ_SCALING_CORPUS') == '1':
     CORPUS_ARGS = SCALING_CORPUS_ARGS
 _ARGS_TAG = '_'.join(str(v) for v in CORPUS_ARGS.values())

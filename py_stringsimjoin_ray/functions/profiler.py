@@ -40,15 +40,20 @@ def _null_row_counts(ds, attrs):
 def _unique_count(ds, attr) -> int:
     """Exact distinct count, no distinct VALUES on the driver: per-block
     dedup (combiner — bounds shuffle volume by the per-block distinct sum),
-    one groupby shuffle, then count groups (scalar)."""
-    def block_distinct(batch: pa.Table) -> pa.Table:
+    a bucketed dedup shuffle (stages/groupagg.py — ray's native
+    high-cardinality groupby reduce is pathologically slow), then only
+    per-bucket counts return."""
+    from ..stages.groupagg import bucketed_distinct_count
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
         col = batch[attr]
         if col.null_count:
             col = col.drop_null()
-        return pa.table({attr: col.unique()})
-    return int(ds.select_columns([attr])
-               .map_batches(block_distinct, batch_format='pyarrow')
-               .groupby(attr).count().count())
+        return pa.table({attr: col})
+    return bucketed_distinct_count(
+        ds.select_columns([attr]).map_batches(drop_nulls,
+                                              batch_format='pyarrow'),
+        [attr])
 
 
 def _dataset_profile(ds, attrs):

@@ -294,8 +294,9 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
 
     cand = posts.groupby(['tbl', 'sig']).map_groups(
         bucket_pairs, batch_format='pandas')
-    from ray.data.aggregate import Count
-    uniq_ds = cand.groupby(['l_id', 'r_id']).aggregate(Count())
+    # bucketed pair dedup (stages/groupagg.py): unbounded pair cardinality
+    from .groupagg import bucketed_distinct
+    uniq_ds = bucketed_distinct(cand, ['l_id', 'r_id'])
     if output == 'dataset':
         return uniq_ds.select_columns(['l_id', 'r_id'])
     uniq = uniq_ds.to_pandas()

@@ -145,11 +145,12 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 50,
         return pa.table({'node': np.concatenate([u, v]),
                          'component': np.concatenate([v, v])})
     members = edges.map_batches(as_membership, batch_format='pyarrow')
-    out = members.groupby('node').min('component')
-    return out.map_batches(
-        lambda b: pa.table({'node': b['node'],
-                            'component': b['min(component)']}),
-        batch_format='pyarrow')
+    # bucketed aggregate, NOT ray's native groupby().min(): node
+    # cardinality ~ |V|, where the native reduce is pathologically slow
+    # (measured 216 s vs 2 s on a 12M-row membership list)
+    from .groupagg import bucketed_group_agg
+    return bucketed_group_agg(members, ['node'],
+                              [('component', 'component', 'min')])
 
 
 def connected_components_numpy(u: np.ndarray, v: np.ndarray):

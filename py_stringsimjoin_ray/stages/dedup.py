@@ -56,15 +56,15 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     hashed = ds.map_batches(hash_batch, batch_format='pyarrow')
 
-    # native aggregates: one C-speed combine per block + a small merge,
-    # instead of a Python call per distinct document
-    from ray.data.aggregate import Count, Min
-    agg = hashed.groupby('content_hash').aggregate(Min(id_col), Count())
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({'rep_id': batch[f'min({id_col})'],
-                         'dup_count': batch['count()']})
-    return agg.map_batches(rename, batch_format='pyarrow')
+    # bucketed aggregate (stages/groupagg.py): content-hash cardinality is
+    # ~ the corpus size, where ray's native groupby().aggregate reduce is
+    # pathologically slow
+    from .groupagg import bucketed_group_agg
+    agg = bucketed_group_agg(hashed, ['content_hash'],
+                             [('rep_id', id_col, 'min'),
+                              ('dup_count', None, 'count')])
+    return agg.map_batches(
+        lambda b: b.select(['rep_id', 'dup_count']), batch_format='pyarrow')
 
 
 # -------------------------------------------------------------- minhash LSH
@@ -487,9 +487,8 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     pairs.__name__ = 'simhash_pairs'
 
     cand = posts.groupby('bucket').map_groups(pairs, batch_format='pandas')
-    # global pair dedup (a pair can collide in up to 4 quarters): native
-    # C-speed aggregate instead of one Python call per distinct pair
-    from ray.data.aggregate import Count
-    uniq = cand.groupby(['l_id', 'r_id']).aggregate(Count())
-    return uniq.map_batches(lambda b: b.select(['l_id', 'r_id']),
-                            batch_format='pyarrow')
+    # global pair dedup (a pair can collide in up to 4 quarters): bucketed
+    # distinct — pair cardinality is unbounded, ray's native aggregate is
+    # pathologically slow at high key cardinality
+    from .groupagg import bucketed_distinct
+    return bucketed_distinct(cand, ['l_id', 'r_id'])

@@ -48,13 +48,13 @@ def distributed_token_frequencies(tokenized: ray.data.Dataset
     """(token, count) as a DATASET: per-block combiners + one distributed
     groupby — no driver merge."""
     from .tokenize import partial_token_counts
+    from .groupagg import bucketed_group_agg
     partial = tokenized.map_batches(partial_token_counts,
                                     batch_format='pyarrow')
-    agg = partial.groupby('token').sum('partial')
-    return agg.map_batches(
-        lambda b: pa.table({'token': b['token'],
-                            'count': b['sum(partial)']}),
-        batch_format='pyarrow')
+    # bucketed sum: vocabulary cardinality ~ corpus distinct tokens, where
+    # ray's native groupby().sum reduce is pathologically slow
+    return bucketed_group_agg(partial, ['token'],
+                              [('count', 'partial', 'sum')])
 
 
 @ray.remote

@@ -5,9 +5,9 @@ Ray Data has no native windowed aggregate or session-window operator; these
 are the composition forms the engine uses at scale:
 
 - ``tumbling_window_agg``: per-block PARTIAL aggregation (pandas C-speed
-  groupby inside ``map_batches``) followed by one small global
-  ``groupby().aggregate(Sum, ...)`` over (key, window) partials — the
-  combiner pattern, so the all-to-all exchange moves one row per
+  groupby inside ``map_batches``) followed by one bucketed global sum over
+  the (key, window) partials (``stages/groupagg.py``) — the combiner
+  pattern, so the all-to-all exchange moves one row per
   (key, window, block), never one row per event.
 - ``sessionize``: events are hash-bucketed by key (``groupby`` on a derived
   bucket column co-locates every event of a key without creating one Python
@@ -29,7 +29,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
 
 KNUTH64 = np.uint64(0x9E3779B97F4A7C15)
 
@@ -58,14 +57,19 @@ def tumbling_window_agg(ds: ray.data.Dataset, ts_col: str, key_col: str,
                          'sum_partial': pa.array(g['sum'].astype(np.float64))})
     partial.__name__ = 'window_partial_agg'
 
-    merged = ds.map_batches(partial, batch_format='pyarrow') \
-        .groupby([key_col, 'window_id']) \
-        .aggregate(Sum('n_partial'), Sum('sum_partial'))
+    # bucketed sum over the partials: (key, window) cardinality grows with
+    # the stream, where ray's native aggregate reduce is pathologically slow
+    from .groupagg import bucketed_group_agg
+    merged = bucketed_group_agg(
+        ds.map_batches(partial, batch_format='pyarrow'),
+        [key_col, 'window_id'],
+        [('n_total', 'n_partial', 'sum'),
+         ('sum_total', 'sum_partial', 'sum')])
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch['sum(n_partial)'].to_numpy(zero_copy_only=False) \
+        n = batch['n_total'].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        s = batch['sum(sum_partial)'].to_numpy(zero_copy_only=False) \
+        s = batch['sum_total'].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         return pa.table({key_col: batch[key_col],
                          'window_id': batch['window_id'],
