@@ -197,6 +197,15 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
     ingest_manifest = (mf.load_manifest(checkpoint_dir, 'ingest')
                        if checkpoint_dir else None)
     fp_ingest = fp_in + ':ingest'
+    # the ingest-side sha256 roll-up depends only on the materialized
+    # ingest blocks — start it now so it runs UNDER the matches/clusters
+    # stages instead of serializing at the end (checkpointed runs read the
+    # rolled-up manifest instead)
+    f_ingest_xor = None
+    if not checkpoint_dir:
+        from concurrent.futures import ThreadPoolExecutor
+        _xor_pool = ThreadPoolExecutor(1)
+        f_ingest_xor = _xor_pool.submit(mf.sha256_xor_rollup, ingest)
     _mark('ingest')
 
     # ---------------- stage 2: matches (self-join) -------------------
@@ -297,15 +306,12 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         counters['sha256_invariant_ok'] = (
             m_in and m_out and m_in.get('sha256_xor') == m_out.get('sha256_xor'))
     else:
-        # the two roll-ups scan independent materialized datasets — run the
-        # executions concurrently so the fixed per-dataset launch latency
-        # overlaps instead of stacking
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(2) as ex:
-            f_in = ex.submit(mf.sha256_xor_rollup, ingest)
-            f_out = ex.submit(mf.sha256_xor_rollup, clusters)
-            counters['sha256_invariant_ok'] = (f_in.result() ==
-                                               f_out.result())
+        # ingest roll-up was started right after ingest materialized (it
+        # overlaps the matches/clusters stages); only the clusters-side
+        # scan remains on the critical path here
+        counters['sha256_invariant_ok'] = (
+            f_ingest_xor.result() == mf.sha256_xor_rollup(clusters))
+        _xor_pool.shutdown(wait=False)
     _mark('invariant')
     if ingest_manifest:
         counters['ingest_rows'] = ingest_manifest['num_rows']

@@ -901,14 +901,22 @@ def _stitch_bc(same_relation, keep_string, *pieces):
                           l_off, l_flat, r_off, r_flat, s_arr)
 
 
-def _rebase_piece_tbl(base: int, piece) -> pa.Table:
+def _rebase_piece_tbl(base: int, nslices: int, piece):
     """Per-shard postings-source table with the GLOBAL dense si index
-    (shard base + local row number)."""
+    (shard base + local row number), returned as ``nslices`` zero-copy
+    slices so the downstream Dataset starts at full block granularity
+    WITHOUT a repartition all-to-all (the barrier used to starve the
+    postings stage while it waited on the exchange)."""
     tbl = piece[10]
     n = len(tbl)
-    return tbl.set_column(
+    tbl = tbl.set_column(
         tbl.schema.get_field_index('si'), 'si',
         pa.array(np.arange(base, base + n, dtype=np.int32), pa.int32()))
+    if nslices <= 1:
+        return tbl  # num_returns=1: the bare table IS the single return
+    cuts = np.linspace(0, n, nslices + 1).astype(np.int64)
+    return tuple(tbl.slice(int(a), int(b - a))
+                 for a, b in zip(cuts[:-1], cuts[1:]))
 
 
 def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
@@ -988,10 +996,19 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
     # verify stage (downstream) blocks on bc_ref
     stitcher = ray.remote(num_cpus=2)(_stitch_bc)
     bc_ref = stitcher.remote(same_relation, keep_string, *piece_refs)
-    rebase = ray.remote(num_cpus=1)(_rebase_piece_tbl)
+    # pre-split each shard into enough slices that the postings Dataset is
+    # born at target block granularity (cpus*8 blocks total) — no
+    # repartition barrier between the shard builders and the postings map
+    cpus = int(ray.cluster_resources().get('CPU', 8))
+    live = sum(1 for s_ in sizes if s_ > 0)
+    nslices = max(1, -(-(cpus * 8) // max(1, live)))
+    rebase = ray.remote(num_cpus=1, num_returns=nslices)(_rebase_piece_tbl)
     bases = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-    tbl_refs = [rebase.remote(int(b), pr)
-                for b, s_, pr in zip(bases, sizes, piece_refs) if s_ > 0]
+    tbl_refs = []
+    for b, s_, pr in zip(bases, sizes, piece_refs):
+        if s_ > 0:
+            out_refs = rebase.remote(int(b), nslices, pr)
+            tbl_refs.extend(out_refs if nslices > 1 else [out_refs])
     _mark('rebase_submit')
     return bc_ref, tbl_refs, n
 
@@ -1000,12 +1017,15 @@ def tsig_postings_input(tbl_refs, num_sigs: int) -> ray.data.Dataset:
     """Dataset view of the per-shard postings-source tables built by the
     remote collect_tsig builders — constructed from REFS, never fetched to
     the driver."""
-    # enough blocks that the downstream groupby(bucket).map_groups stage
-    # gets fine-grained tasks — its task count follows the shuffle's block
-    # count, and the per-bucket kernel cost is heavily skewed
+    # collect_tsig already pre-splits each shard into slices (cpus*8
+    # blocks total), so the Dataset is born at the granularity the
+    # downstream groupby(bucket).map_groups stage needs — repartition only
+    # in the degenerate under-split case
     cpus = int(ray.cluster_resources().get('CPU', 8))
     nblocks = int(min(cpus * 8, max(cpus, num_sigs // 128, 1)))
     ds = ray.data.from_arrow_refs(list(tbl_refs))
+    if len(tbl_refs) >= nblocks:
+        return ds
     return ds.repartition(nblocks) if nblocks > 1 else ds
 
 
