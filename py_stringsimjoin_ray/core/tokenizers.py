@@ -204,14 +204,24 @@ class QgramTokenizer(Tokenizer):
         padded strings' byte buffer (bytes == codepoints for ASCII); any
         non-ASCII row falls back to the per-row slicer for the whole batch."""
         q = self.qval
-        if not (pc.all(pc.string_is_ascii(col)).as_py()
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # the byte-window parse below assumes int32 offsets (pa.string());
+        # large_string has int64 offsets and would be silently misread
+        if pa.types.is_large_string(col.type):
+            try:
+                col = col.cast(pa.string())
+            except pa.ArrowInvalid:  # > 2 GiB of bytes in one array
+                return super()._raw_tokenize_arrow(col)
+        if not (pa.types.is_string(col.type)
+                and pc.all(pc.string_is_ascii(col)).as_py()
                 and self.prefix_pad.isascii() and self.suffix_pad.isascii()):
             return super()._raw_tokenize_arrow(col)
         if self.padding:
             col = pc.binary_join_element_wise(
                 pa.scalar(self.prefix_pad * (q - 1)), col,
                 pa.scalar(self.suffix_pad * (q - 1)), '')
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
         # StringArray buffers: [validity, int32 offsets, utf8 data]
         offs = np.frombuffer(col.buffers()[1], np.int32, count=len(col) + 1,
                              offset=col.offset * 4).astype(np.int64)
@@ -220,12 +230,21 @@ class QgramTokenizer(Tokenizer):
             np.empty(0, np.uint8)
         lens = np.diff(offs)
         nwin = np.maximum(lens - q + 1, 0)
+        total = int(nwin.sum())
+        if total * q >= 2 ** 31:  # int32 token-offset ceiling
+            return super()._raw_tokenize_arrow(col)
         # global byte position of every window start, all rows at once
         base = np.repeat(offs[:-1], nwin)
-        local = np.arange(int(nwin.sum()), dtype=np.int64) \
+        local = np.arange(total, dtype=np.int64) \
             - np.repeat(np.concatenate(([0], np.cumsum(nwin)[:-1])), nwin)
         starts = base + local
-        flat = data[(starts[:, None] + np.arange(q, dtype=np.int64)).ravel()]
+        if len(data) >= q:
+            # sliding_window_view is a no-copy view; the fancy-index gather
+            # allocates exactly the output bytes (no windows×q index matrix)
+            flat = np.lib.stride_tricks.sliding_window_view(
+                data, q)[starts].ravel()
+        else:
+            flat = np.empty(0, np.uint8)
         tok_offs = np.arange(len(starts) + 1, dtype=np.int32) * q
         values = pa.StringArray.from_buffers(
             len(starts), pa.py_buffer(tok_offs.tobytes()),

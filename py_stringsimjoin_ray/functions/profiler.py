@@ -63,9 +63,16 @@ def _dataset_profile(ds, attrs):
     materializes small inputs once and profiles them in-process (the
     groupby shuffles' fixed overhead dominates at small scale); inputs
     over the cap take the distributed pipelines, where no distinct VALUE
-    ever reaches the driver."""
-    from ..stages.localjoin import _fetch_local, _local_row_cap
-    local = _fetch_local(ds, list(attrs), _local_row_cap())
+    ever reaches the driver.  The cap deliberately does NOT honor the
+    join path's SSJ_LOCAL_JOIN=force override — that knob pins join-path
+    parity in tests and must not make profiling materialize an unbounded
+    Dataset on the driver."""
+    if not attrs:
+        return {}
+    import os
+    from ..stages.localjoin import DEFAULT_LOCAL_MAX_ROWS, _fetch_local
+    cap = int(os.environ.get('SSJ_LOCAL_MAX_ROWS', DEFAULT_LOCAL_MAX_ROWS))
+    local = _fetch_local(ds, list(attrs), cap)
     if local is not None:
         pdf = local.to_pandas()
         return {a: (len(pdf), len(pdf[a].unique()),

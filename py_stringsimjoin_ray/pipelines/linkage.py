@@ -200,12 +200,21 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
     # the ingest-side sha256 roll-up depends only on the materialized
     # ingest blocks — start it now so it runs UNDER the matches/clusters
     # stages instead of serializing at the end (checkpointed runs read the
-    # rolled-up manifest instead)
-    f_ingest_xor = None
+    # rolled-up manifest instead).  Daemon thread, NOT a ThreadPoolExecutor:
+    # pool threads are joined at interpreter exit, so a failure in a later
+    # stage would block shutdown on a full-corpus scan nobody needs.
+    ingest_xor = None
     if not checkpoint_dir:
-        from concurrent.futures import ThreadPoolExecutor
-        _xor_pool = ThreadPoolExecutor(1)
-        f_ingest_xor = _xor_pool.submit(mf.sha256_xor_rollup, ingest)
+        import threading
+        ingest_xor = {'done': threading.Event(), 'value': None}
+
+        def _roll(box=ingest_xor, ds_=ingest):
+            try:
+                box['value'] = mf.sha256_xor_rollup(ds_)
+            finally:
+                box['done'].set()
+        threading.Thread(target=_roll, daemon=True,
+                         name='ssj-ingest-xor').start()
     _mark('ingest')
 
     # ---------------- stage 2: matches (self-join) -------------------
@@ -309,9 +318,10 @@ def record_linkage(repos_path: str, checkpoint_dir: str | None = None,
         # ingest roll-up was started right after ingest materialized (it
         # overlaps the matches/clusters stages); only the clusters-side
         # scan remains on the critical path here
-        counters['sha256_invariant_ok'] = (
-            f_ingest_xor.result() == mf.sha256_xor_rollup(clusters))
-        _xor_pool.shutdown(wait=False)
+        out_xor = mf.sha256_xor_rollup(clusters)
+        ingest_xor['done'].wait()
+        counters['sha256_invariant_ok'] = (ingest_xor['value'] is not None
+                                           and ingest_xor['value'] == out_xor)
     _mark('invariant')
     if ingest_manifest:
         counters['ingest_rows'] = ingest_manifest['num_rows']

@@ -18,8 +18,14 @@ reduction is one C-level pandas groupby.  Same 12M-row min: 2.0 s — 95×.
 Semantics match the native aggregate: one output row per distinct key
 combination; ``count`` counts rows (keys with null values included),
 ``min``/``max``/``sum`` reduce the value column.  Key hashing uses
-``pd.util.hash_pandas_object`` so any hashable dtype (ints, strings,
-mixed multi-column keys) buckets uniformly.
+``pd.util.hash_pandas_object`` over a dtype-CANONICAL projection (numeric
+keys as float64) — a nullable int column converts to float64 only in the
+blocks that contain a null, and hashing the raw per-block dtype would
+route the same key to different buckets.  Combine output key columns are
+rebuilt with the input batch's Arrow types so every block carries one
+schema; with nullable NUMERIC keys the final key dtype may still widen to
+float64 in the reduce (pandas null representation) — dtype fidelity, not
+grouping correctness.
 """
 
 from __future__ import annotations
@@ -32,6 +38,34 @@ import ray
 import ray.data
 
 _REDUCE_OF = {'min': 'min', 'max': 'max', 'sum': 'sum', 'count': 'sum'}
+
+
+def _key_buckets(df: pd.DataFrame, keys: list, P: np.uint64) -> np.ndarray:
+    """hash(keys) % P over a dtype-canonical projection: numeric/bool key
+    columns hash as float64 so int64 blocks and float64 blocks (nullable
+    int after to_pandas) route the same value to the same bucket."""
+    proj = {}
+    for k in keys:
+        s = df[k]
+        if pd.api.types.is_bool_dtype(s) or pd.api.types.is_numeric_dtype(s):
+            s = s.astype(np.float64)
+        proj[k] = s
+    return (pd.util.hash_pandas_object(pd.DataFrame(proj), index=False)
+            .to_numpy() % P).astype(np.int64)
+
+
+def _restore_key_types(tbl: pa.Table, keys: list,
+                       src_schema: pa.Schema) -> pa.Table:
+    """Rebuild key columns with the source batch's Arrow types so every
+    combine output block carries ONE schema (a nullable int key converts
+    to float64 only in blocks that contain a null)."""
+    for k in keys:
+        want = src_schema.field(k).type
+        i = tbl.schema.get_field_index(k)
+        if tbl.schema.field(k).type != want:
+            col = pa.array(tbl[k].to_pandas(), type=want, from_pandas=True)
+            tbl = tbl.set_column(i, k, col)
+    return tbl
 
 
 def _default_buckets() -> int:
@@ -69,13 +103,12 @@ def bucketed_group_agg(ds: ray.data.Dataset, keys: list[str],
             else:
                 parts[out] = g[col].agg(kind)
         res = pd.DataFrame(parts).reset_index()
-        bucket = (pd.util.hash_pandas_object(res[keys], index=False)
-                  .to_numpy() % P).astype(np.int64)
-        res.insert(0, '_gb', bucket)
+        res.insert(0, '_gb', _key_buckets(res, keys, P))
         # strip pandas schema metadata: it is an unhashable dict that
         # defeats the shuffle's schema deduplication (and spams warnings)
-        return pa.Table.from_pandas(res, preserve_index=False) \
+        tbl = pa.Table.from_pandas(res, preserve_index=False) \
             .replace_schema_metadata(None)
+        return _restore_key_types(tbl, keys, batch.schema)
 
     combine.__name__ = 'group_combine'
 
@@ -104,11 +137,10 @@ def bucketed_distinct(ds: ray.data.Dataset, keys: list[str],
 
     def block_distinct(batch: pa.Table) -> pa.Table:
         df = batch.select(keys).to_pandas().drop_duplicates()
-        bucket = (pd.util.hash_pandas_object(df[keys], index=False)
-                  .to_numpy() % P).astype(np.int64)
-        df.insert(0, '_gb', bucket)
-        return pa.Table.from_pandas(df, preserve_index=False) \
+        df.insert(0, '_gb', _key_buckets(df, keys, P))
+        tbl = pa.Table.from_pandas(df, preserve_index=False) \
             .replace_schema_metadata(None)
+        return _restore_key_types(tbl, keys, batch.schema)
 
     block_distinct.__name__ = 'distinct_combine'
 

@@ -19,10 +19,11 @@ class TokenizeStage:
     """Callable-class stage: (key, join_attr) batches → (key, tokens) batches.
 
     Rows whose join attribute is null are DROPPED here — matching the
-    reference's pre-join null drop
-    (``utils/generic_helper.py:73-81``).  ``tokenize_many`` runs the
-    compiled tokenizer; the tokenizer object is constructed once per actor.
-    """
+    reference's pre-join null drop (``utils/generic_helper.py:73-81``).
+    Built-in tokenizers run their Arrow batch kernel (``tokenize_arrow``);
+    user-supplied tokenizers fall back to the reference's per-row
+    ``.tokenize(str)`` contract.  The tokenizer object is constructed once
+    per actor."""
 
     def __init__(self, key_attr: str, join_attr: str, tokenizer,
                  extra_attrs: tuple = (), keep_string: bool = False):

@@ -103,6 +103,18 @@ class TestTokenizers:
         q = QgramTokenizer(qval=2)
         assert q.tokenize_arrow(pa.array([], pa.string())).to_pylist() == []
 
+    def test_qgram_large_string_column(self):
+        # large_string has int64 offsets; the int32 byte-window parse must
+        # not misread it (regression: returned wrong tokens silently)
+        import pyarrow as pa
+        vals = ['abc', 'defg', '', 'xy']
+        for tok in (QgramTokenizer(qval=2, padding=False),
+                    QgramTokenizer(qval=2),
+                    QgramTokenizer(qval=3, return_set=True)):
+            arr = pa.array(vals, type=pa.large_string())
+            assert tok.tokenize_arrow(arr).to_pylist() == \
+                [tok.tokenize(s) for s in vals]
+
 
 class TestMeasures:
     def test_empty_conventions(self):

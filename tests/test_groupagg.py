@@ -73,6 +73,26 @@ def test_empty_input(ray_session):
     assert bucketed_distinct_count(ray.data.from_pandas(empty), ['k']) == 0
 
 
+def test_nullable_int_key_buckets_consistently(ray_session):
+    # regression: a nullable int64 key converts to float64 only in blocks
+    # that contain a null; dtype-raw hashing routed the same key value to
+    # two buckets and emitted duplicate group rows
+    import pyarrow as pa
+    blk_a = pa.table({'k': pa.array([5, None, 7], pa.int64()),
+                      'v': pa.array([10, 20, 30], pa.int64())})
+    blk_b = pa.table({'k': pa.array([5, 7], pa.int64()),
+                      'v': pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow([blk_a, blk_b])
+    out = bucketed_group_agg(ds, ['k'], [('m', 'v', 'min'),
+                                         ('n', None, 'count')],
+                             num_buckets=64).to_pandas()
+    by_key = {(-1 if pd.isnull(r['k']) else int(r['k'])): (r['m'], r['n'])
+              for _, r in out.iterrows()}
+    assert len(out) == 3  # one row per distinct key incl the null group
+    assert by_key[5] == (1, 2) and by_key[7] == (2, 2)
+    assert by_key[-1] == (20, 1)
+
+
 def test_matches_native_aggregate_small(ray_session):
     # cross-check vs ray's own aggregate on a LOW-cardinality key (where
     # the native path is usable)
