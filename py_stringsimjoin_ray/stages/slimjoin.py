@@ -62,7 +62,7 @@ class SigStage:
 
     _P = np.uint64(0x100000001B3)
 
-    def __init__(self, hash_string: bool = False, max_len: int = 1 << 20):
+    def __init__(self, hash_string: bool = False):
         self.hash_string = hash_string
         self._pows = None  # P^i table, grown on demand
 
@@ -313,6 +313,9 @@ def _cand_luts(sim_type: str, threshold, max_sz: int):
 # triangle-enumeration slab: bounds peak memory of the per-pair arrays
 # (~60 B/pair live at once -> ~250 MB per concurrent task)
 _CAND_SLAB = 4_000_000
+# verify-side membership-expansion slab: bounds the transient pair_idx /
+# off / key-gather arrays even when one duplicate class explodes to m² rows
+_EXPAND_SLAB = 8_000_000
 
 
 def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
@@ -1261,35 +1264,50 @@ class BroadcastVerify:
             return self._empty()
 
         # ---- membership expansion ------------------------------------
+        # slabbed over the FLAT expansion space (like _CAND_SLAB in
+        # candgen): a single giant duplicate class (m identical records →
+        # one sig pair with tot = m² expanded rows) must not drive one
+        # unbounded np.repeat/np.arange allocation — each slab's transient
+        # arrays are bounded regardless of per-pair tot
         nl, nr = l_cnt[ia], r_cnt[ib]
-        tot = nl * nr
-        total = int(tot.sum())
-        pair_idx = np.repeat(np.arange(len(ia)), tot)
-        off = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(tot)))[:-1], tot)
-        nr_p = nr[pair_idx]
-        out_l = bc.l_key_flat[bc.l_key_off[ia][pair_idx] + off // nr_p]
-        out_r = bc.r_key_flat[bc.r_key_off[ib][pair_idx] + off % nr_p]
-        out_s = scores[pair_idx]
-        if self.self_join:
-            # candidates are canonical (ia <= ib): orient each expanded
-            # record pair (min, max).  Identity sig pairs (ia == ib)
-            # expand to the full A x A cross — keep only the upper
-            # triangle or min/max would double-count each unordered pair
-            ident = (ia == ib)[pair_idx]
-            lo = np.minimum(out_l, out_r)
-            hi = np.maximum(out_l, out_r)
-            keep = (lo < hi) & (~ident | (out_l < out_r))
-            out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
-        elif self.same_relation:
-            # full pair-matrix semantics (jaccard_join(A, A)): canonical
-            # sig pairs carry both record-pair orientations; identity sig
-            # pairs already expand to the full A x A cross
-            mirror = (ia != ib)[pair_idx]
-            ml, mr, ms = out_r[mirror], out_l[mirror], out_s[mirror]
-            out_l = np.concatenate([out_l, ml])
-            out_r = np.concatenate([out_r, mr])
-            out_s = np.concatenate([out_s, ms])
+        tot = (nl * nr).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(tot)))
+        total = int(cum[-1])
+        parts_l, parts_r, parts_s = [], [], []
+        for s in range(0, total, _EXPAND_SLAB):
+            e = min(s + _EXPAND_SLAB, total)
+            flat = np.arange(s, e, dtype=np.int64)
+            pair_idx = np.searchsorted(cum, flat, 'right') - 1
+            off = flat - cum[pair_idx]
+            nr_p = nr[pair_idx]
+            out_l = bc.l_key_flat[bc.l_key_off[ia][pair_idx] + off // nr_p]
+            out_r = bc.r_key_flat[bc.r_key_off[ib][pair_idx] + off % nr_p]
+            out_s = scores[pair_idx]
+            if self.self_join:
+                # candidates are canonical (ia <= ib): orient each expanded
+                # record pair (min, max).  Identity sig pairs (ia == ib)
+                # expand to the full A x A cross — keep only the upper
+                # triangle or min/max would double-count each unordered pair
+                ident = (ia == ib)[pair_idx]
+                lo = np.minimum(out_l, out_r)
+                hi = np.maximum(out_l, out_r)
+                keep = (lo < hi) & (~ident | (out_l < out_r))
+                out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
+            elif self.same_relation:
+                # full pair-matrix semantics (jaccard_join(A, A)):
+                # canonical sig pairs carry both record-pair orientations;
+                # identity sig pairs already expand to the full A x A cross
+                mirror = (ia != ib)[pair_idx]
+                ml, mr, ms = out_r[mirror], out_l[mirror], out_s[mirror]
+                out_l = np.concatenate([out_l, ml])
+                out_r = np.concatenate([out_r, mr])
+                out_s = np.concatenate([out_s, ms])
+            parts_l.append(out_l); parts_r.append(out_r)
+            parts_s.append(out_s)
+        out_l = np.concatenate(parts_l) if parts_l else np.empty(0, np.int64)
+        out_r = np.concatenate(parts_r) if parts_r else np.empty(0, np.int64)
+        out_s = np.concatenate(parts_s) if parts_s else \
+            np.empty(0, np.float64)
         _mark('expand')
         if prof:
             import json as _json
@@ -1375,38 +1393,46 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
     if use_broadcast:
         # the one candidate-generation shuffle is a sort by bucket —
         # push-based shuffle pipelines the merge with the map side
-        # (measured 1.6x on the flagship's 29M-posting exchange)
+        # (measured 1.6x on the flagship's 29M-posting exchange).  Each
+        # Dataset snapshots the DataContext at creation, so the ambient
+        # strategy is restored for the CALLER's unrelated pipelines while
+        # this join's datasets keep push-based.
         from ray.data.context import ShuffleStrategy
-        ray.data.DataContext.get_current().shuffle_strategy = \
-            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-        from ..pipelines.join import _prof_mark
-        prof = _prof_mark()
-        bc_ref, tbl_refs, nsig = collect_tsig(tagged, same_relation,
-                                              keep_string)
-        prof('collect_tsig')
-        if bc_ref is None:
-            return ray.data.from_pandas(pd.DataFrame({
-                'l_key': np.array([], object),
-                'r_key': np.array([], object),
-                '_sim_score': np.array([], np.float64)}))
-        # constant across parallelism levels: the kernel-call count (and so
-        # the total candgen work) must not depend on cluster size, only the
-        # packing does
-        nparts = 256
-        postings = tsig_postings_input(tbl_refs, nsig).map_batches(
-            SlimPostingsStage(nb, heavy_ref,
-                              emit_sides=not same_relation,
-                              num_parts=nparts),
-            batch_format='pyarrow')
-        cand = postings.groupby('part').map_groups(
-            BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
-                             same_relation=same_relation, num_vbuckets=nb),
-            batch_format='pyarrow')
-        fn = BroadcastVerify(
-            bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
-            same_relation=same_relation, self_join=cfg.self_join,
-            round_score=True, counter_name=cfg.counter_name)
-        return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
+        ctx = ray.data.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        try:
+            from ..pipelines.join import _prof_mark
+            prof = _prof_mark()
+            bc_ref, tbl_refs, nsig = collect_tsig(tagged, same_relation,
+                                                  keep_string)
+            prof('collect_tsig')
+            if bc_ref is None:
+                return ray.data.from_pandas(pd.DataFrame({
+                    'l_key': np.array([], object),
+                    'r_key': np.array([], object),
+                    '_sim_score': np.array([], np.float64)}))
+            # constant across parallelism levels: the kernel-call count
+            # (and so the total candgen work) must not depend on cluster
+            # size, only the packing does
+            nparts = 256
+            postings = tsig_postings_input(tbl_refs, nsig).map_batches(
+                SlimPostingsStage(nb, heavy_ref,
+                                  emit_sides=not same_relation,
+                                  num_parts=nparts),
+                batch_format='pyarrow')
+            cand = postings.groupby('part').map_groups(
+                BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
+                                 same_relation=same_relation,
+                                 num_vbuckets=nb),
+                batch_format='pyarrow')
+            fn = BroadcastVerify(
+                bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
+                same_relation=same_relation, self_join=cfg.self_join,
+                round_score=True, counter_name=cfg.counter_name)
+            return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
+        finally:
+            ctx.shuffle_strategy = prev_strategy
 
     # ---- Tmem: slim membership (sig, side, key) --------------------------
     def mem_cols(b: pa.Table) -> pa.Table:

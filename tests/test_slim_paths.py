@@ -131,3 +131,23 @@ def test_self_join_exact_duplicates_counted_once(tmp_path, monkeypatch):
     monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
     res_d = record_linkage(path, checkpoint_dir=None, threshold=0.7)
     assert res_d['counters']['num_matches'] == 9
+
+
+def test_expand_slab_boundary_duplicate_class(monkeypatch):
+    """The verify-side membership expansion is slabbed over the flat
+    expansion space; with a tiny slab a duplicate class whose m x m cross
+    spans many slabs must still emit the exact pair set (incl. the
+    self-join upper triangle and the same-relation mirror)."""
+    from py_stringsimjoin_ray.stages import slimjoin
+    monkeypatch.setattr(slimjoin, '_EXPAND_SLAB', 7)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')  # force the slim pipeline
+    # 12 identical records (one sig class, 144 expanded rows) + distinct
+    A = pd.DataFrame({'id': range(20),
+                      's': ['same tokens here'] * 12
+                           + [f'uniq{i} token{i % 3} x' for i in range(8)]})
+    tok = WhitespaceTokenizer(return_set=True)
+    out = jaccard_join(A, A.copy(), 'id', 'id', 's', 's', tok, 0.9)
+    got = {(int(a), int(b)) for a, b in zip(out['l_id'], out['r_id'])}
+    exp = {(i, j) for i in range(12) for j in range(12)} \
+        | {(i, i) for i in range(12, 20)}
+    assert got == exp
