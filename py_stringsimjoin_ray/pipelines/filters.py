@@ -24,7 +24,7 @@ from ..core.comp_ops import COMP_OP_MAP
 from ..core.measures import overlap as set_overlap
 from ..core.ordering import apply_ordering, build_ordering_for_lists
 from .join import (_JoinConfig, _assemble_pandas, _remove_redundant_attrs,
-                   _to_dataset, match_pairs_dataset, output_header,
+                   _to_dataset, match_pairs_dataset,
                    DEFAULT_NUM_BUCKETS, DEFAULT_SALT_DF_THRESHOLD)
 
 
@@ -230,6 +230,12 @@ class SizeFilter(Filter):
         V.validate_attr(r_key_attr, r_cols, 'key attribute', 'right table')
         V.validate_attr(l_filter_attr, l_cols, 'filter attribute', 'left table')
         V.validate_attr(r_filter_attr, r_cols, 'filter attribute', 'right table')
+        V.validate_attr_type(l_filter_attr,
+                             V.get_attr_type(ltable, l_filter_attr),
+                             'filter attribute', 'left table')
+        V.validate_attr_type(r_filter_attr,
+                             V.get_attr_type(rtable, r_filter_attr),
+                             'filter attribute', 'right table')
         V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
         if isinstance(ltable, pd.DataFrame):
             V.validate_key_attr(l_key_attr, ltable, 'left table')
@@ -254,6 +260,11 @@ class SizeFilter(Filter):
 
         l_sizes = sizes(l_ds, l_key_attr, l_filter_attr).materialize()
         r_sizes = sizes(r_ds, r_key_attr, r_filter_attr)
+        if handle_empty:
+            # r_sizes then feeds both the probe postings and the empty-key
+            # scan — an un-materialized lineage would re-tokenize the whole
+            # R table for the second consumer
+            r_sizes = r_sizes.materialize()
 
         l_pd_sizes = l_sizes.to_pandas()
         nonempty = l_pd_sizes[l_pd_sizes['sz'] > 0]
@@ -274,7 +285,13 @@ class SizeFilter(Filter):
             for i, n in enumerate(szs):
                 if n == 0 and st not in ('EDIT_DISTANCE',):
                     continue
-                lb = max(bounds.size_lower_bound(int(n), st, t), l_min, 0)
+                raw_lb = bounds.size_lower_bound(int(n), st, t)
+                if raw_lb > int(n):
+                    # reference guard (``filter/size_filter.py:282-283``):
+                    # e.g. OVERLAP with threshold > probe size can never
+                    # reach the required overlap — no candidates
+                    continue
+                lb = max(raw_lb, l_min, 0)
                 ub = min(bounds.size_upper_bound(int(n), st, t), l_max)
                 for s in range(lb, ub + 1):
                     keys.append(i)
@@ -291,7 +308,9 @@ class SizeFilter(Filter):
             lk = df.loc[df['side'] == 0, 'key'].to_numpy()
             rk = df.loc[df['side'] == 1, 'key'].to_numpy()
             if len(lk) == 0 or len(rk) == 0:
-                return pd.DataFrame({'l_key': [], 'r_key': []})
+                # typed empty: an untyped frame here (float64 keys) would
+                # poison the block dtypes of the non-empty groups
+                return pd.DataFrame({'l_key': lk[:0], 'r_key': rk[:0]})
             return pd.DataFrame({'l_key': np.repeat(lk, len(rk)),
                                  'r_key': np.tile(rk, len(lk))})
         pair_group.__name__ = 'size_pair_group'
@@ -757,6 +776,12 @@ class SuffixFilter(Filter):
         for a, lbl, tbl in ((r_key_attr, 'key attribute', 'right table'),
                             (r_filter_attr, 'filter attribute', 'right table')):
             V.validate_attr(a, r_cols, lbl, tbl)
+        V.validate_attr_type(l_filter_attr,
+                             V.get_attr_type(ltable, l_filter_attr),
+                             'filter attribute', 'left table')
+        V.validate_attr_type(r_filter_attr,
+                             V.get_attr_type(rtable, r_filter_attr),
+                             'filter attribute', 'right table')
         V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
         if isinstance(ltable, pd.DataFrame):
             V.validate_key_attr(l_key_attr, ltable, 'left table')
@@ -783,6 +808,20 @@ class SuffixFilter(Filter):
         l_pd_ranked = ranked_l.to_pandas()  # broadcast side (reference copies
         # L into every worker; we broadcast the prepared arrays once)
         l_ref = ray.put(l_pd_ranked)
+        # flatten the L rank arrays ONCE for the vectorized probe — inside
+        # probe_vec this O(total L tokens) Python-level conversion would
+        # re-run per R batch; numpy arrays also ship zero-copy via plasma
+        _nl = len(l_pd_ranked)
+        _l_lens = np.fromiter((len(x) for x in l_pd_ranked['ranks']),
+                              np.int64, _nl)
+        l_vec_ref = ray.put((
+            l_pd_ranked['key'].to_numpy(),
+            np.concatenate(([0], np.cumsum(_l_lens))),
+            (np.concatenate([np.asarray(x, np.int64)
+                             for x in l_pd_ranked['ranks']])
+             if _l_lens.sum() else np.empty(0, np.int64)),
+            l_pd_ranked['sz'].to_numpy().astype(np.int64),
+            l_pd_ranked['plen'].to_numpy().astype(np.int64)))
         ranked_r = tok_r.map_batches(
             RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
 
@@ -813,17 +852,9 @@ class SuffixFilter(Filter):
             return pd.DataFrame({'l_key': out_l, 'r_key': out_r})
 
         def probe_vec(batch: pd.DataFrame) -> pd.DataFrame:
-            l_tbl = ray.get(l_ref)
-            l_keys = l_tbl['key'].to_numpy()
+            l_keys, l_off, l_flat, l_sz, l_pl = ray.get(l_vec_ref)
             nl = len(l_keys)
-            l_lens = np.fromiter((len(x) for x in l_tbl['ranks']), np.int64,
-                                 nl)
-            l_off = np.concatenate(([0], np.cumsum(l_lens)))
-            l_flat = (np.concatenate([np.asarray(x, np.int64)
-                                      for x in l_tbl['ranks']])
-                      if l_lens.sum() else np.empty(0, np.int64))
-            l_sz = l_tbl['sz'].to_numpy().astype(np.int64)
-            l_pl = l_tbl['plen'].to_numpy().astype(np.int64)
+            l_lens = np.diff(l_off)
 
             r_keys = batch['key'].to_numpy()
             nr = len(r_keys)

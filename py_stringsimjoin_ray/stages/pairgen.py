@@ -508,7 +508,9 @@ class PairGenVerify:
         checked = int(np.sum(l_cnt[la] * r_cnt[rb]))
 
         scores = None
-        if ed:
+        # mode gate FIRST (matching _call_rowwise): prefix_candidates emits
+        # every responsible pair unverified even for EDIT_DISTANCE
+        if ed and self.mode != 'prefix_candidates':
             s_len = np.array([len(c.s) for c in classes], dtype=np.int64)
             keep = np.abs(s_len[la] - s_len[rb]) <= self.threshold
             la, rb = la[keep], rb[keep]

@@ -155,6 +155,8 @@ def oracle_size_tables(A, B, l_key, r_key, l_attr, r_attr, tokenizer,
             continue
         lb = bounds.size_lower_bound(rn, sim_type, threshold)
         ub = bounds.size_upper_bound(rn, sim_type, threshold)
+        if lb > rn:  # reference guard: filter/size_filter.py:282-283
+            continue
         for k, s in sizes.items():
             if s > 0 and lb <= s <= ub:
                 exp.add((k, rb[r_key]))
@@ -390,3 +392,33 @@ def test_filter_candset_dataset_input(person_tables):
     got = out_ds.to_pandas()
     assert sorted(zip(got['l_A.ID'], got['r_B.ID'])) == \
         sorted(zip(out_pd['l_A.ID'], out_pd['r_B.ID']))
+
+
+def test_size_filter_overlap_short_probe(ray_session):
+    """Reference guard: an R record with fewer tokens than the OVERLAP
+    threshold can never reach the required overlap — it must emit NO pairs
+    even when some L record's size falls inside [lb, ub]."""
+    A = pd.DataFrame({'id': [0], 's': ['a b c d e']})        # 5 tokens
+    B = pd.DataFrame({'id': [9], 's': ['a b']})              # 2 tokens
+    f = SizeFilter(WhitespaceTokenizer(return_set=True), 'OVERLAP', 3)
+    out = f.filter_tables(A, B, 'id', 'id', 's', 's')
+    assert len(out) == 0
+    # filter_pair agrees
+    assert f.filter_pair('a b c d e', 'a b') is True  # True = filtered OUT
+
+
+def test_prefix_filter_edit_distance_unverified(ray_session):
+    """PrefixFilter with EDIT_DISTANCE emits every prefix-sharing candidate
+    UNVERIFIED (reference semantics) — close pairs must not be dropped by
+    an accidental >= comparison on the distance."""
+    A = pd.DataFrame({'id': range(4), 's': ['abcde', 'abcdf', 'zzzzz',
+                                            'abcde']})
+    tok = QgramTokenizer(qval=2, return_set=True)
+    f = PrefixFilter(tok, 'EDIT_DISTANCE', 2)
+    out = f.filter_tables(A, A.copy(), 'id', 'id', 's', 's')
+    pairs = set(zip(out['l_id'], out['r_id']))
+    # identical strings (distance 0) and distance-1 neighbors present
+    assert (0, 3) in pairs and (0, 1) in pairs and (0, 0) in pairs
+    exp = oracle_prefix_tables(A, A.copy(), 'id', 'id', 's', 's', tok,
+                               'EDIT_DISTANCE', 2)
+    assert pairs == exp
