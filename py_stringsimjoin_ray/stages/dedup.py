@@ -92,31 +92,159 @@ class MinHasher:
 
 class MinHashStage:
     """(id, text) → (id, sig list<uint64>) — actor-pool stage; permutation
-    params built once per actor.  With ``from_shingles=True`` the input is a
-    pre-shingled ``(id, shingles)`` table (shingle once, reuse for both
-    signatures and verification)."""
+    params built once per actor.  With ``from_hashes=True`` the input is a
+    pre-hashed ``(id, list<int64> shingle hashes)`` table (hash once, reuse
+    for both signatures and verification; the int64 values are bit-views of
+    the uint64 md5 token hashes)."""
 
     def __init__(self, id_col: str, text_col: str, k: int = 5,
                  num_perm: int = 64, seed: int = 42,
-                 from_shingles: bool = False):
+                 from_hashes: bool = False):
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
         self.mh = MinHasher(num_perm, seed)
-        self.from_shingles = from_shingles
+        self.from_hashes = from_hashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.from_shingles:
-            sh_lists = batch[self.text_col].to_pylist()
+        if self.from_hashes:
+            col = batch[self.text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # values + offsets (NOT flatten(): offsets index into the full
+            # child array, flatten() re-bases a sliced parent)
+            flat = col.values.to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            hash_lists = [flat[off[i]:off[i + 1]] for i in range(len(batch))]
         else:
-            sh_lists = [shingles(t or '', self.k)
-                        for t in batch[self.text_col].to_pylist()]
-        sigs = [self.mh.signature(_token_hashes(sh)).astype(np.int64)
-                for sh in sh_lists]
+            hash_lists = [_token_hashes(shingles(t or '', self.k))
+                          for t in batch[self.text_col].to_pylist()]
+        sigs = [self.mh.signature(hs).astype(np.int64) for hs in hash_lists]
         return pa.table({
             'id': batch[self.id_col],
             'sig': pa.array([s.tolist() for s in sigs],
                             type=pa.list_(pa.int64()))})
+
+
+def _list_i64(parts: list[np.ndarray]) -> pa.ListArray:
+    """list<int64> Arrow array from per-row numpy pieces (no Python lists)."""
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    vals = (np.concatenate(parts) if lens.sum()
+            else np.empty(0, np.int64)).astype(np.int64, copy=False)
+    return pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                    pa.array(vals, pa.int64()))
+
+
+def _shingle_hashes_batch(texts: list, k: int) -> pa.ListArray:
+    """Per-document SORTED-UNIQUE md5 shingle hashes as list<int64> (int64
+    bit-views of the uint64 hashes).  One md5 pass over the batch's
+    concatenated shingles; verification over these hash sets equals exact
+    string-set Jaccard absent 64-bit md5 collisions (the same assumption the
+    minhash signatures already rest on)."""
+    sh_lists = [shingles(t or '', k) for t in texts]
+    lens = np.fromiter((len(s) for s in sh_lists), np.int64, len(sh_lists))
+    flat = [x for s in sh_lists for x in s]
+    h = _token_hashes(flat).view(np.int64)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    return _list_i64([np.unique(h[off[i]:off[i + 1]])
+                      for i in range(len(sh_lists))])
+
+
+# verify-kernel slab: bounds the transient per-pair gather arrays
+_JACC_SLAB = 16_000_000
+
+
+def _set_jaccard_many(l_flat: np.ndarray, l_off: np.ndarray,
+                      r_flat: np.ndarray, r_off: np.ndarray) -> np.ndarray:
+    """Exact set Jaccard per pair over per-pair SORTED-UNIQUE hash slices
+    (``l_off``/``r_off`` are npairs+1 offset arrays).  Vectorized: one
+    lexsort over the pooled (pair, hash) rows — a hash duplicated within a
+    pair must come from the two different sides, so the duplicate count IS
+    the intersection size."""
+    npairs = len(l_off) - 1
+    l_lens = np.diff(l_off)
+    r_lens = np.diff(r_off)
+    p = np.concatenate([np.repeat(np.arange(npairs, dtype=np.int64), l_lens),
+                        np.repeat(np.arange(npairs, dtype=np.int64), r_lens)])
+    v = np.concatenate([l_flat, r_flat])
+    order = np.lexsort((v, p))
+    ps, vs = p[order], v[order]
+    dup = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=npairs)
+    union = l_lens + r_lens - inter
+    js = np.divide(inter.astype(np.float64), union,
+                   out=np.zeros(npairs, np.float64), where=union > 0)
+    js[(l_lens == 0) & (r_lens == 0)] = 1.0
+    return js
+
+
+def _gather_slices(flat: np.ndarray, off: np.ndarray,
+                   idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate ``flat[off[i]:off[i+1]]`` for i in idx; returns
+    (values, offsets) with offsets of len(idx)+1."""
+    lens = (off[idx + 1] - off[idx]).astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(lens)))
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, flat.dtype), out_off
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    return flat[np.repeat(off[idx], lens) + pos], out_off
+
+
+def _set_jaccard_aligned(l_flat: np.ndarray, l_off: np.ndarray,
+                         r_flat: np.ndarray, r_off: np.ndarray) -> np.ndarray:
+    """Like ``_set_jaccard_many`` but slabbed over the pair axis, for
+    already-aligned per-pair slices (offsets need not start at 0)."""
+    npairs = len(l_off) - 1
+    js = np.empty(npairs, np.float64)
+    w = (np.diff(l_off) + np.diff(r_off)).astype(np.int64)
+    cw = np.cumsum(w)
+    s = 0
+    while s < npairs:
+        base = int(cw[s - 1]) if s else 0
+        e = int(np.searchsorted(cw, base + _JACC_SLAB, 'right'))
+        e = min(max(e, s + 1), npairs)
+        js[s:e] = _set_jaccard_many(
+            l_flat[l_off[s]:l_off[e]], l_off[s:e + 1] - l_off[s],
+            r_flat[r_off[s]:r_off[e]], r_off[s:e + 1] - r_off[s])
+        s = e
+    return js
+
+
+def _list_np(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) int64 views of a (possibly chunked) list<int64>
+    column; offsets index into values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals, off
+
+
+def _verify_jaccard_slabbed(l_doc: np.ndarray, r_doc: np.ndarray,
+                            flat: np.ndarray, off: np.ndarray,
+                            threshold: float):
+    """(kept l_idx mask, jaccard) for doc-index pairs (l_doc[i], r_doc[i])
+    over the shared (flat, off) shingle-hash store, slabbed so transient
+    gathers stay bounded no matter how hot one document is."""
+    n = len(l_doc)
+    js = np.empty(n, np.float64)
+    w = ((off[l_doc + 1] - off[l_doc])
+         + (off[r_doc + 1] - off[r_doc])).astype(np.int64)
+    cw = np.cumsum(w)
+    s = 0
+    while s < n:
+        base = int(cw[s - 1]) if s else 0
+        e = int(np.searchsorted(cw, base + _JACC_SLAB, 'right'))
+        e = min(max(e, s + 1), n)
+        lv, lo = _gather_slices(flat, off, l_doc[s:e])
+        rv, ro = _gather_slices(flat, off, r_doc[s:e])
+        js[s:e] = _set_jaccard_many(lv, lo, rv, ro)
+        s = e
+    keep = js >= threshold
+    return keep, js
 
 
 _VKNUTH = np.uint64(2654435761)
@@ -138,20 +266,24 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     Verification is a bucketed join back to the documents: candidates and
     shingle sets are co-located by id-hash (two passes, one per pair side) —
     the corpus is never materialized on the driver, so the path holds at
-    scales where a broadcast shingle map would not."""
+    scales where a broadcast shingle map would not.
+
+    Documents are shingled ONCE into sorted-unique md5 hash sets
+    (list<int64>; ~8 B/shingle vs ~30 B for a 5-word string) — the hashes
+    feed both the minhash signatures and the exact-Jaccard verification, so
+    verify shuffles/broadcasts ship compact integers and the verify kernel
+    is a vectorized sorted-set intersection (``_set_jaccard_many``)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
     shingled = ds.map_batches(
         lambda b: pa.table({
             'id': b[id_col],
-            'sh': pa.array([shingles(t or '', k)
-                            for t in b[text_col].to_pylist()],
-                           type=pa.list_(pa.string()))}),
+            'sh': _shingle_hashes_batch(b[text_col].to_pylist(), k)}),
         batch_format='pyarrow').materialize()
 
     sigs = shingled.map_batches(
-        MinHashStage('id', 'sh', k, num_perm, seed, from_shingles=True),
+        MinHashStage('id', 'sh', k, num_perm, seed, from_hashes=True),
         batch_format='pyarrow')
 
     def band_postings(batch: pa.Table) -> pa.Table:
@@ -202,7 +334,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     # exceeds the broadcast budget, fall back to shipping all docs.
     import ray as _ray
     shingled_v = shingled
-    broadcast_verify = cands.count() <= 2_000_000
+    import os as _os
+    broadcast_verify = cands.count() <= int(
+        _os.environ.get('SSJ_LSH_BROADCAST_PAIR_LIMIT', '2000000'))
     cand_ids = np.empty(0, np.int64)
     if broadcast_verify:
         pair_l_parts, pair_r_parts = [], []
@@ -238,48 +372,48 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     if broadcast_verify:
         # candidate-bounded broadcast: collect ONLY the candidate documents'
-        # shingle sets (never the corpus) and verify in one map over the
-        # candidate stream — zero extra shuffles.  The bucket-join passes
-        # below remain the beyond-gate scale path.
-        id_parts, set_parts = [], []
+        # shingle-hash sets (never the corpus) and verify in one map over
+        # the candidate stream — zero extra shuffles.  The store is three
+        # flat numpy arrays (zero-copy via plasma, no per-set pickling).
+        # The bucket-join passes below remain the beyond-gate scale path.
+        id_parts, hash_parts, len_parts = [], [], []
         for b in shingled_v.iter_batches(batch_format='pyarrow',
                                          batch_size=None):
             t = pa.table(b)
             id_parts.append(t['id'].to_numpy(zero_copy_only=False)
                             .astype(np.int64))
-            set_parts.extend(set(x) for x in t['sh'].to_pylist())
+            col = t['sh']
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            o = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            hash_parts.append(col.values.to_numpy(zero_copy_only=False)
+                              .astype(np.int64)[o[0]:o[-1]])
+            len_parts.append(np.diff(o))
         vids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        vlens = (np.concatenate(len_parts) if len_parts
+                 else np.empty(0, np.int64))
+        vflat = (np.concatenate(hash_parts) if hash_parts
+                 else np.empty(0, np.int64))
         order = np.argsort(vids, kind='stable')
         vids = vids[order]
-        vsets = np.empty(len(order), dtype=object)
-        for i, o in enumerate(order):
-            vsets[i] = set_parts[o]
-        smap_ref = _ray.put((vids, vsets))
+        src_off = np.concatenate(([0], np.cumsum(vlens)))
+        gflat, goff = _gather_slices(vflat, src_off, order)
+        smap_ref = _ray.put((vids, goff, gflat))
 
         def verify_direct(df: pd.DataFrame) -> pd.DataFrame:
-            ids, sets = _ray.get(smap_ref)
+            ids, off, flat = _ray.get(smap_ref)
             l = df['l_id'].to_numpy().astype(np.int64)
             r = df['r_id'].to_numpy().astype(np.int64)
-            li = np.searchsorted(ids, l)
-            ri = np.searchsorted(ids, r)
-            js = np.empty(len(l), np.float64)
-            for i in range(len(l)):
-                s1, s2 = sets[li[i]], sets[ri[i]]
-                if not s1 and not s2:
-                    js[i] = 1.0
-                elif not s1 or not s2:
-                    js[i] = 0.0
-                else:
-                    o = len(s1 & s2)
-                    js[i] = o / (len(s1) + len(s2) - o)
-            keep = js >= threshold
+            keep, js = _verify_jaccard_slabbed(
+                np.searchsorted(ids, l), np.searchsorted(ids, r),
+                flat, off, threshold)
             return pd.DataFrame({'l_id': l[keep], 'r_id': r[keep],
                                  'jaccard': js[keep]})
         verify_direct.__name__ = 'lsh_verify_direct'
         return cands.map_batches(verify_direct, batch_format='pandas')
 
     nb = verify_buckets
-    empty_sh = pa.array([], pa.list_(pa.string()))
+    empty_sh = pa.array([], pa.list_(pa.int64()))
 
     def doc_rows(b: pa.Table) -> pa.Table:
         ids = b['id'].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -289,7 +423,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                          'id': pa.array(ids),
                          'other': pa.array(np.full(n, -1, np.int64)),
                          'sh': b['sh'],
-                         'sh_l': pa.nulls(n, pa.list_(pa.string()))})
+                         'sh_l': pa.nulls(n, pa.list_(pa.int64()))})
 
     def cand_rows(b) -> pa.Table:
         if isinstance(b, pd.DataFrame):
@@ -300,8 +434,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                          'kind': pa.array(np.ones(n, np.int8)),
                          'id': pa.array(l),
                          'other': b['r_id'],
-                         'sh': pa.nulls(n, pa.list_(pa.string())),
-                         'sh_l': pa.nulls(n, pa.list_(pa.string()))})
+                         'sh': pa.nulls(n, pa.list_(pa.int64())),
+                         'sh_l': pa.nulls(n, pa.list_(pa.int64()))})
 
     def attach_l(tbl: pa.Table) -> pa.Table:
         kind = tbl['kind'].to_numpy(zero_copy_only=False)
@@ -339,7 +473,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                          'kind': pa.array(np.ones(n, np.int8)),
                          'id': pa.array(r),
                          'other': b['l_id'],
-                         'sh': pa.nulls(n, pa.list_(pa.string())),
+                         'sh': pa.nulls(n, pa.list_(pa.int64())),
                          'sh_l': b['sh_l']})
 
     def verify(tbl: pa.Table) -> pd.DataFrame:
@@ -359,20 +493,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
             return empty
         loc = loc.to_numpy()[ok].astype(np.int64)
         p = p.filter(pa.array(ok))
-        sh_r = t['sh'].take(pa.array(loc)).to_pylist()
-        sh_l = p['sh_l'].to_pylist()
+        r_flat, r_off = _list_np(t['sh'].take(pa.array(loc)))
+        l_flat, l_off = _list_np(p['sh_l'])
         l_ids = p['other'].to_numpy(zero_copy_only=False).astype(np.int64)
         r_ids = p['id'].to_numpy(zero_copy_only=False).astype(np.int64)
-        js = np.empty(len(l_ids), np.float64)
-        for i in range(len(l_ids)):
-            s1, s2 = set(sh_l[i]), set(sh_r[i])
-            if not s1 and not s2:
-                js[i] = 1.0
-            elif not s1 or not s2:
-                js[i] = 0.0
-            else:
-                o = len(s1 & s2)
-                js[i] = o / (len(s1) + len(s2) - o)
+        js = _set_jaccard_aligned(l_flat, l_off, r_flat, r_off)
         keep = js >= threshold
         return pd.DataFrame({'l_id': l_ids[keep], 'r_id': r_ids[keep],
                              'jaccard': js[keep]})

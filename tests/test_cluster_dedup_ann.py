@@ -77,6 +77,56 @@ class TestDedup:
             assert j >= 0.5
         assert all(l < r for l, r in pairs)
 
+    def test_minhash_lsh_bucket_join_path(self, docs_ds, monkeypatch):
+        # force the beyond-gate bucketed-join verify (pair limit 0) and pin
+        # it row-identical to the broadcast fast path
+        base = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
+                                       threshold=0.5, k=3).to_pandas()
+        monkeypatch.setenv('SSJ_LSH_BROADCAST_PAIR_LIMIT', '0')
+        out = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
+                                      threshold=0.5, k=3).to_pandas()
+        key = lambda d: sorted(map(tuple, d[['l_id', 'r_id', 'jaccard']]
+                                   .round(12).to_numpy().tolist()))
+        assert key(out) == key(base)
+
+    def test_set_jaccard_kernels(self):
+        rng = np.random.default_rng(7)
+        docs = [np.unique(rng.integers(0, 40, size=rng.integers(0, 25)))
+                .astype(np.int64) for _ in range(30)]
+        docs[3] = np.empty(0, np.int64)      # empty-set edges
+        docs[4] = np.empty(0, np.int64)
+        flat = (np.concatenate(docs) if sum(map(len, docs))
+                else np.empty(0, np.int64))
+        off = np.concatenate(
+            ([0], np.cumsum([len(d) for d in docs]))).astype(np.int64)
+        l_doc = rng.integers(0, 30, size=200).astype(np.int64)
+        r_doc = rng.integers(0, 30, size=200).astype(np.int64)
+
+        def ref(a, b):
+            s1, s2 = set(docs[a]), set(docs[b])
+            if not s1 and not s2:
+                return 1.0
+            if not s1 or not s2:
+                return 0.0
+            o = len(s1 & s2)
+            return o / (len(s1) + len(s2) - o)
+
+        expect = np.array([ref(a, b) for a, b in zip(l_doc, r_doc)])
+        # slabbed store-indexed kernel, tiny slab to force many slabs
+        orig = dedup._JACC_SLAB
+        dedup._JACC_SLAB = 17
+        try:
+            _, js = dedup._verify_jaccard_slabbed(l_doc, r_doc, flat, off,
+                                                  threshold=0.0)
+            np.testing.assert_allclose(js, expect)
+            # aligned-slices kernel on gathered pairs
+            lv, lo = dedup._gather_slices(flat, off, l_doc)
+            rv, ro = dedup._gather_slices(flat, off, r_doc)
+            np.testing.assert_allclose(
+                dedup._set_jaccard_aligned(lv, lo, rv, ro), expect)
+        finally:
+            dedup._JACC_SLAB = orig
+
     def test_simhash_pairs(self, docs_ds):
         out = dedup.simhash_near_dup_pairs(docs_ds, 'doc_id', 'text',
                                            max_hamming=3).to_pandas()
