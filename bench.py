@@ -137,7 +137,7 @@ def run_default():
     # ±2x from hypervisor steal (BASELINE.md §3/§5); min per query is the
     # standard noise-robust estimator, and rep 2+ also measures the
     # warm-cache steady state a long-running cluster job actually sees
-    reps = int(os.environ.get('SSJ_BENCH_REPS', '2'))
+    reps = max(1, int(os.environ.get('SSJ_BENCH_REPS', '2')))
     times, rows = {}, {}
     for _ in range(reps):
         for name, fn in _bench_queries(SF_DIR).items():

@@ -803,31 +803,36 @@ class SuffixFilter(Filter):
         freq = token_frequencies(tok_l.union(tok_r))
         ordering_ref = ray.put(make_rank_lookup(freq))
 
-        ranked_l = tok_l.map_batches(
-            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
-        l_pd_ranked = ranked_l.to_pandas()  # broadcast side (reference copies
-        # L into every worker; we broadcast the prepared arrays once)
-        l_ref = ray.put(l_pd_ranked)
-        # flatten the L rank arrays ONCE for the vectorized probe — inside
-        # probe_vec this O(total L tokens) Python-level conversion would
-        # re-run per R batch; numpy arrays also ship zero-copy via plasma
-        _nl = len(l_pd_ranked)
-        _l_lens = np.fromiter((len(x) for x in l_pd_ranked['ranks']),
-                              np.int64, _nl)
-        l_vec_ref = ray.put((
-            l_pd_ranked['key'].to_numpy(),
-            np.concatenate(([0], np.cumsum(_l_lens))),
-            (np.concatenate([np.asarray(x, np.int64)
-                             for x in l_pd_ranked['ranks']])
-             if _l_lens.sum() else np.empty(0, np.int64)),
-            l_pd_ranked['sz'].to_numpy().astype(np.int64),
-            l_pd_ranked['plen'].to_numpy().astype(np.int64)))
-        ranked_r = tok_r.map_batches(
-            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
-
         sf = self
         vectorized = bool(getattr(self.tokenizer, 'get_return_set',
                                   lambda: False)())
+
+        ranked_l = tok_l.map_batches(
+            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
+        l_pd_ranked = ranked_l.to_pandas()  # broadcast side (reference copies
+        # L into every worker; we broadcast the prepared arrays once) —
+        # exactly ONE of the two broadcasts below is built, chosen by the
+        # probe that will consume it
+        if vectorized:
+            # flatten the L rank arrays ONCE for the vectorized probe —
+            # inside probe_vec this O(total L tokens) Python-level
+            # conversion would re-run per R batch; numpy arrays also ship
+            # zero-copy via plasma
+            _nl = len(l_pd_ranked)
+            _l_lens = np.fromiter((len(x) for x in l_pd_ranked['ranks']),
+                                  np.int64, _nl)
+            l_vec_ref = ray.put((
+                l_pd_ranked['key'].to_numpy(),
+                np.concatenate(([0], np.cumsum(_l_lens))),
+                (np.concatenate([np.asarray(x, np.int64)
+                                 for x in l_pd_ranked['ranks']])
+                 if _l_lens.sum() else np.empty(0, np.int64)),
+                l_pd_ranked['sz'].to_numpy().astype(np.int64),
+                l_pd_ranked['plen'].to_numpy().astype(np.int64)))
+        else:
+            l_ref = ray.put(l_pd_ranked)
+        ranked_r = tok_r.map_batches(
+            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
 
         def probe_python(batch: pd.DataFrame) -> pd.DataFrame:
             # bag-tokenizer fallback: duplicate tokens break the

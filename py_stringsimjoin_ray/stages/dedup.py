@@ -90,6 +90,17 @@ class MinHasher:
         return vals.min(axis=1)
 
 
+def _list_np(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) int64 views of a (possibly chunked) list<int64>
+    column; offsets index into values (NOT flatten(): offsets are absolute
+    into the full child array, flatten() re-bases a sliced parent)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals, off
+
+
 class MinHashStage:
     """(id, text) → (id, sig list<uint64>) — actor-pool stage; permutation
     params built once per actor.  With ``from_hashes=True`` the input is a
@@ -108,14 +119,8 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.from_hashes:
-            col = batch[self.text_col]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            # values + offsets (NOT flatten(): offsets index into the full
-            # child array, flatten() re-bases a sliced parent)
-            flat = col.values.to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
-            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, off = _list_np(batch[self.text_col])
+            flat = vals.view(np.uint64)
             hash_lists = [flat[off[i]:off[i + 1]] for i in range(len(batch))]
         else:
             hash_lists = [_token_hashes(shingles(t or '', self.k))
@@ -193,34 +198,33 @@ def _gather_slices(flat: np.ndarray, off: np.ndarray,
     return flat[np.repeat(off[idx], lens) + pos], out_off
 
 
+def _slab_ranges(w: np.ndarray):
+    """(s, e) half-open index ranges over a per-item weight array such that
+    each slab's total weight stays under ``_JACC_SLAB`` (single overweight
+    items get a slab of their own — forced progress)."""
+    n = len(w)
+    cw = np.cumsum(w.astype(np.int64))
+    s = 0
+    while s < n:
+        base = int(cw[s - 1]) if s else 0
+        e = int(np.searchsorted(cw, base + _JACC_SLAB, 'right'))
+        e = min(max(e, s + 1), n)
+        yield s, e
+        s = e
+
+
 def _set_jaccard_aligned(l_flat: np.ndarray, l_off: np.ndarray,
                          r_flat: np.ndarray, r_off: np.ndarray) -> np.ndarray:
     """Like ``_set_jaccard_many`` but slabbed over the pair axis, for
     already-aligned per-pair slices (offsets need not start at 0)."""
     npairs = len(l_off) - 1
     js = np.empty(npairs, np.float64)
-    w = (np.diff(l_off) + np.diff(r_off)).astype(np.int64)
-    cw = np.cumsum(w)
-    s = 0
-    while s < npairs:
-        base = int(cw[s - 1]) if s else 0
-        e = int(np.searchsorted(cw, base + _JACC_SLAB, 'right'))
-        e = min(max(e, s + 1), npairs)
+    w = np.diff(l_off) + np.diff(r_off)
+    for s, e in _slab_ranges(w):
         js[s:e] = _set_jaccard_many(
             l_flat[l_off[s]:l_off[e]], l_off[s:e + 1] - l_off[s],
             r_flat[r_off[s]:r_off[e]], r_off[s:e + 1] - r_off[s])
-        s = e
     return js
-
-
-def _list_np(col) -> tuple[np.ndarray, np.ndarray]:
-    """(values, offsets) int64 views of a (possibly chunked) list<int64>
-    column; offsets index into values."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    return vals, off
 
 
 def _verify_jaccard_slabbed(l_doc: np.ndarray, r_doc: np.ndarray,
@@ -229,20 +233,12 @@ def _verify_jaccard_slabbed(l_doc: np.ndarray, r_doc: np.ndarray,
     """(kept l_idx mask, jaccard) for doc-index pairs (l_doc[i], r_doc[i])
     over the shared (flat, off) shingle-hash store, slabbed so transient
     gathers stay bounded no matter how hot one document is."""
-    n = len(l_doc)
-    js = np.empty(n, np.float64)
-    w = ((off[l_doc + 1] - off[l_doc])
-         + (off[r_doc + 1] - off[r_doc])).astype(np.int64)
-    cw = np.cumsum(w)
-    s = 0
-    while s < n:
-        base = int(cw[s - 1]) if s else 0
-        e = int(np.searchsorted(cw, base + _JACC_SLAB, 'right'))
-        e = min(max(e, s + 1), n)
+    js = np.empty(len(l_doc), np.float64)
+    w = (off[l_doc + 1] - off[l_doc]) + (off[r_doc + 1] - off[r_doc])
+    for s, e in _slab_ranges(w):
         lv, lo = _gather_slices(flat, off, l_doc[s:e])
         rv, ro = _gather_slices(flat, off, r_doc[s:e])
         js[s:e] = _set_jaccard_many(lv, lo, rv, ro)
-        s = e
     keep = js >= threshold
     return keep, js
 
@@ -382,12 +378,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
             t = pa.table(b)
             id_parts.append(t['id'].to_numpy(zero_copy_only=False)
                             .astype(np.int64))
-            col = t['sh']
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            o = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            hash_parts.append(col.values.to_numpy(zero_copy_only=False)
-                              .astype(np.int64)[o[0]:o[-1]])
+            vals, o = _list_np(t['sh'])
+            hash_parts.append(vals[o[0]:o[-1]])
             len_parts.append(np.diff(o))
         vids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
         vlens = (np.concatenate(len_parts) if len_parts

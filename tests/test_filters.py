@@ -309,6 +309,36 @@ def test_suffix_filter_tables(person_tables):
     assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
 
 
+def test_suffix_filter_tables_bag_tokenizer(person_tables):
+    """Bag tokenizer → the non-vectorized probe_python branch (duplicate
+    tokens break the vectorized lower-bound equivalence)."""
+    A, B = person_tables
+    tok = QgramTokenizer(qval=2, return_set=False)
+    f = SuffixFilter(tok, 'JACCARD', 0.5)
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    ordering = global_ordering(A, B, 'A.name', 'B.name', tok)
+    exp = set()
+    for _, la in A.iterrows():
+        if pd.isnull(la['A.name']):
+            continue
+        lt = apply_ordering(tok.tokenize(la['A.name']), ordering)
+        lp = bounds.prefix_length(len(lt), 'JACCARD', 0.5)
+        for _, rb in B.iterrows():
+            if pd.isnull(rb['B.name']):
+                continue
+            rt = apply_ordering(tok.tokenize(rb['B.name']), ordering)
+            rp = bounds.prefix_length(len(rt), 'JACCARD', 0.5)
+            if len(lt) == 0 and len(rt) == 0:
+                exp.add((la['A.ID'], rb['B.ID']))
+                continue
+            if lp <= 0 or rp <= 0:
+                continue
+            if not f._filter_suffix(lt[lp:], rt[rp:], lp, rp,
+                                    len(lt), len(rt)):
+                exp.add((la['A.ID'], rb['B.ID']))
+    assert set(zip(out['l_A.ID'], out['r_B.ID'])) == exp
+
+
 def test_filter_candset(person_tables):
     A, B = person_tables
     tok = WhitespaceTokenizer(return_set=True)
