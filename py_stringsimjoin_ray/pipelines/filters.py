@@ -28,6 +28,16 @@ from .join import (_JoinConfig, _assemble_pandas, _remove_redundant_attrs,
                    DEFAULT_NUM_BUCKETS, DEFAULT_SALT_DF_THRESHOLD)
 
 
+def _pd_with_cols(ds, cols: list[str]) -> pd.DataFrame:
+    """``ds.to_pandas()`` that keeps the expected columns even when the
+    dataset is fully empty (Ray drops the schema of a zero-row dataset,
+    e.g. when every join-attribute value was null)."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0 and len(df) == 0:
+        df = pd.DataFrame({c: [] for c in cols})
+    return df
+
+
 class Filter:
     """Base: allow_missing + filter_candset
     (``/root/reference/py_stringsimjoin/filter/filter.py:11-137``)."""
@@ -266,7 +276,7 @@ class SizeFilter(Filter):
             # R table for the second consumer
             r_sizes = r_sizes.materialize()
 
-        l_pd_sizes = l_sizes.to_pandas()
+        l_pd_sizes = _pd_with_cols(l_sizes, ['key', 'sz'])
         nonempty = l_pd_sizes[l_pd_sizes['sz'] > 0]
         l_min = int(nonempty['sz'].min()) if len(nonempty) else 0
         l_max = int(nonempty['sz'].max()) if len(nonempty) else -1
@@ -809,7 +819,8 @@ class SuffixFilter(Filter):
 
         ranked_l = tok_l.map_batches(
             RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
-        l_pd_ranked = ranked_l.to_pandas()  # broadcast side (reference copies
+        l_pd_ranked = _pd_with_cols(
+            ranked_l, ['key', 'ranks', 'sz', 'plen'])  # broadcast side (reference copies
         # L into every worker; we broadcast the prepared arrays once) —
         # exactly ONE of the two broadcasts below is built, chosen by the
         # probe that will consume it

@@ -39,6 +39,10 @@ class TokenizeStage:
         if not pa.compute.all(mask).as_py():
             batch = batch.filter(mask)
             col = batch[self.join_attr]
+        if pa.types.is_null(col.type):
+            # an all-null input block arrives as Arrow type null; after the
+            # null drop above it is empty — cast so tokenizers see string
+            col = col.cast(pa.string())
         if hasattr(self.tokenizer, 'tokenize_arrow'):
             tokens = self.tokenizer.tokenize_arrow(col)
         else:  # user-supplied tokenizer: reference contract is .tokenize(str)
