@@ -929,6 +929,13 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
     ``nshards`` parallel shard tasks fold disjoint signature ranges, and a
     stitch task concatenates them — the driver only ever holds object refs.
     Returns (bc_ref, postings_table_ref, num_sigs)."""
+    if nshards < 1:
+        raise ValueError(f'nshards must be >= 1, got {nshards}')
+    # shard ranges partition the signature HIGH bits: shard s holds sigs with
+    # (sig >> (64 - bit_length(nshards))) == s.  Sigs are 63-bit, so every
+    # signature lands in shard < 2^(bit_length-1) <= nshards — a
+    # non-power-of-two count merely leaves the top shards empty (reduced
+    # parallelism), never drops data.
 
     def split(b: pa.Table) -> pa.Table:
         # block-distinct payload per sig, tagged kind=0; memberships kind=1
