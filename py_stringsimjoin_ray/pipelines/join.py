@@ -334,31 +334,28 @@ def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
     ``out_sim_score``."""
     header = output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
                            l_out_prefix, r_out_prefix)
-    rows = []
 
     def cross(ldf, rdf):
-        for _, lr in ldf.iterrows():
-            for _, rr in rdf.iterrows():
-                row = [lr[l_key_attr], rr[r_key_attr]]
-                if l_out_attrs:
-                    row += [lr[a] for a in l_out_attrs]
-                if r_out_attrs:
-                    row += [rr[a] for a in r_out_attrs]
-                rows.append(row)
+        nl, nr = len(ldf), len(rdf)
+        if nl == 0 or nr == 0:
+            return None
+        li = np.repeat(np.arange(nl), nr)
+        ri = np.tile(np.arange(nr), nl)
+        cols = [ldf[l_key_attr].to_numpy()[li], rdf[r_key_attr].to_numpy()[ri]]
+        for a in (l_out_attrs or []):
+            cols.append(ldf[a].to_numpy()[li])
+        for a in (r_out_attrs or []):
+            cols.append(rdf[a].to_numpy()[ri])
+        return pd.DataFrame(dict(zip(header, cols)))
 
-    # L-null × all R (first loop of the reference)
-    cross(l_pd[pd.isnull(l_pd[l_join_attr])], r_pd)
-    # R-null × L-non-null (second loop) — null×null emitted exactly once
-    for _, rr in r_pd[pd.isnull(r_pd[r_join_attr])].iterrows():
-        for _, lr in l_pd[pd.notnull(l_pd[l_join_attr])].iterrows():
-            row = [lr[l_key_attr], rr[r_key_attr]]
-            if l_out_attrs:
-                row += [lr[a] for a in l_out_attrs]
-            if r_out_attrs:
-                row += [rr[a] for a in r_out_attrs]
-            rows.append(row)
-
-    out = pd.DataFrame(rows, columns=header)
+    # L-null × all R, then R-null × L-non-null — null×null emitted exactly
+    # once, matching the reference's two loops
+    parts = [cross(l_pd[pd.isnull(l_pd[l_join_attr])], r_pd),
+             cross(l_pd[pd.notnull(l_pd[l_join_attr])],
+                   r_pd[pd.isnull(r_pd[r_join_attr])])]
+    parts = [p for p in parts if p is not None]
+    out = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame(columns=header))
     if out_sim_score:
         out['_sim_score'] = np.nan
     return out

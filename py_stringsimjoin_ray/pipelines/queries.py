@@ -333,6 +333,89 @@ def q_sessionize_events(sf_dir):
                      ['event_id', 'user_id', 'session_seq'])
 
 
+# ------------------------------------------------ surface-parity operators
+
+def q_disk_edit_distance_join_customer(sf_dir):
+    """Disk-sink join: stream matches to partitioned parquet, read back.
+    Exercises the resumable file sink end-to-end at the driver gate."""
+    import shutil
+    import tempfile
+
+    from .disk_join import disk_edit_distance_join
+    cust = _t(sf_dir, 'customer')
+    tmp = tempfile.mkdtemp(prefix='ssj_disk_join_')
+    try:
+        out_path = f'{tmp}/pairs'
+        disk_edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                'c_name', 'c_name', 1,
+                                output_file_path=out_path,
+                                output_format='parquet')
+        out = ray.data.read_parquet(out_path).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out['_sim_score'] = out['_sim_score'].astype(np.int64)
+    return _keys_int(out[['l_c_custkey', 'r_c_custkey', '_sim_score']].copy(),
+                     ['l_c_custkey', 'r_c_custkey'])
+
+
+def q_col_to_str_customer(sf_dir):
+    """dataframe/series → str converters (functions/converter.py), run as a
+    distributed map_batches: int branch and integral-float branch."""
+    from ..functions import converter
+
+    def conv(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({'c_custkey': b['c_custkey'].astype(np.int64)})
+        out['key_str'] = converter.series_to_str(b['c_custkey'])
+        out['intfloat_str'] = converter.series_to_str(
+            b['c_custkey'].astype(np.float64))
+        return out
+    return _t(sf_dir, 'customer').select_columns(['c_custkey']) \
+        .map_batches(conv, batch_format='pandas').to_pandas()
+
+
+def q_remove_non_ascii_documents(sf_dir):
+    """remove_non_ascii over a deterministically-dirtied text column (the
+    test corpus is pure ASCII, so inject 'é' on doc_id % 3 == 0 first)."""
+    from ..functions import remove_non_ascii
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        dirty = np.where(b['doc_id'].to_numpy() % 3 == 0,
+                         b['text'] + 'é', b['text'])
+        cleaned = [remove_non_ascii(s) for s in dirty]
+        return pd.DataFrame({
+            'doc_id': b['doc_id'].astype(np.int64),
+            'clean_text': cleaned,
+            'n_removed': np.asarray([len(d) - len(c) for d, c
+                                     in zip(dirty, cleaned)], np.int64)})
+    return _t(sf_dir, 'documents').select_columns(['doc_id', 'text']) \
+        .map_batches(clean, batch_format='pandas').to_pandas()
+
+
+def q_filter_candset_part(sf_dir):
+    """Filter.filter_candset: re-check an overlap candset with a size
+    filter, streamed through map_batches."""
+    part = _t(sf_dir, 'part')
+    cand = filters.OverlapFilter(_ws(), 2).filter_tables(
+        part, part, 'p_partkey', 'p_partkey', 'p_name', 'p_name')
+    out = filters.SizeFilter(_ws(), 'JACCARD', 0.8).filter_candset(
+        cand, 'l_p_partkey', 'r_p_partkey', part, part,
+        'p_partkey', 'p_partkey', 'p_name', 'p_name')
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_allow_missing_jaccard_part(sf_dir):
+    """allow_missing=True join semantics: null join-attrs cross-pair with
+    the other side (L-null × all R, plus R-null × L-non-null)."""
+    part = _t(sf_dir, 'part').to_pandas()
+    part['p_name'] = part['p_name'].mask(part['p_partkey'] % 97 == 0)
+    out = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                            'p_name', _ws(), 0.5, allow_missing=True,
+                            out_sim_score=False)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
     'cosine_join_part': q_cosine_join_part,
@@ -364,6 +447,11 @@ QUERIES = {
     'media_decode_documents': q_media_decode_documents,
     'window_agg_events': q_window_agg_events,
     'sessionize_events': q_sessionize_events,
+    'disk_edit_distance_join_customer': q_disk_edit_distance_join_customer,
+    'col_to_str_customer': q_col_to_str_customer,
+    'remove_non_ascii_documents': q_remove_non_ascii_documents,
+    'filter_candset_part': q_filter_candset_part,
+    'allow_missing_jaccard_part': q_allow_missing_jaccard_part,
 }
 
 
@@ -789,6 +877,65 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY tu, event_id
                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
 FROM lagd
+""",
+    # disk sink round-trip preserves exactly the in-memory join result
+    'disk_edit_distance_join_customer': """
+SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS _sim_score
+FROM customer a, customer b
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    # int branch and integral-float branch both render without '.0'
+    'col_to_str_customer': """
+SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS key_str,
+       CAST(c_custkey AS VARCHAR) AS intfloat_str
+FROM customer
+""",
+    'remove_non_ascii_documents': """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || chr(233)
+                       ELSE text END AS dirty
+           FROM documents)
+SELECT doc_id,
+       regexp_replace(dirty, '[^[:ascii:]]', '', 'g') AS clean_text,
+       CAST(length(dirty)
+            - length(regexp_replace(dirty, '[^[:ascii:]]', '', 'g'))
+            AS BIGINT) AS n_removed
+FROM d
+""",
+    # overlap>=2 candset re-checked by the JACCARD t=0.8 size bounds
+    # (bounds from the LEFT size, tested against the RIGHT size — the
+    # filter_pair direction)
+    'filter_candset_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE o >= 2
+  AND sb.n >= ceil(round(0.8 * sa.n, 4))
+  AND sb.n <= floor(round(sa.n / 0.8, 4))
+""",
+    # jaccard>=0.5 pairs over the non-null rows, plus the missing-pair
+    # cross products (L-null x all R, then L-non-null x R-null)
+    'allow_missing_jaccard_part': """
+WITH p AS (SELECT p_partkey,
+                  CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_name END
+                      AS p_name
+           FROM part),
+tok AS (SELECT p_partkey AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+        FROM p WHERE p_name IS NOT NULL),
+sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM tok a JOIN tok b ON a.t = b.t GROUP BY 1, 2)
+SELECT la AS l_p_partkey, rb AS r_p_partkey
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.5
+UNION ALL
+SELECT a.p_partkey, b.p_partkey FROM p a, p b WHERE a.p_name IS NULL
+UNION ALL
+SELECT a.p_partkey, b.p_partkey FROM p a, p b
+WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 """,
 }
 
