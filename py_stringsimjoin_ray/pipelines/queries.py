@@ -416,6 +416,18 @@ def q_allow_missing_jaccard_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_person_dataset_join(sf_dir):
+    """Bundled person dataset (sources/datasets.py, the reference's demo
+    tables) joined end-to-end: whitespace Jaccard t=0.3 on name, incl. the
+    allow_empty (' ' × ' ' → score 1.0) and null-drop paths.  The oracle
+    re-creates the fixture rows as inline VALUES."""
+    from ..sources.datasets import load_person_dataset
+    A, B = load_person_dataset()
+    out = join.jaccard_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name',
+                            _ws(), 0.3)
+    return out[['l_A.ID', 'r_B.ID', '_sim_score']].copy()
+
+
 QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
     'cosine_join_part': q_cosine_join_part,
@@ -452,6 +464,7 @@ QUERIES = {
     'remove_non_ascii_documents': q_remove_non_ascii_documents,
     'filter_candset_part': q_filter_candset_part,
     'allow_missing_jaccard_part': q_allow_missing_jaccard_part,
+    'person_dataset_join': q_person_dataset_join,
 }
 
 
@@ -940,6 +953,35 @@ WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 }
 
 # IVF at nprobe == nlist is exact, so it shares the brute-force top-k oracle
+# bundled person fixture re-created as inline VALUES (rows with a NULL
+# join attr are dropped pre-join; the ' ' names tokenize to the empty set
+# and pair with each other at score 1.0 under allow_empty)
+ORACLE_SQL['person_dataset_join'] = """
+WITH a(id, name) AS (VALUES
+    ('a1','Kevin Smith'), ('a2','Michael Franklin'), ('a3','William Bridge'),
+    ('a4','Binto George'), ('a5','Alphonse Kemper'), ('a6',' ')),
+b(id, name) AS (VALUES
+    ('b1','Mark Levene'), ('b2','Bill Bridge'), ('b3','Mike Franklin'),
+    ('b4','Joseph Kuan'), ('b5','Alfons Kemper'), ('b6','Michael Brodie'),
+    ('b7',' ')),
+ta AS (SELECT id, unnest(list_distinct(list_filter(
+           string_split_regex(name, '\\s+'), x -> x <> ''))) AS t FROM a),
+tb AS (SELECT id, unnest(list_distinct(list_filter(
+           string_split_regex(name, '\\s+'), x -> x <> ''))) AS t FROM b),
+sza AS (SELECT id, len(list_distinct(list_filter(
+            string_split_regex(name, '\\s+'), x -> x <> ''))) AS n FROM a),
+szb AS (SELECT id, len(list_distinct(list_filter(
+            string_split_regex(name, '\\s+'), x -> x <> ''))) AS n FROM b),
+ov AS (SELECT ta.id AS la, tb.id AS rb, count(*) AS o
+       FROM ta JOIN tb ON ta.t = tb.t GROUP BY 1, 2)
+SELECT la AS "l_A.ID", rb AS "r_B.ID",
+       round(o * 1.0 / (sa.n + sb.n - o), 4) AS _sim_score
+FROM ov JOIN sza sa ON la = sa.id JOIN szb sb ON rb = sb.id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.3
+UNION ALL
+SELECT sa.id, sb.id, 1.0 FROM sza sa, szb sb WHERE sa.n = 0 AND sb.n = 0
+"""
+
 ORACLE_SQL['ann_topk_ivf_embeddings'] = ORACLE_SQL['ann_topk_embeddings']
 
 
