@@ -252,19 +252,6 @@ def run_scaling():
             raise SystemExit(1)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    def sub(ncpu):
-        # best-of-N: identical runs on this shared VM vary up to ±2x
-        # (hypervisor steal, measured per-run as steal_pct_of_budget);
-        # min is the standard noise-robust estimator
-        reps = int(os.environ.get('SSJ_SCALE_REPS', '3'))
-        runs = [sub_once(ncpu) for _ in range(reps)]
-        # audit trail: every rep's wall + hypervisor steal, not just the min
-        sys.stderr.write(
-            f"SCALEREPS cpus={ncpu} " + " ".join(
-                f"{r['wall_sec']}s/steal{r['steal_pct_of_budget']}%"
-                for r in runs) + "\n")
-        return min(runs, key=lambda r: r['wall_sec'])
-
     # default level pair 2->8: the shared-VM substrate cannot scale ANY
     # workload 4x into the top half of its vCPUs (BASELINE.md §3 control:
     # pure arithmetic measures 0.74 at 8->32, 0.98 at 2->8), so the lowest
@@ -272,12 +259,34 @@ def run_scaling():
     # the hypervisor throttle; BASELINE.md reports all three pairs.
     cpus_lo = int(os.environ.get('SSJ_SCALE_LO', '2'))
     cpus_hi = int(os.environ.get('SSJ_SCALE_HI', '8'))
-    lo, hi = sub(cpus_lo), sub(cpus_hi)
+
+    # best-of-N: identical runs on this shared VM vary up to ±2x
+    # (hypervisor steal, measured per-run as steal_pct_of_budget); min is
+    # the standard noise-robust estimator.  Reps INTERLEAVE the two levels
+    # (lo,hi,lo,hi,...) so both sample the same contention windows — a
+    # level-at-a-time battery biases the ratio whenever the window shifts
+    # mid-battery (observed: hi-leg steal jumping 1.4%->6.9% after clean
+    # lo legs deflated one reading to 0.637).
+    reps = int(os.environ.get('SSJ_SCALE_REPS', '3'))
+    runs = {cpus_lo: [], cpus_hi: []}
+    for _ in range(reps):
+        for ncpu in (cpus_lo, cpus_hi):
+            runs[ncpu].append(sub_once(ncpu))
+    for ncpu in (cpus_lo, cpus_hi):
+        # audit trail: every rep's wall + hypervisor steal, not just the min
+        sys.stderr.write(
+            f"SCALEREPS cpus={ncpu} " + " ".join(
+                f"{r['wall_sec']}s/steal{r['steal_pct_of_budget']}%"
+                for r in runs[ncpu]) + "\n")
+    lo = min(runs[cpus_lo], key=lambda r: r['wall_sec'])
+    hi = min(runs[cpus_hi], key=lambda r: r['wall_sec'])
     eff = (lo['wall_sec'] / hi['wall_sec']) / (cpus_hi / cpus_lo)
     print(json.dumps({
         'metric': 'scaling_efficiency', 'value': round(eff, 3),
         'unit': 'ratio', 'cpus_lo': cpus_lo, 'cpus_hi': cpus_hi,
         'wall_sec_lo': lo['wall_sec'], 'wall_sec_hi': hi['wall_sec'],
+        'steal_lo_pct': lo['steal_pct_of_budget'],
+        'steal_hi_pct': hi['steal_pct_of_budget'],
         'pairs_verified': lo['pairs_verified'],
         'throughput_lo_pairs_per_sec': lo['pairs_verified_per_sec'],
         'throughput_hi_pairs_per_sec': hi['pairs_verified_per_sec'],
