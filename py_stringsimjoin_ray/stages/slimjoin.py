@@ -162,11 +162,22 @@ class SlimPostingsStage:
     with side membership carried as hl/hr flags."""
 
     def __init__(self, num_buckets: int, heavy_ref=None,
-                 emit_sides: bool = True, num_parts: int | None = None):
+                 emit_sides: bool = True, num_parts: int | None = None,
+                 slim_wire: bool = False):
         self.num_buckets = num_buckets
         # same-relation broadcast postings have hl = hr = 1 on every row;
         # emit_sides=False drops the two flag columns from the shuffle
         self.emit_sides = emit_sides
+        # slim_wire (broadcast path only): ship (part:i16, tok:i32, sig:i32,
+        # pos:i32, cell:i16) = 16 B/posting instead of the 26 B full row —
+        # sz and kh are recomputed in the candgen kernel from the broadcast
+        # signature table (sz = bc.sz[si]; kh = bc.sigs[si] % g), and the
+        # absolute bucket/grid-cell id is only HASHED into 'part' here,
+        # never shipped.  'cell' is the grid-LOCAL cell i*g+j (-1 for
+        # unsalted rows); (tok, cell) reproduces the (bucket, tok) grouping
+        # exactly because bucket = hash(tok) for unsalted rows and the
+        # absolute cell id is a function of (tok, cell) for salted ones.
+        self.slim_wire = slim_wire
         # num_parts: emit a 'part' = hash(bucket) % num_parts column so the
         # kernel can process MANY buckets per call (one SQL joining on
         # (bucket, tok) per partition) — per-group DuckDB planning overhead
@@ -216,7 +227,8 @@ class SlimPostingsStage:
             % np.uint64(self.num_buckets)
         bucket = bucket.astype(np.int64)
         kh_col = np.full(len(tok), -1, dtype=np.int16)
-        out = (row_idx, tok, pos, bucket, kh_col)
+        cell_col = np.full(len(tok), -1, dtype=np.int16)
+        out = (row_idx, tok, pos, bucket, kh_col, cell_col)
 
         if self.heavy:
             hr, hidx_arr, hg_arr = self._heavy_arrays()
@@ -232,30 +244,43 @@ class SlimPostingsStage:
                 c = (np.arange(len(rep)) -
                      np.repeat(np.concatenate(([0], np.cumsum(g)[:-1])), g))
                 khr, gr, baser = khv[rep], g[rep], base[rep]
-                cells = baser + np.minimum(khr, c) * gr + np.maximum(khr, c)
+                cl = np.minimum(khr, c) * gr + np.maximum(khr, c)
+                cells = baser + cl
                 khcol = np.where(c == khr, -1, khr).astype(np.int16)
                 keep = ~hmask
                 out = (np.concatenate([row_idx[keep], row_idx[sel][rep]]),
                        np.concatenate([tok[keep], tok[sel][rep]]),
                        np.concatenate([pos[keep], pos[sel][rep]]),
                        np.concatenate([bucket[keep], cells]),
-                       np.concatenate([kh_col[keep], khcol]))
+                       np.concatenate([kh_col[keep], khcol]),
+                       np.concatenate([cell_col[keep],
+                                       cl.astype(np.int16)]))
 
-        row_idx, tok, pos, bucket, kh_col = out
+        row_idx, tok, pos, bucket, kh_col, cell_col = out
         take = pa.array(row_idx)
         sig_col = 'si' if 'si' in batch.column_names else 'sig'
-        cols = {
-            'bucket': pa.array(bucket.astype(np.int32), pa.int32()),
-            'tok': pa.array(tok.astype(np.int32)),
-            'sig': batch[sig_col].take(take),
-            'sz': batch['sz'].take(take),
-            'pos': pa.array(pos),
-            'kh': pa.array(kh_col),
-        }
+        if self.slim_wire:
+            cols = {
+                'tok': pa.array(tok.astype(np.int32)),
+                'sig': batch[sig_col].take(take),
+                'pos': pa.array(pos),
+                'cell': pa.array(cell_col),
+            }
+        else:
+            cols = {
+                'bucket': pa.array(bucket.astype(np.int32), pa.int32()),
+                'tok': pa.array(tok.astype(np.int32)),
+                'sig': batch[sig_col].take(take),
+                'sz': batch['sz'].take(take),
+                'pos': pa.array(pos),
+                'kh': pa.array(kh_col),
+            }
         if self.num_parts:
             part = ((bucket.astype(np.uint64) * KNUTH) >> np.uint64(9)) \
                 % np.uint64(self.num_parts)
-            cols['part'] = pa.array(part.astype(np.int32), pa.int32())
+            cols['part'] = (pa.array(part.astype(np.int16), pa.int16())
+                            if self.slim_wire else
+                            pa.array(part.astype(np.int32), pa.int32()))
         if self.emit_sides:
             hl = (batch['c_l'].to_numpy() > 0).astype(np.int8)
             hr_flag = (batch['c_r'].to_numpy() > 0).astype(np.int8)
@@ -319,7 +344,8 @@ _EXPAND_SLAB = 8_000_000
 
 
 def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
-                   same_relation: bool) -> tuple[np.ndarray, np.ndarray]:
+                   same_relation: bool, bc=None,
+                   heavy_arrays=None) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-partition candidate generation over slim postings.
 
     Replaces the DuckDB (bucket, tok) self-join + pair-level HAVING gate.
@@ -341,17 +367,39 @@ def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
     exact-once identity pairs via each signature's pos==0 posting.
     Two-table: emits (L, R) oriented pairs via the hl/hr side flags (both
     orientations when both memberships exist)."""
-    bucket = tbl['bucket'].to_numpy().astype(np.uint64)
     tok = tbl['tok'].to_numpy().astype(np.uint32)
-    key = (bucket << np.uint64(32)) | tok.astype(np.uint64)
     si0 = tbl['sig'].to_numpy()
-    sz0 = tbl['sz'].to_numpy()
-    o = np.lexsort((si0, sz0, key))
-    key = key[o]
+    if 'bucket' in tbl.column_names:
+        bucket = tbl['bucket'].to_numpy().astype(np.uint64)
+        key0 = (bucket << np.uint64(32)) | tok.astype(np.uint64)
+        sz0 = tbl['sz'].to_numpy()
+        kh0 = tbl['kh'].to_numpy()
+    else:
+        # slim wire: (tok, cell) reproduces the (bucket, tok) grouping; sz
+        # and kh are recomputed from the broadcast signature table (16 B
+        # postings never ship them — see SlimPostingsStage.slim_wire)
+        cell = tbl['cell'].to_numpy().astype(np.int64)
+        key0 = ((tok.astype(np.uint64) << np.uint64(16))
+                | (cell + 1).astype(np.uint64))
+        sz0 = bc.sz[si0]
+        kh0 = np.full(len(tok), -1, dtype=np.int16)
+        salted = cell >= 0
+        if salted.any():
+            hr0, hg0 = heavy_arrays
+            sel = np.nonzero(salted)[0]
+            p = np.minimum(np.searchsorted(hr0, tok[sel]),
+                           max(len(hr0) - 1, 0))
+            g = hg0[p]
+            i_cell, j_cell = cell[sel] // g, cell[sel] % g
+            khv = (bc.sigs[si0[sel]].astype(np.uint64)
+                   % g.astype(np.uint64)).astype(np.int64)
+            kh0[sel] = np.where(i_cell == j_cell, -1, khv).astype(np.int16)
+    o = np.lexsort((si0, sz0, key0))
+    key = key0[o]
     si = si0[o].astype(np.int64)
     sz = sz0[o].astype(np.int32)
     pos = tbl['pos'].to_numpy()[o].astype(np.int32)
-    kh = tbl['kh'].to_numpy()[o].astype(np.int16)
+    kh = kh0[o].astype(np.int16)
     two_table = not same_relation
     if two_table:
         hl = tbl['hl'].to_numpy()[o].astype(bool)
@@ -1054,13 +1102,23 @@ class BroadcastCandGen:
     is exact."""
 
     def __init__(self, sim_type: str, threshold, qval=None,
-                 same_relation: bool = False, num_vbuckets: int = 512):
+                 same_relation: bool = False, num_vbuckets: int = 512,
+                 bc_ref=None, heavy=None):
         self.__name__ = 'BroadcastCandGen'
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
         self.same_relation = same_relation
         self.num_vbuckets = num_vbuckets
+        # slim-wire inputs: the broadcast signature table supplies sz/kh
+        # (fetched once per worker, zero-copy) and the heavy map supplies
+        # the per-token grid size g
+        self.bc_ref = bc_ref
+        heavy = heavy or {}
+        self._hr = np.array(sorted(heavy), dtype=np.int64)
+        self._hg = np.array([heavy[r][1] for r in sorted(heavy)],
+                            dtype=np.int64)
+        self._bc = None
 
     def __call__(self, tbl) -> pa.Table:
         import os as _os
@@ -1069,12 +1127,17 @@ class BroadcastCandGen:
         _t0 = _time.perf_counter() if prof else 0.0
         if isinstance(tbl, pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
-        empty = pa.table({'vb': pa.array([], pa.int32()),
+        vb_np = np.int16 if self.num_vbuckets < 2 ** 15 else np.int32
+        vb_pa = pa.int16() if self.num_vbuckets < 2 ** 15 else pa.int32()
+        empty = pa.table({'vb': pa.array([], vb_pa),
                           'pair64': pa.array([], pa.int64())})
         if len(tbl) == 0:
             return empty
+        if self._bc is None and self.bc_ref is not None:
+            self._bc = ray.get(self.bc_ref)
         sa, sb = _np_candidates(tbl, self.sim_type, self.threshold,
-                                self.same_relation)
+                                self.same_relation, bc=self._bc,
+                                heavy_arrays=(self._hr, self._hg))
         if len(sa) == 0:
             return empty
         pair64 = np.unique((sa << np.int64(32)) | sb)
@@ -1087,7 +1150,7 @@ class BroadcastCandGen:
                 f.write(_json.dumps(
                     {'n_post': len(tbl), 'n_cand': len(pair64),
                      'sec': round(_time.perf_counter() - _t0, 4)}) + '\n')
-        return pa.table({'vb': pa.array(vb.astype(np.int32), pa.int32()),
+        return pa.table({'vb': pa.array(vb.astype(vb_np), vb_pa),
                          'pair64': pa.array(pair64, pa.int64())})
 
 
@@ -1407,7 +1470,32 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         from ray.data.context import ShuffleStrategy
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        _strat = os.environ.get('SSJ_SHUFFLE_STRATEGY',
+                                'SORT_SHUFFLE_PUSH_BASED')
+        ctx.shuffle_strategy = getattr(ShuffleStrategy, _strat)
+        # the executor's per-operator resource reservation splits the CPU
+        # budget among ALL operators of this 5-op plan, so each barrier-
+        # separated stage runs at ~1/5 of the cluster while the others sit
+        # idle behind the sort barriers (measured: join window 25.0 s ->
+        # 13.0 s at 8 CPUs with reservation off, identical output).  The
+        # sorts serialize the stages anyway, so whichever stage has
+        # runnable tasks should own the whole cluster.
+        prev_reserve = ctx.op_resource_reservation_enabled
+        if os.environ.get('SSJ_OP_RESERVATION') != '1':
+            ctx.op_resource_reservation_enabled = False
+        prev_nagg = ctx.max_hash_shuffle_aggregators
+        prev_ppc = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+        if _strat == 'HASH_SHUFFLE':
+            # aggregator actors reserve num_partitions x per-partition CPU
+            # PER shuffle operator; the defaults (200 x 0.0625 = 12.5 CPUs
+            # per op) oversubscribe small clusters and stall the plan behind
+            # min_hash_shuffle_aggregator_wait_time_in_s
+            ncpu = int(ray.cluster_resources().get('CPU', 8))
+            ctx.max_hash_shuffle_aggregators = int(os.environ.get(
+                'SSJ_HASH_AGGREGATORS', str(max(2, ncpu // 2))))
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+                float(os.environ.get('SSJ_HASH_CPU_PER_PART',
+                                     str(max(1.0, ncpu / 8.0) / 200.0)))
         try:
             from ..pipelines.join import _prof_mark
             prof = _prof_mark()
@@ -1423,15 +1511,21 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             # (and so the total candgen work) must not depend on cluster
             # size, only the packing does
             nparts = 256
+            heavy = {}
+            if heavy_ref is not None:
+                heavy = (ray.get(heavy_ref)
+                         if isinstance(heavy_ref, ray.ObjectRef)
+                         else heavy_ref)
             postings = tsig_postings_input(tbl_refs, nsig).map_batches(
                 SlimPostingsStage(nb, heavy_ref,
                                   emit_sides=not same_relation,
-                                  num_parts=nparts),
+                                  num_parts=nparts, slim_wire=True),
                 batch_format='pyarrow')
             cand = postings.groupby('part').map_groups(
                 BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
                                  same_relation=same_relation,
-                                 num_vbuckets=nb),
+                                 num_vbuckets=nb, bc_ref=bc_ref,
+                                 heavy=heavy),
                 batch_format='pyarrow')
             fn = BroadcastVerify(
                 bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
@@ -1440,6 +1534,10 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
         finally:
             ctx.shuffle_strategy = prev_strategy
+            ctx.max_hash_shuffle_aggregators = prev_nagg
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override \
+                = prev_ppc
+            ctx.op_resource_reservation_enabled = prev_reserve
 
     # ---- Tmem: slim membership (sig, side, key) --------------------------
     def mem_cols(b: pa.Table) -> pa.Table:
