@@ -126,6 +126,62 @@ def langid_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
     return out.append_column('lang_pred', pa.array(pred, pa.string()))
 
 
+def token_frequency_partials(batch: pa.Table,
+                             text_col: str = 'text') -> pa.Table:
+    """Per-batch token-frequency combiner: one ``(token, count)`` row per
+    DISTINCT whitespace token in the batch (RE2 semantics, same as every
+    other textstats kernel).  Arrow split + dictionary-encode + one bincount
+    — no per-row Python."""
+    col = pc.fill_null(batch[text_col], '')
+    flat = pc.list_flatten(_split_ws_re2(col)).combine_chunks()
+    keep = pc.not_equal(flat, '')
+    flat = flat.filter(keep)
+    if len(flat) == 0:
+        return pa.table({'token': pa.array([], pa.string()),
+                         'count': pa.array([], pa.int64())})
+    d = pc.dictionary_encode(flat)
+    counts = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                         minlength=len(d.dictionary))
+    return pa.table({'token': d.dictionary.cast(pa.string()),
+                     'count': pa.array(counts.astype(np.int64))})
+
+
+def top_tokens(ds, text_col: str = 'text', k: int = 50):
+    """Exact corpus-wide top-k most frequent whitespace tokens, ties broken
+    by token ascending.  Scale shape: per-batch partial counts (combiner) →
+    bucketed global sum (``stages/groupagg.py``: each token is finalized in
+    exactly one bucket) → per-block top-k candidates → driver merge of
+    ≤ blocks·k rows.  The full vocabulary never reaches the driver."""
+    import pandas as pd
+
+    from ..stages.groupagg import bucketed_group_agg
+
+    partials = ds.map_batches(
+        lambda b: token_frequency_partials(b, text_col),
+        batch_format='pyarrow')
+    merged = bucketed_group_agg(partials, ['token'],
+                                [('count', 'count', 'sum')])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.select(['token', 'count']).to_pandas()
+        if len(df) > k:
+            df = df.sort_values(['count', 'token'],
+                                ascending=[False, True],
+                                kind='mergesort').head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+    block_topk.__name__ = 'token_block_topk'
+
+    cand = merged.map_batches(block_topk, batch_format='pyarrow').to_pandas()
+    if cand.empty:
+        return pd.DataFrame({'token': pd.Series([], dtype=object),
+                             'count': pd.Series([], dtype=np.int64)})
+    out = cand.sort_values(['count', 'token'], ascending=[False, True],
+                           kind='mergesort', ignore_index=True).head(k)
+    out['count'] = out['count'].astype(np.int64)
+    return out
+
+
 _FP_BASE = np.uint64(1000003)
 _FP_M61 = (1 << 61) - 1
 _M61 = np.uint64(_FP_M61)

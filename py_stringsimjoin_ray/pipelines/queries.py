@@ -222,6 +222,14 @@ def q_langid_documents(sf_dir):
     return _keys_int(out, ['doc_id'])
 
 
+def q_top_tokens_documents(sf_dir):
+    # exact heavy hitters: combiner partial counts -> bucketed global sum ->
+    # per-block top-k candidates -> driver merge (ties: count desc, token asc)
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = textstats.top_tokens(docs, 'text', k=50)
+    return _keys_int(out, ['count'])
+
+
 def q_fingerprint_documents(sf_dir):
     docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
     out = docs.map_batches(textstats.fingerprint_batch,
@@ -258,6 +266,20 @@ def q_ann_topk_ivf_embeddings(sf_dir):
     Q = _query_matrix(emb)
     out = ann.ann_topk_ivf(emb, Q, 'vec_id', 'embedding', k=5,
                            nlist=8, nprobe=8)
+    out = out[['query_id', 'vec_id', 'rank']].copy()
+    return _keys_int(out, ['query_id', 'vec_id', 'rank'])
+
+
+def q_ann_topk_lsh_embeddings(sf_dir):
+    # sign-LSH with nbits=2 and Hamming-radius-2 multi-probe enumerates all
+    # 2^2 buckets for every query, so the search is exhaustive and shares the
+    # brute-force SQL oracle — this pins the whole LSH plumbing (signature
+    # bucketing, per-bucket exact search, global merge) exactly; recall at
+    # non-exhaustive settings is gated in tests/test_cluster_dedup_ann.py
+    emb = _t(sf_dir, 'embeddings')
+    Q = _query_matrix(emb)
+    out = ann.ann_topk_lsh(emb, Q, 'vec_id', 'embedding', k=5,
+                           nbits=2, probes=2)
     out = out[['query_id', 'vec_id', 'rank']].copy()
     return _keys_int(out, ['query_id', 'vec_id', 'rank'])
 
@@ -451,8 +473,10 @@ QUERIES = {
     'quality_documents': q_quality_documents,
     'langid_documents': q_langid_documents,
     'fingerprint_documents': q_fingerprint_documents,
+    'top_tokens_documents': q_top_tokens_documents,
     'ann_topk_embeddings': q_ann_topk_embeddings,
     'ann_topk_ivf_embeddings': q_ann_topk_ivf_embeddings,
+    'ann_topk_lsh_embeddings': q_ann_topk_lsh_embeddings,
     'cosine_neardup_embeddings': q_cosine_neardup_embeddings,
     'cluster_components_part': q_cluster_components_part,
     'media_meta_documents': q_media_meta_documents,
@@ -701,6 +725,15 @@ SELECT doc_id,
             WHEN en >= fr THEN 'en'
             ELSE 'fr' END AS lang_pred
 FROM s
+""",
+    'top_tokens_documents': """
+WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS token
+             FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS count
+FROM tok GROUP BY token
+ORDER BY count DESC, token ASC
+LIMIT 50
 """,
     'ann_topk_embeddings': """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -983,6 +1016,7 @@ SELECT sa.id, sb.id, 1.0 FROM sza sa, szb sb WHERE sa.n = 0 AND sb.n = 0
 """
 
 ORACLE_SQL['ann_topk_ivf_embeddings'] = ORACLE_SQL['ann_topk_embeddings']
+ORACLE_SQL['ann_topk_lsh_embeddings'] = ORACLE_SQL['ann_topk_embeddings']
 
 
 def run_query(name: str, sf_dir: str):

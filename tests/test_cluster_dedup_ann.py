@@ -178,6 +178,19 @@ class TestANN:
             assert len(sub) >= 1
             assert int(sub[sub['rank'] == 1]['vec_id'].iloc[0]) == qi
 
+    def test_lsh_exhaustive_probe_equals_bruteforce(self, emb_ds):
+        # nbits=2 with Hamming-radius-2 multi-probe enumerates all 4
+        # buckets, so the LSH machinery must reproduce the exact baseline
+        # (this is what licenses the shared SQL oracle for the
+        # ann_topk_lsh_embeddings driver query)
+        X, ds = emb_ds
+        Q = X[:4].astype(np.float64)
+        exact = ann.ann_topk_bruteforce(ds, Q, k=5)
+        lsh = ann.ann_topk_lsh(ds, Q, k=5, nbits=2, probes=2)
+        a = exact.sort_values(['query_id', 'rank'], ignore_index=True)
+        b = lsh.sort_values(['query_id', 'rank'], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
 
 class TestTextStats:
     def test_token_count(self, docs_ds):
@@ -197,6 +210,18 @@ class TestTextStats:
                                   batch_format='pyarrow').to_pandas()
         m = dict(zip(out['doc_id'], out['lang_pred']))
         assert m[0] == 'en' and m[4] == 'de' and m[5] == 'und'
+
+    def test_top_tokens_exact_with_ties(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({
+            'doc_id': pa.array([0, 1, 2], pa.int64()),
+            'text': pa.array(['b a b c', 'a b  a', None])}))
+        out = textstats.top_tokens(ds, 'text', k=3)
+        # counts: a=3, b=3, c=1 — tie at the top broken token-ascending
+        assert list(out['token']) == ['a', 'b', 'c']
+        assert list(out['count']) == [3, 3, 1]
+        # k smaller than the vocabulary truncates deterministically
+        out2 = textstats.top_tokens(ds, 'text', k=2)
+        assert list(out2['token']) == ['a', 'b']
 
     def test_fingerprint_whitespace_insensitive(self):
         assert textstats.fingerprint64('a  b\tc') == \

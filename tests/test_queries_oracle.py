@@ -72,7 +72,9 @@ def test_all_queries_have_callables():
     'ann_topk_embeddings', 'cluster_components_part', 'media_meta_documents',
     'minhash_lsh_documents', 'simhash_documents',
     'fingerprint_documents', 'media_decode_documents',
+    'top_tokens_documents',
     'suffix_filter_part', 'ann_topk_ivf_embeddings',
+    'ann_topk_lsh_embeddings',
     'cosine_neardup_embeddings', 'window_agg_events', 'sessionize_events',
 ])
 def test_query_vs_oracle(name, con):
