@@ -126,10 +126,13 @@ class MinHashStage:
             hash_lists = [_token_hashes(shingles(t or '', self.k))
                           for t in batch[self.text_col].to_pylist()]
         sigs = [self.mh.signature(hs).astype(np.int64) for hs in hash_lists]
-        return pa.table({
+        out = pa.table({
             'id': batch[self.id_col],
             'sig': pa.array([s.tolist() for s in sigs],
                             type=pa.list_(pa.int64()))})
+        if 'dg' in batch.column_names:  # class digest rides along for the
+            out = out.append_column('dg', batch['dg'])  # LSH collapse
+        return out
 
 
 def _list_i64(parts: list[np.ndarray]) -> pa.ListArray:
@@ -155,6 +158,31 @@ def _shingle_hashes_batch(texts: list, k: int) -> pa.ListArray:
     off = np.concatenate(([0], np.cumsum(lens)))
     return _list_i64([np.unique(h[off[i]:off[i + 1]])
                       for i in range(len(sh_lists))])
+
+
+_DG_P = np.uint64(0x100000001B3)
+_DG_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _set_digest(vals: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """63-bit digest per row of the SORTED-UNIQUE shingle-hash slices —
+    equal digests ⟺ equal shingle sets (modulo 63-bit collisions, the same
+    assumption class as the md5-64 shingle hashes themselves).  Positional
+    polynomial in uint64 wrap arithmetic, fully vectorized."""
+    n = len(off) - 1
+    lens = np.diff(off).astype(np.int64)
+    u = vals.view(np.uint64)
+    m = int(lens.max()) + 1 if n and lens.max() > 0 else 1
+    p = np.full(m, _DG_P, np.uint64)
+    p[0] = np.uint64(1)
+    pows = np.cumprod(p)  # uint64 wrap
+    pos = np.arange(len(u), dtype=np.int64) - np.repeat(off[:-1], lens)
+    weighted = (u + np.uint64(1)) * pows[pos]
+    dg = np.zeros(n, dtype=np.uint64)
+    if len(u):
+        np.add.at(dg, np.repeat(np.arange(n), lens), weighted)
+    dg = (dg ^ (lens.astype(np.uint64) * _DG_MIX)) * _DG_P
+    return (dg & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
 # verify-kernel slab: bounds the transient per-pair gather arrays
@@ -251,6 +279,208 @@ def _id_bucket(ids: np.ndarray, nb: int) -> np.ndarray:
             % np.uint64(nb)).astype(np.int64)
 
 
+def _side_expand(keys: np.ndarray, reps_u: np.ndarray, off: np.ndarray,
+                 ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Expand each key to its class's member list (keys absent from the
+    dup-class index expand to themselves).  Returns (values, counts)."""
+    if len(reps_u) == 0:
+        return keys.copy(), np.ones(len(keys), np.int64)
+    pos = np.minimum(np.searchsorted(reps_u, keys), len(reps_u) - 1)
+    hit = reps_u[pos] == keys
+    cnt = np.where(hit, off[pos + 1] - off[pos], 1).astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(cnt)))
+    tot = int(out_off[-1])
+    pos_in = np.arange(tot, dtype=np.int64) - np.repeat(out_off[:-1], cnt)
+    src = np.repeat(np.where(hit, off[pos], 0), cnt) + pos_in
+    gathered = ids_sorted[np.minimum(src, len(ids_sorted) - 1)]
+    return np.where(np.repeat(hit, cnt), gathered,
+                    np.repeat(keys, cnt)), cnt
+
+
+def _memb_index(reps: np.ndarray, ids: np.ndarray):
+    """(reps_unique_sorted, offsets, ids_sorted) CSR index of a dup-class
+    membership table."""
+    order = np.lexsort((ids, reps))
+    reps, ids = reps[order], ids[order]
+    first = np.concatenate(([True], reps[1:] != reps[:-1])) if len(reps) \
+        else np.zeros(0, bool)
+    starts = np.nonzero(first)[0]
+    off = np.concatenate((starts, [len(reps)])).astype(np.int64)
+    return reps[first], off, ids
+
+
+def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
+                    nb: int) -> ray.data.Dataset:
+    """Expand class-level verified pairs back to record pairs.
+
+    ``bucket_pairs`` collapses identical-shingle-set classes to their min-id
+    representative, so ``verified`` holds REP pairs.  This stage emits (a)
+    intra-class pairs — Jaccard 1.0 by construction — exactly once per dup
+    class, and (b) each verified rep pair crossed with both classes' member
+    lists.  The membership index covers only DUPLICATED documents; below
+    ``SSJ_LSH_EXPAND_BROADCAST_LIMIT`` rows it ships once via ``ray.put``
+    and expansion is one shuffle-free map over the verified stream; beyond
+    the gate it runs as two bucketed attach passes (the same join shape as
+    the LSH verify), so nothing corpus-sized ever reaches the driver."""
+    import os as _os
+
+    def memb_rows(b: pa.Table) -> pa.Table:
+        dg = b['dg'].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({'mb': pa.array(_id_bucket(dg, nb)),
+                         'dg': pa.array(dg), 'id': b['id']})
+
+    def dup_members(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby('dg')['id'].transform('size').to_numpy()
+        sub = df[sizes >= 2]
+        if not len(sub):
+            return pd.DataFrame({'rep': np.array([], np.int64),
+                                 'id': np.array([], np.int64)})
+        rep = sub.groupby('dg')['id'].transform('min').to_numpy()
+        return pd.DataFrame({'rep': rep.astype(np.int64),
+                             'id': sub['id'].to_numpy().astype(np.int64)})
+    dup_members.__name__ = 'lsh_dup_members'
+
+    dupm = shingled.map_batches(memb_rows, batch_format='pyarrow') \
+        .groupby('mb').map_groups(dup_members, batch_format='pandas') \
+        .materialize()
+    n_dup = dupm.count()
+    if n_dup == 0:
+        return verified
+    gate = int(_os.environ.get('SSJ_LSH_EXPAND_BROADCAST_LIMIT',
+                               '20000000'))
+
+    if n_dup <= gate:
+        rep_parts, id_parts = [], []
+        for b in dupm.iter_batches(batch_format='pyarrow', batch_size=None):
+            t = pa.table(b)
+            rep_parts.append(t['rep'].to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            id_parts.append(t['id'].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+        reps_u, off, ids_sorted = _memb_index(np.concatenate(rep_parts),
+                                              np.concatenate(id_parts))
+        mref = ray.put((reps_u, off, ids_sorted))
+
+        def expand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            ru, of, iv = ray.get(mref)
+            l = df['l_id'].to_numpy().astype(np.int64)
+            r = df['r_id'].to_numpy().astype(np.int64)
+            j = df['jaccard'].to_numpy().astype(np.float64)
+            lv, lc = _side_expand(l, ru, of, iv)
+            idx = np.repeat(np.arange(len(l), dtype=np.int64), lc)
+            r1, j1 = r[idx], j[idx]
+            rv, _rc = _side_expand(r1, ru, of, iv)
+            idx2 = np.repeat(np.arange(len(r1), dtype=np.int64), _rc)
+            l2 = lv[idx2]
+            return pd.DataFrame({'l_id': np.minimum(l2, rv),
+                                 'r_id': np.maximum(l2, rv),
+                                 'jaccard': j1[idx2]})
+        expand_pairs.__name__ = 'lsh_expand_pairs'
+        cross = verified.map_batches(expand_pairs, batch_format='pandas')
+
+        def intra_batch(df: pd.DataFrame) -> pd.DataFrame:
+            ru, of, iv = ray.get(mref)
+            ls, rs = [], []
+            for ci in df['id'].to_numpy():
+                mem = iv[of[ci]:of[ci + 1]]
+                li = np.repeat(mem, len(mem))
+                ri = np.tile(mem, len(mem))
+                msk = li < ri
+                ls.append(li[msk])
+                rs.append(ri[msk])
+            l = np.concatenate(ls) if ls else np.empty(0, np.int64)
+            r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+            return pd.DataFrame({'l_id': l, 'r_id': r,
+                                 'jaccard': np.ones(len(l), np.float64)})
+        intra_batch.__name__ = 'lsh_intra_pairs'
+        intra = ray.data.range(len(reps_u)).map_batches(
+            intra_batch, batch_format='pandas')
+        return cross.union(intra)
+
+    # beyond-gate: two bucketed attach passes + bucketed intra generation
+    def dupm_tag(b: pa.Table) -> pa.Table:
+        rep = b['rep'].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(rep)
+        return pa.table({'xb': pa.array(_id_bucket(rep, nb)),
+                         'kind': pa.array(np.zeros(n, np.int8)),
+                         'key': pa.array(rep), 'mate': b['id'],
+                         'other': pa.array(np.full(n, -1, np.int64)),
+                         'j': pa.array(np.zeros(n, np.float64))})
+
+    def pairs_tag(b, key_col: str, other_col: str) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table({'xb': pa.array(_id_bucket(key, nb)),
+                         'kind': pa.array(np.ones(n, np.int8)),
+                         'key': pa.array(key), 'mate': pa.array(
+                             np.full(n, -1, np.int64)),
+                         'other': b[other_col],
+                         'j': b['jaccard' if 'jaccard' in b.column_names
+                               else 'j']})
+
+    def expand_group(df: pd.DataFrame) -> pd.DataFrame:
+        memb = df[df['kind'] == 0]
+        prs = df[df['kind'] == 1]
+        if prs.empty:
+            return pd.DataFrame({'key': np.array([], np.int64),
+                                 'other': np.array([], np.int64),
+                                 'j': np.array([], np.float64)})
+        ru, of, iv = _memb_index(
+            memb['key'].to_numpy().astype(np.int64),
+            memb['mate'].to_numpy().astype(np.int64))
+        keys = prs['key'].to_numpy().astype(np.int64)
+        vals, cnt = _side_expand(keys, ru, of, iv)
+        idx = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
+        return pd.DataFrame({'key': vals,
+                             'other': prs['other'].to_numpy()[idx]
+                             .astype(np.int64),
+                             'j': prs['j'].to_numpy()[idx]})
+    expand_group.__name__ = 'lsh_expand_group'
+
+    p1 = dupm.map_batches(dupm_tag, batch_format='pyarrow').union(
+        verified.map_batches(lambda b: pairs_tag(b, 'l_id', 'r_id'),
+                             batch_format='pyarrow'))
+    half = p1.groupby('xb').map_groups(expand_group, batch_format='pandas')
+    # half: (key = expanded l member, other = r rep, j)
+    p2 = dupm.map_batches(dupm_tag, batch_format='pyarrow').union(
+        half.map_batches(lambda b: pairs_tag(b, 'other', 'key'),
+                         batch_format='pyarrow'))
+    full = p2.groupby('xb').map_groups(expand_group, batch_format='pandas')
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df['key'].to_numpy().astype(np.int64)
+        b_ = df['other'].to_numpy().astype(np.int64)
+        return pd.DataFrame({'l_id': np.minimum(a, b_),
+                             'r_id': np.maximum(a, b_),
+                             'jaccard': df['j'].to_numpy()})
+    finish.__name__ = 'lsh_expand_finish'
+    cross = full.map_batches(finish, batch_format='pandas')
+
+    def intra_group(df: pd.DataFrame) -> pd.DataFrame:
+        memb = df[df['kind'] == 0]
+        ru, of, iv = _memb_index(
+            memb['key'].to_numpy().astype(np.int64),
+            memb['mate'].to_numpy().astype(np.int64))
+        ls, rs = [], []
+        for ci in range(len(ru)):
+            mem = iv[of[ci]:of[ci + 1]]
+            li = np.repeat(mem, len(mem))
+            ri = np.tile(mem, len(mem))
+            msk = li < ri
+            ls.append(li[msk])
+            rs.append(ri[msk])
+        l = np.concatenate(ls) if ls else np.empty(0, np.int64)
+        r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+        return pd.DataFrame({'l_id': l, 'r_id': r,
+                             'jaccard': np.ones(len(l), np.float64)})
+    intra_group.__name__ = 'lsh_intra_group'
+    intra = dupm.map_batches(dupm_tag, batch_format='pyarrow') \
+        .groupby('xb').map_groups(intra_group, batch_format='pandas')
+    return cross.union(intra)
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                       threshold: float = 0.8, k: int = 5, num_perm: int = 64,
                       bands: int = 16, seed: int = 42,
@@ -268,15 +498,26 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     (list<int64>; ~8 B/shingle vs ~30 B for a 5-word string) — the hashes
     feed both the minhash signatures and the exact-Jaccard verification, so
     verify shuffles/broadcasts ship compact integers and the verify kernel
-    is a vectorized sorted-set intersection (``_set_jaccard_many``)."""
+    is a vectorized sorted-set intersection (``_set_jaccard_many``).
+
+    Identical shingle sets collapse into one CLASS (63-bit set digest
+    ``dg``): band buckets pair class representatives only, so a degenerate
+    LSH bucket of d exact duplicates costs O(distinct classes)², not O(d²)
+    — the boilerplate-corpus failure mode of banded LSH.  Intra-class pairs
+    (Jaccard 1.0 by construction) and the member cross-products of verified
+    rep pairs are regenerated exactly once by ``_expand_classes``."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    shingled = ds.map_batches(
-        lambda b: pa.table({
-            'id': b[id_col],
-            'sh': _shingle_hashes_batch(b[text_col].to_pylist(), k)}),
-        batch_format='pyarrow').materialize()
+    def shingle_tbl(b: pa.Table) -> pa.Table:
+        sh = _shingle_hashes_batch(b[text_col].to_pylist(), k)
+        vals = sh.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({'id': b[id_col], 'sh': sh,
+                         'dg': pa.array(_set_digest(vals, off))})
+
+    shingled = ds.map_batches(shingle_tbl,
+                              batch_format='pyarrow').materialize()
 
     sigs = shingled.map_batches(
         MinHashStage('id', 'sh', k, num_perm, seed, from_hashes=True),
@@ -303,19 +544,25 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({'bucket': pa.array(h.ravel().view(np.int64),
                                             pa.int64()),
-                         'id': batch['id'].take(take)})
+                         'id': batch['id'].take(take),
+                         'dg': batch['dg'].take(take)})
 
     posts = sigs.map_batches(band_postings, batch_format='pyarrow')
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs within a band bucket, vectorized; degenerate buckets are
-        # bounded by duplicate-cluster sizes in dedup corpora
-        ids = np.unique(df['id'].to_numpy())
-        if len(ids) < 2:
+        # class-collapsed all-pairs: identical shingle sets (equal dg) share
+        # every band digest, so a class's members ALL land in this bucket and
+        # min(id) is the class's GLOBAL representative.  Pairs are emitted
+        # between distinct classes only — a degenerate bucket of d exact
+        # duplicates costs O(1), not O(d²); intra-class pairs (Jaccard 1.0
+        # by construction) are regenerated exactly once in the expansion.
+        reps = np.unique(df.groupby('dg')['id'].min().to_numpy()
+                         .astype(np.int64))
+        if len(reps) < 2:
             return pd.DataFrame({'l_id': np.array([], np.int64),
                                  'r_id': np.array([], np.int64)})
-        li = np.repeat(ids, len(ids))
-        ri = np.tile(ids, len(ids))
+        li = np.repeat(reps, len(reps))
+        ri = np.tile(reps, len(reps))
         m = li < ri
         return pd.DataFrame({'l_id': li[m], 'r_id': ri[m]})
     bucket_pairs.__name__ = 'lsh_bucket_pairs'
@@ -402,7 +649,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
             return pd.DataFrame({'l_id': l[keep], 'r_id': r[keep],
                                  'jaccard': js[keep]})
         verify_direct.__name__ = 'lsh_verify_direct'
-        return cands.map_batches(verify_direct, batch_format='pandas')
+        verified = cands.map_batches(verify_direct, batch_format='pandas')
+        return _expand_classes(verified, shingled, verify_buckets)
 
     nb = verify_buckets
     empty_sh = pa.array([], pa.list_(pa.int64()))
@@ -497,7 +745,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     v2 = shingled_v.map_batches(doc_rows, batch_format='pyarrow').union(
         half.map_batches(half_rows, batch_format='pyarrow'))
-    return v2.groupby('vb').map_groups(verify, batch_format='pyarrow')
+    verified = v2.groupby('vb').map_groups(verify, batch_format='pyarrow')
+    return _expand_classes(verified, shingled, verify_buckets)
 
 
 # ------------------------------------------------------------------ simhash
@@ -576,27 +825,58 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates('id')
         ids = sub['id'].to_numpy()
-        hs = sub['simhash'].to_numpy().astype(np.int64).view(np.uint64)
-        n = len(ids)
+        hs = sub['simhash'].to_numpy().astype(np.int64)
         empty = pd.DataFrame({'l_id': np.array([], ids.dtype),
                               'r_id': np.array([], ids.dtype)})
-        if n < 2:
+        if len(ids) < 2:
             return empty
+        # collapse identical simhashes into classes: the XOR matrix runs
+        # over DISTINCT values only, so a degenerate quarter bucket of d
+        # exact duplicates costs O(classes²), not O(d²); class pairs expand
+        # locally (output-bound) and bucketed_distinct dedupes cross-bucket
+        # repeats exactly as before
+        order = np.lexsort((ids, hs))
+        hs_s, ids_s = hs[order], ids[order]
+        first = np.concatenate(([True], hs_s[1:] != hs_s[:-1]))
+        uh = hs_s[first].view(np.uint64)
+        off = np.concatenate((np.nonzero(first)[0],
+                              [len(hs_s)])).astype(np.int64)
+        n = len(uh)
         out_l, out_r = [], []
-        # chunk rows so the XOR pair matrix stays cache-sized even in a
-        # degenerate quarter bucket
-        chunk = max(1, int(2_000_000 // n))
-        for s in range(0, n, chunk):
-            i = np.arange(s, min(s + chunk, n), dtype=np.int64)
-            x = hs[i][:, None] ^ hs[None, :]
-            d = _popcount64(x.ravel()).reshape(len(i), n)
-            ii, jj = np.nonzero(d <= max_hamming)
-            gi = i[ii]
-            keep = gi < jj
-            a, b = ids[gi[keep]], ids[jj[keep]]
-            swap = a > b
-            out_l.append(np.where(swap, b, a))
-            out_r.append(np.where(swap, a, b))
+        # intra-class pairs: identical simhash ⇒ Hamming 0 ≤ max_hamming
+        for ci in np.nonzero(np.diff(off) >= 2)[0]:
+            mem = ids_s[off[ci]:off[ci + 1]]
+            li = np.repeat(mem, len(mem))
+            ri = np.tile(mem, len(mem))
+            msk = li < ri
+            out_l.append(li[msk])
+            out_r.append(ri[msk])
+        if n >= 2:
+            # chunk rows so the XOR pair matrix stays cache-sized
+            chunk = max(1, int(2_000_000 // n))
+            for s in range(0, n, chunk):
+                i = np.arange(s, min(s + chunk, n), dtype=np.int64)
+                x = uh[i][:, None] ^ uh[None, :]
+                d = _popcount64(x.ravel()).reshape(len(i), n)
+                ii, jj = np.nonzero(d <= max_hamming)
+                gi = i[ii]
+                keep = gi < jj
+                gi, gj = gi[keep], jj[keep].astype(np.int64)
+                if not len(gi):
+                    continue
+                # expand class pairs to member cross products
+                ci_cnt = off[gi + 1] - off[gi]
+                cj_cnt = off[gj + 1] - off[gj]
+                mult = ci_cnt * cj_cnt
+                starts = np.concatenate(([0], np.cumsum(mult)))
+                pidx = np.repeat(np.arange(len(gi), dtype=np.int64), mult)
+                pos = np.arange(int(starts[-1]), dtype=np.int64) \
+                    - np.repeat(starts[:-1], mult)
+                a = ids_s[off[gi][pidx] + pos // cj_cnt[pidx]]
+                b = ids_s[off[gj][pidx] + pos % cj_cnt[pidx]]
+                swap = a > b
+                out_l.append(np.where(swap, b, a))
+                out_r.append(np.where(swap, a, b))
         if not out_l:
             return empty
         return pd.DataFrame({'l_id': np.concatenate(out_l),

@@ -1429,7 +1429,26 @@ class BroadcastVerify:
 
 # Above this estimated signature-table size the broadcast regime gives way
 # to the distributed attach passes (no single node should hold the table).
-BROADCAST_GATE_BYTES = 2 * 1024 ** 3
+# The floor is 2 GiB; when the per-node object store is large the gate
+# scales to 15% of it (the broadcast is ONE mmapped copy per node, so the
+# budget that matters is per-node plasma capacity, not cluster total).
+_BROADCAST_GATE_FLOOR = 2 * 1024 ** 3
+
+
+def broadcast_gate_bytes() -> int:
+    import os
+    env = os.environ.get('SSJ_BROADCAST_GATE_BYTES')
+    if env:
+        return int(env)
+    try:
+        total = ray.cluster_resources().get('object_store_memory', 0)
+        nodes = max(1, len([n for n in ray.nodes() if n.get('Alive', True)]))
+        return max(_BROADCAST_GATE_FLOOR, int(0.15 * total / nodes))
+    except Exception:  # pragma: no cover - ray not initialised
+        return _BROADCAST_GATE_FLOOR
+
+
+BROADCAST_GATE_BYTES = _BROADCAST_GATE_FLOOR  # back-compat alias
 
 
 def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
@@ -1458,7 +1477,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
     force_dist = (getattr(cfg, 'force_distributed', False)
                   or os.environ.get('SSJ_FORCE_DISTRIBUTED') == '1')
     use_broadcast = (not force_dist) and (
-        size_bytes_hint is None or size_bytes_hint < BROADCAST_GATE_BYTES)
+        size_bytes_hint is None or size_bytes_hint < broadcast_gate_bytes())
 
     if use_broadcast:
         # the one candidate-generation shuffle is a sort by bucket —

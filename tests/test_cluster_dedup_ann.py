@@ -89,6 +89,33 @@ class TestDedup:
                                    .round(12).to_numpy().tolist()))
         assert key(out) == key(base)
 
+    def test_minhash_lsh_class_collapse_exact_dups(self, ray_session):
+        # degenerate-band-bucket guard: 40 exact copies collapse to ONE
+        # class in candidate generation; the expansion must regenerate every
+        # intra-class pair exactly once (jaccard 1.0) and cross-class rep
+        # pairs must expand to every member
+        texts = ['the quick brown fox jumps over the lazy dog again'] * 40
+        texts.append('the quick brown fox jumps over the lazy cat again')
+        texts.append('a completely different document about rust compilers')
+        ds = ray.data.from_arrow(pa.table({
+            'doc_id': pa.array(range(len(texts)), pa.int64()),
+            'text': pa.array(texts)}))
+        out = dedup.minhash_lsh_pairs(ds, 'doc_id', 'text',
+                                      threshold=0.5, k=3).to_pandas()
+        pairs = list(zip(out['l_id'], out['r_id']))
+        assert len(pairs) == len(set(pairs)), 'duplicate pairs emitted'
+        dup_cls = {p for p in pairs if p[0] < 40 and p[1] < 40}
+        assert dup_cls == {(i, j) for i in range(40)
+                           for j in range(i + 1, 40)}
+        intra_j = out.loc[(out['l_id'] < 40) & (out['r_id'] < 40), 'jaccard']
+        assert (intra_j == 1.0).all()
+        # cross-class expansion: pairs (i, 40) exist for ALL class members
+        # or none (the near-dup doc is one LSH candidate at class level)
+        cross = {p for p in pairs if p[1] == 40}
+        assert cross in (set(), {(i, 40) for i in range(40)})
+        if cross:
+            assert out.loc[out['r_id'] == 40, 'jaccard'].nunique() == 1
+
     def test_set_jaccard_kernels(self):
         rng = np.random.default_rng(7)
         docs = [np.unique(rng.integers(0, 40, size=rng.integers(0, 25)))
@@ -133,6 +160,33 @@ class TestDedup:
         pairs = set(zip(out['l_id'], out['r_id']))
         assert (0, 1) in pairs        # identical docs → distance 0
         assert (0, 3) not in pairs    # different docs far apart
+
+    def test_simhash_pairs_class_collapse(self, ray_session):
+        # 30 exact copies + 1 near-dup + 1 far doc: the collapsed kernel
+        # must emit exactly the same pair set a naive all-pairs scan would
+        texts = ['alpha beta gamma delta epsilon zeta eta theta'] * 30
+        texts.append('alpha beta gamma delta epsilon zeta eta iota')
+        texts.append('one two three four five six seven eight nine ten')
+        ds = ray.data.from_arrow(pa.table({
+            'doc_id': pa.array(range(len(texts)), pa.int64()),
+            'text': pa.array(texts)}))
+        out = dedup.simhash_near_dup_pairs(ds, 'doc_id', 'text',
+                                           max_hamming=3).to_pandas()
+        got = set(zip(out['l_id'], out['r_id']))
+        assert len(got) == len(out)  # no duplicate rows
+        # brute-force expectation from the signatures themselves
+        sigs = ds.map_batches(dedup.SimHashStage('doc_id', 'text'),
+                              batch_format='pyarrow').to_pandas()
+        sm = dict(zip(sigs['id'], sigs['simhash'].astype(np.int64)))
+        exp = set()
+        n = len(texts)
+        for i in range(n):
+            for j in range(i + 1, n):
+                x = np.uint64(sm[i]) ^ np.uint64(sm[j])
+                if int(dedup._popcount64(np.array([x]))[0]) <= 3:
+                    # pigeonhole: distance ≤3 always shares a quarter
+                    exp.add((i, j))
+        assert got == exp
 
     def test_simhash_deterministic(self):
         h1 = dedup.simhash64('a b c d e f', 2)
