@@ -151,3 +151,13 @@ def test_expand_slab_boundary_duplicate_class(monkeypatch):
     exp = {(i, j) for i in range(12) for j in range(12)} \
         | {(i, i) for i in range(12, 20)}
     assert got == exp
+
+
+def test_broadcast_gate_adaptive(monkeypatch):
+    """The broadcast/distributed regime gate honors the env override and
+    otherwise floors at 2 GiB, scaling with the per-node object store."""
+    from py_stringsimjoin_ray.stages.slimjoin import broadcast_gate_bytes
+    monkeypatch.setenv('SSJ_BROADCAST_GATE_BYTES', '12345')
+    assert broadcast_gate_bytes() == 12345
+    monkeypatch.delenv('SSJ_BROADCAST_GATE_BYTES')
+    assert broadcast_gate_bytes() >= 2 * 1024 ** 3
