@@ -97,62 +97,6 @@ class SigStage:
         return batch.append_column('sig', pa.array(sig.astype(np.int64)))
 
 
-def _fold_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Per-block combiner for Tsig: one row per (sig) with partial member
-    counts per side; keeps the first ranks/s payload."""
-    sigs = batch['sig'].to_numpy()
-    sides = batch['side'].to_numpy(zero_copy_only=False)
-    order = np.argsort(sigs, kind='stable')
-    ss = sigs[order]
-    first = np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss) else \
-        np.zeros(0, bool)
-    group_id = np.cumsum(first) - 1 if len(ss) else np.zeros(0, np.int64)
-    n_groups = int(group_id[-1]) + 1 if len(ss) else 0
-    take = order[first] if len(ss) else np.empty(0, np.int64)
-    c_l = np.zeros(n_groups, dtype=np.int64)
-    c_r = np.zeros(n_groups, dtype=np.int64)
-    np.add.at(c_l, group_id, (sides[order] == 0).astype(np.int64))
-    np.add.at(c_r, group_id, (sides[order] == 1).astype(np.int64))
-    sub = batch.take(pa.array(take))
-    cols = {
-        'sb': pa.array(_hash_bucket(sigs[take], num_buckets).astype(np.int64)),
-        'sig': sub['sig'],
-        'sz': sub['sz'],
-        'plen': sub['plen'],
-        'ranks': sub['ranks'],
-        'c_l': pa.array(c_l),
-        'c_r': pa.array(c_r),
-    }
-    if 's' in batch.column_names:
-        cols['s'] = sub['s']
-    return pa.table(cols)
-
-
-def _fold_group(tbl: pa.Table) -> pa.Table:
-    """Global Tsig fold for one sig-hash bucket: merge partial counts,
-    keep the first payload per sig."""
-    sigs = tbl['sig'].to_numpy()
-    order = np.argsort(sigs, kind='stable')
-    ss = sigs[order]
-    if len(ss) == 0:
-        return tbl.drop_columns(['sb'])
-    first = np.concatenate(([True], ss[1:] != ss[:-1]))
-    group_id = np.cumsum(first) - 1
-    n_groups = int(group_id[-1]) + 1
-    take = order[first]
-    c_l = np.zeros(n_groups, dtype=np.int64)
-    c_r = np.zeros(n_groups, dtype=np.int64)
-    np.add.at(c_l, group_id, tbl['c_l'].to_numpy()[order])
-    np.add.at(c_r, group_id, tbl['c_r'].to_numpy()[order])
-    sub = tbl.take(pa.array(take))
-    cols = {'sig': sub['sig'], 'sz': sub['sz'], 'plen': sub['plen'],
-            'ranks': sub['ranks'],
-            'c_l': pa.array(c_l), 'c_r': pa.array(c_r)}
-    if 's' in tbl.column_names:
-        cols['s'] = sub['s']
-    return pa.table(cols)
-
-
 class SlimPostingsStage:
     """Tsig rows → slim postings: one row per (distinct signature, prefix
     token), NO rank arrays.  Heavy tokens use the unordered salted grid
@@ -497,310 +441,6 @@ def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-class SlimPairGen:
-    """Per-partition candidate generation over slim postings (distributed
-    attach path) — the shared numpy kernel, emitting deduplicated
-    (sa, sb) signature pairs."""
-
-    def __init__(self, sim_type: str, threshold, qval=None,
-                 same_relation: bool = False):
-        self.__name__ = 'SlimPairGen'
-        self.sim_type = sim_type
-        self.threshold = threshold
-        self.qval = qval
-        self.same_relation = same_relation
-
-    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
-        if len(tbl) == 0:
-            return pd.DataFrame({'sa': np.array([], np.int64),
-                                 'sb': np.array([], np.int64)})
-        if isinstance(tbl, pd.DataFrame):
-            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
-        a, b = _np_candidates(tbl, self.sim_type, self.threshold,
-                              self.same_relation)
-        # in-partition dedup (sigs are 63-bit: lexsort, no packing)
-        if len(a):
-            order = np.lexsort((b, a))
-            a, b = a[order], b[order]
-            first = np.concatenate(
-                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-            a, b = a[first], b[first]
-        return pd.DataFrame({'sa': a, 'sb': b})
-
-
-def _ranks_objects(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
-    """list<int32> column → object ndarray of per-row numpy slices
-    (zero-copy views into the block buffer)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    off = arr.offsets.to_numpy()
-    flat = (arr.values.to_numpy(zero_copy_only=False)
-            if len(arr.values) else np.empty(0, np.int32))
-    n = len(arr)
-    out = np.empty(n, dtype=object)
-    for i in range(n):
-        out[i] = flat[off[i]:off[i + 1]]
-    return out
-
-
-class AttachA:
-    """Verify pass 1 group fn: dedup candidate pairs, attach side-A payload
-    from the co-bucketed Tsig rows.  Emits a typed Arrow table so the rank
-    list column crosses the block boundary zero-copy."""
-
-    def __init__(self, keep_string: bool):
-        self.__name__ = 'AttachA'
-        self.keep_string = keep_string
-
-    def _empty(self) -> pa.Table:
-        cols = {'sb': pa.array([], pa.int64()),
-                'sa': pa.array([], pa.int64()),
-                'sz_a': pa.array([], pa.int32()),
-                'cnt_a': pa.array([], pa.int64()),
-                'ranks_a': pa.array([], pa.list_(pa.int32()))}
-        if self.keep_string:
-            cols['s_a'] = pa.array([], pa.string())
-        return pa.table(cols)
-
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        kind = tbl['kind'].to_numpy(zero_copy_only=False)
-        pmask = kind == 1
-        if not pmask.any() or pmask.all():
-            return self._empty()
-        t = tbl.filter(pa.array(~pmask))
-        p = tbl.filter(pa.array(pmask))
-        pairs = pd.DataFrame({'sa': p['sig'].to_numpy(),
-                              'sb': p['other'].to_numpy(zero_copy_only=False)})
-        pairs = pairs.drop_duplicates()
-        # positional index of each pair's sa in the sig-table rows
-        tsi = pd.Series(np.arange(len(t)), index=t['sig'].to_numpy())
-        loc = tsi.reindex(pairs['sa'].to_numpy())
-        ok = loc.notna().to_numpy()
-        if not ok.any():
-            return self._empty()
-        loc = loc.to_numpy()[ok].astype(np.int64)
-        pairs = pairs[ok]
-        take = pa.array(loc)
-        cols = {'sb': pa.array(pairs['sb'].to_numpy().astype(np.int64)),
-                'sa': pa.array(pairs['sa'].to_numpy().astype(np.int64)),
-                'sz_a': t['sz'].take(take).combine_chunks(),
-                'cnt_a': t['c_l'].take(take).combine_chunks(),
-                'ranks_a': t['ranks'].take(take).combine_chunks()}
-        if self.keep_string:
-            cols['s_a'] = t['s'].take(take).combine_chunks()
-        return pa.table(cols)
-
-
-class AttachBVerify:
-    """Verify pass 2 group fn: attach side-B payload, score exactly,
-    apply comp_op, emit matched (sa, sb, score, cnt_a, cnt_b)."""
-
-    def __init__(self, sim_type: str, threshold, comp_op: str, qval,
-                 round_score: bool, counter_name=None):
-        self.__name__ = 'AttachBVerify'
-        self.sim_type = sim_type
-        self.threshold = threshold
-        self.comp_fn = COMP_OP_MAP[comp_op]
-        self.qval = qval
-        self.round_score = round_score
-        self.counter_name = counter_name
-        self.keep_string = sim_type == 'EDIT_DISTANCE'
-
-    def _empty(self):
-        return pd.DataFrame({'sa': np.array([], np.int64),
-                             'sb': np.array([], np.int64),
-                             'score': np.array([], np.float64),
-                             'cnt_a': np.array([], np.int64),
-                             'cnt_b': np.array([], np.int64)})
-
-    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
-        kind = tbl['kind'].to_numpy(zero_copy_only=False)
-        pmask = kind == 1
-        if not pmask.any():
-            return self._empty()
-        t = tbl.filter(pa.array(~pmask))
-        p = tbl.filter(pa.array(pmask))
-        # pair rows were routed by h(sb): their 'sig' IS sb, 'other' is sa
-        pdf = pd.DataFrame({'sb': p['sig'].to_numpy(),
-                            'sa': p['other'].to_numpy(zero_copy_only=False),
-                            'sz_a': p['sz'].to_numpy(zero_copy_only=False)
-                            .astype(np.int64),
-                            'cnt_a': p['c_l'].to_numpy(zero_copy_only=False),
-                            'ranks_a': _ranks_objects(p['ranks'])})
-        tdf = pd.DataFrame({'sb': t['sig'].to_numpy(),
-                            'sz_b': t['sz'].to_numpy(zero_copy_only=False)
-                            .astype(np.int64),
-                            'cnt_b': t['c_r'].to_numpy(zero_copy_only=False),
-                            'ranks_b': _ranks_objects(t['ranks'])})
-        if self.keep_string:
-            pdf['s_a'] = p['s'].to_numpy(zero_copy_only=False)
-            tdf['s_b'] = t['s'].to_numpy(zero_copy_only=False)
-        m = pdf.merge(tdf, on='sb', how='inner')
-        if len(m) == 0:
-            return self._empty()
-
-        checked = int((m['cnt_a'].to_numpy() * m['cnt_b'].to_numpy()).sum())
-        if self.counter_name and checked:
-            try:
-                ray.get_actor(self.counter_name).add.remote(checked)
-            except ValueError:
-                pass
-
-        st = self.sim_type
-        if st == 'EDIT_DISTANCE':
-            sa_s = m['s_a'].to_numpy()
-            sb_s = m['s_b'].to_numpy()
-            slen = np.fromiter((len(x) for x in sa_s), np.int64, len(sa_s))
-            rlen = np.fromiter((len(x) for x in sb_s), np.int64, len(sb_s))
-            keep = np.abs(slen - rlen) <= self.threshold
-            m = m[keep]
-            if len(m) == 0:
-                return self._empty()
-            scores = _lev_many(m['s_a'].tolist(),
-                               m['s_b'].tolist()).astype(np.float64)
-        else:
-            o = self._overlaps(m['ranks_a'].to_numpy(),
-                               m['ranks_b'].to_numpy())
-            n1 = m['sz_a'].to_numpy().astype(np.float64)
-            n2 = m['sz_b'].to_numpy().astype(np.float64)
-            of = o.astype(np.float64)
-            if st == 'OVERLAP':
-                scores = of
-            elif st == 'OVERLAP_COEFFICIENT':
-                scores = of / np.minimum(n1, n2)
-            elif st == 'JACCARD':
-                scores = of / (n1 + n2 - of)
-            elif st == 'COSINE':
-                scores = of / np.sqrt(n1 * n2)
-            elif st == 'DICE':
-                scores = 2.0 * of / (n1 + n2)
-            else:  # pragma: no cover
-                raise ValueError(st)
-            if self.round_score and st in ('JACCARD', 'COSINE', 'DICE'):
-                scores = np.round(scores, 4)
-        keep = self.comp_fn(scores, self.threshold)
-        m = m[keep]
-        if len(m) == 0:
-            return self._empty()
-        return pd.DataFrame({'sa': m['sa'].to_numpy(),
-                             'sb': m['sb'].to_numpy(),
-                             'score': scores[keep],
-                             'cnt_a': m['cnt_a'].to_numpy(),
-                             'cnt_b': m['cnt_b'].to_numpy()})
-
-    @staticmethod
-    def _overlaps(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
-        """Exact per-pair token overlap |X ∩ Y| via a sort-free merge over
-        (pair, token) keys: per-row rank arrays are sorted ascending and
-        pair ids ascend block-wise, so both key streams are globally
-        sorted already (set tokenizers make per-side tokens unique)."""
-        n = len(ra)
-
-        def keys(rows):
-            lens = np.fromiter((len(x) for x in rows), np.int64, n)
-            tot = int(lens.sum())
-            if tot == 0:
-                return np.empty(0, np.uint64), np.empty(0, np.int64)
-            pid = np.repeat(np.arange(n, dtype=np.int64), lens)
-            tok = np.concatenate(rows).astype(np.uint64)
-            return (pid.astype(np.uint64) << np.uint64(32)) | tok, pid
-
-        keyA, _ = keys(ra)
-        keyB, pidB = keys(rb)
-        out = np.zeros(n, dtype=np.int64)
-        if len(keyA) == 0 or len(keyB) == 0:
-            return out
-        # defensive: the invariant (per-row ranks ascending) is produced two
-        # modules away (RankPrefixStage / dist_ordering.regroup); an O(n)
-        # check catches any future producer that breaks it, and the repair
-        # sort on nearly-sorted data costs ~nothing
-        if np.any(np.diff(keyA) < 0):  # pragma: no cover - invariant repair
-            keyA.sort()
-        loc = np.minimum(np.searchsorted(keyA, keyB), len(keyA) - 1)
-        hit = keyA[loc] == keyB
-        if hit.any():
-            out = np.bincount(pidB[hit], minlength=n)
-        return out
-
-
-class ExpandSide:
-    """Expansion group fn: matched rows × this side's memberships."""
-
-    def __init__(self, side: int, self_join: bool):
-        self.__name__ = f'ExpandSide{side}'
-        self.side = side
-        self.self_join = self_join
-
-    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
-        kind = tbl['kind'].to_numpy(zero_copy_only=False)
-        pmask = kind == 1
-        if self.side == 0:
-            empty = {'sb': np.array([], np.int64),
-                     'l_key': np.array([], object),
-                     'score': np.array([], np.float64),
-                     'ident': np.array([], np.int8)}
-        else:
-            empty = {'l_key': np.array([], object),
-                     'r_key': np.array([], object),
-                     '_sim_score': np.array([], np.float64)}
-        if not pmask.any():
-            return pd.DataFrame(empty)
-        t = tbl.filter(pa.array(~pmask))
-        p = tbl.filter(pa.array(pmask))
-        mem = pd.DataFrame({'sig': t['sig'].to_numpy(),
-                            'key': t['key'].to_numpy(zero_copy_only=False)})
-        if self.side == 0:
-            pdf = pd.DataFrame({'sig': p['sig'].to_numpy(),
-                                'sb': p['other'].to_numpy(
-                                    zero_copy_only=False),
-                                'score': p['score'].to_numpy(
-                                    zero_copy_only=False),
-                                'ident': p['ident'].to_numpy(
-                                    zero_copy_only=False)})
-            out = pdf.merge(mem, on='sig', how='inner')
-            if len(out) == 0:
-                return pd.DataFrame(empty)
-            return pd.DataFrame({'sb': out['sb'].to_numpy(),
-                                 'l_key': out['key'].to_numpy(),
-                                 'score': out['score'].to_numpy(),
-                                 'ident': out['ident'].to_numpy()})
-        pdf = pd.DataFrame({'sig': p['sig'].to_numpy(),
-                            'l_key': p['key'].to_numpy(zero_copy_only=False),
-                            'score': p['score'].to_numpy(
-                                zero_copy_only=False),
-                            'ident': p['ident'].to_numpy(
-                                zero_copy_only=False)})
-        out = pdf.merge(mem, on='sig', how='inner')
-        if len(out) == 0:
-            return pd.DataFrame(empty)
-        lk = out['l_key'].to_numpy()
-        rk = out['key'].to_numpy()
-        sc = out['score'].to_numpy()
-        if self.self_join:
-            # canonical sig pairs: orient each record pair (min, max);
-            # identity sig pairs expand to the full cross, so keep only
-            # their upper triangle (min/max would double-count them)
-            ident = out['ident'].to_numpy().astype(bool)
-            lo = np.minimum(lk, rk)
-            hi = np.maximum(lk, rk)
-            keep = (lo < hi) & (~ident | (lk < rk))
-            lk, rk, sc = lo[keep], hi[keep], sc[keep]
-        return pd.DataFrame({'l_key': lk, 'r_key': rk, '_sim_score': sc})
-
-
-def _null_col(n: int, typ: pa.DataType):
-    return pa.nulls(n, typ)
-
-
-# --------------------------------------------------------------------------
-# Broadcast regime: when the signature table fits the object store budget,
-# ship it ONCE via ray.put (zero-copy numpy payloads, one mmapped copy per
-# node) and run candidate generation + ownership dedup + exact verification
-# + membership expansion inside the single postings shuffle — the "broadcast
-# small sides instead of a shuffle join" pattern.  Rank arrays then cross
-# the wire exactly once (the broadcast) instead of once per posting (round
-# 1's scale-killer) or once per candidate (the distributed attach passes).
-# --------------------------------------------------------------------------
-
 class _TsigBroadcast:
     """Column-oriented signature table + memberships for zero-copy sharing.
 
@@ -970,6 +610,50 @@ def _rebase_piece_tbl(base: int, nslices: int, piece):
                  for a, b in zip(cuts[:-1], cuts[1:]))
 
 
+def _tsig_split_block(b: pa.Table, keep_string: bool) -> pa.Table:
+    """Per-block combiner feeding the shard builders: block-distinct payload
+    per sig tagged kind=0, memberships kind=1."""
+    sigs = b['sig'].to_numpy()
+    order = np.argsort(sigs, kind='stable')
+    ss = sigs[order]
+    first = (np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss)
+             else np.zeros(0, bool))
+    sub = b.take(pa.array(order[first]))
+    n0, n1 = len(sub), len(b)
+    cols = {
+        'kind': pa.array(np.concatenate(
+            [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
+        'sig': pa.concat_arrays([sub['sig'].combine_chunks(),
+                                 b['sig'].combine_chunks()]),
+        'sz': pa.concat_arrays(
+            [sub['sz'].combine_chunks(),
+             pa.nulls(n1, b['sz'].type)]),
+        'plen': pa.concat_arrays(
+            [sub['plen'].combine_chunks(),
+             pa.nulls(n1, b['plen'].type)]),
+        'ranks': pa.concat_arrays(
+            [sub['ranks'].combine_chunks(),
+             pa.nulls(n1, b['ranks'].type)]),
+        'side': pa.concat_arrays(
+            [pa.nulls(n0, pa.int8()), b['side'].combine_chunks()]),
+        'key': pa.concat_arrays(
+            [pa.nulls(n0, b['key'].type), b['key'].combine_chunks()]),
+    }
+    if keep_string:
+        cols['s'] = pa.concat_arrays(
+            [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
+    return pa.table(cols)
+
+
+def _wrap_shard(piece):
+    """Shard piece tuple → per-shard ``_TsigBroadcast`` (sharded-broadcast
+    scale path: the stitch never happens, each shard is its own bounded
+    broadcast object)."""
+    if piece is None:
+        return None
+    return _TsigBroadcast(*piece[:10])
+
+
 def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
                  keep_string: bool, nshards: int = 8) -> tuple:
     """Fold per-block combiner outputs into the broadcast signature table
@@ -986,37 +670,8 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
     # parallelism), never drops data.
 
     def split(b: pa.Table) -> pa.Table:
-        # block-distinct payload per sig, tagged kind=0; memberships kind=1
-        sigs = b['sig'].to_numpy()
-        order = np.argsort(sigs, kind='stable')
-        ss = sigs[order]
-        first = (np.concatenate(([True], ss[1:] != ss[:-1])) if len(ss)
-                 else np.zeros(0, bool))
-        sub = b.take(pa.array(order[first]))
-        n0, n1 = len(sub), len(b)
-        cols = {
-            'kind': pa.array(np.concatenate(
-                [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
-            'sig': pa.concat_arrays([sub['sig'].combine_chunks(),
-                                     b['sig'].combine_chunks()]),
-            'sz': pa.concat_arrays(
-                [sub['sz'].combine_chunks(),
-                 pa.nulls(n1, b['sz'].type)]),
-            'plen': pa.concat_arrays(
-                [sub['plen'].combine_chunks(),
-                 pa.nulls(n1, b['plen'].type)]),
-            'ranks': pa.concat_arrays(
-                [sub['ranks'].combine_chunks(),
-                 pa.nulls(n1, b['ranks'].type)]),
-            'side': pa.concat_arrays(
-                [pa.nulls(n0, pa.int8()), b['side'].combine_chunks()]),
-            'key': pa.concat_arrays(
-                [pa.nulls(n0, b['key'].type), b['key'].combine_chunks()]),
-        }
-        if keep_string:
-            cols['s'] = pa.concat_arrays(
-                [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
-        return pa.table(cols)
+        return _tsig_split_block(b, keep_string)
+    split.__name__ = 'split'
 
     import os as _os
     import sys as _sys
@@ -1071,6 +726,53 @@ def collect_tsig(tagged: ray.data.Dataset, same_relation: bool,
     return bc_ref, tbl_refs, n
 
 
+def collect_tsig_shards(tagged: ray.data.Dataset, same_relation: bool,
+                        keep_string: bool, nshards: int) -> tuple:
+    """Sharded-broadcast Tsig build (the beyond-gate scale path): the same
+    parallel shard builders as ``collect_tsig``, but the stitch never runs —
+    each shard (a HIGH-BIT signature range, so shard order == global si
+    order) becomes its own ``_TsigBroadcast`` ref bounded by the shard size.
+    Returns ``(shard_refs, shard_starts, tbl_refs, num_sigs)`` where
+    ``shard_starts[s]`` is shard s's first GLOBAL si (dense, ascending) —
+    ``sp(si) = searchsorted(shard_starts, si, 'right') - 1``."""
+    if nshards < 1:
+        raise ValueError(f'nshards must be >= 1, got {nshards}')
+
+    def split(b: pa.Table) -> pa.Table:
+        return _tsig_split_block(b, keep_string)
+    split.__name__ = 'split'
+
+    split_ds = tagged.map_batches(split, batch_format='pyarrow').materialize()
+    refs = []
+    for bundle in split_ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return None, None, None, 0
+    shard_builder = ray.remote(num_cpus=1, num_returns=2)(_build_tsig_shard)
+    out = [shard_builder.remote(s, nshards, same_relation,
+                                keep_string, *refs)
+           for s in range(nshards)]
+    piece_refs = [o[0] for o in out]
+    sizes = [int(x) for x in ray.get([o[1] for o in out])]
+    n = sum(sizes)
+    if n == 0:
+        return None, None, None, 0
+    wrapper = ray.remote(num_cpus=1)(_wrap_shard)
+    shard_refs = [wrapper.remote(pr) if s_ > 0 else None
+                  for pr, s_ in zip(piece_refs, sizes)]
+    bases = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+    cpus = int(ray.cluster_resources().get('CPU', 8))
+    live = sum(1 for s_ in sizes if s_ > 0)
+    nslices = max(1, -(-(cpus * 8) // max(1, live)))
+    rebase = ray.remote(num_cpus=1, num_returns=nslices)(_rebase_piece_tbl)
+    tbl_refs = []
+    for b, s_, pr in zip(bases, sizes, piece_refs):
+        if s_ > 0:
+            out_refs = rebase.remote(int(b), nslices, pr)
+            tbl_refs.extend(out_refs if nslices > 1 else [out_refs])
+    return shard_refs, bases, tbl_refs, n
+
+
 def tsig_postings_input(tbl_refs, num_sigs: int) -> ray.data.Dataset:
     """Dataset view of the per-shard postings-source tables built by the
     remote collect_tsig builders — constructed from REFS, never fetched to
@@ -1103,13 +805,20 @@ class BroadcastCandGen:
 
     def __init__(self, sim_type: str, threshold, qval=None,
                  same_relation: bool = False, num_vbuckets: int = 512,
-                 bc_ref=None, heavy=None):
+                 bc_ref=None, heavy=None, shard_bases=None,
+                 shard_sub: int = 8):
         self.__name__ = 'BroadcastCandGen'
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
         self.same_relation = same_relation
         self.num_vbuckets = num_vbuckets
+        # sharded-broadcast routing: vb = (shard(si_a)*K + shard(si_b)) *
+        # shard_sub + hash(pair64) % shard_sub, so every pair of one verify
+        # group reads the SAME two shard broadcasts (bounded task memory)
+        # while shard_sub keeps group sizes executor-friendly
+        self.shard_bases = shard_bases
+        self.shard_sub = shard_sub
         # slim-wire inputs: the broadcast signature table supplies sz/kh
         # (fetched once per worker, zero-copy) and the heavy map supplies
         # the per-token grid size g
@@ -1127,8 +836,13 @@ class BroadcastCandGen:
         _t0 = _time.perf_counter() if prof else 0.0
         if isinstance(tbl, pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
-        vb_np = np.int16 if self.num_vbuckets < 2 ** 15 else np.int32
-        vb_pa = pa.int16() if self.num_vbuckets < 2 ** 15 else pa.int32()
+        sharded = self.shard_bases is not None
+        if sharded:  # (spa*K + spb)*S keyspace needs the full 64 bits
+            vb_np, vb_pa = np.int64, pa.int64()
+        elif self.num_vbuckets < 2 ** 15:
+            vb_np, vb_pa = np.int16, pa.int16()
+        else:
+            vb_np, vb_pa = np.int32, pa.int32()
         empty = pa.table({'vb': pa.array([], vb_pa),
                           'pair64': pa.array([], pa.int64())})
         if len(tbl) == 0:
@@ -1141,8 +855,20 @@ class BroadcastCandGen:
         if len(sa) == 0:
             return empty
         pair64 = np.unique((sa << np.int64(32)) | sb)
-        vb = ((pair64.view(np.uint64) * KNUTH) >> np.uint64(17)) \
-            % np.uint64(self.num_vbuckets)
+        if sharded:
+            kk = np.int64(len(self.shard_bases))
+            ss = np.int64(self.shard_sub)
+            spa = np.searchsorted(self.shard_bases,
+                                  pair64 >> np.int64(32), 'right') - 1
+            spb = np.searchsorted(self.shard_bases,
+                                  pair64 & np.int64(0xFFFFFFFF),
+                                  'right') - 1
+            sub = (((pair64.view(np.uint64) * KNUTH) >> np.uint64(17))
+                   % np.uint64(ss)).astype(np.int64)
+            vb = (spa * kk + spb) * ss + sub
+        else:
+            vb = ((pair64.view(np.uint64) * KNUTH) >> np.uint64(17)) \
+                % np.uint64(self.num_vbuckets)
         if prof:
             import json as _json
             _os.makedirs('/tmp/ssj_prof_cg', exist_ok=True)
@@ -1165,7 +891,7 @@ class BroadcastVerify:
     def __init__(self, bc_ref, sim_type: str, threshold, comp_op: str,
                  qval=None, same_relation: bool = False,
                  self_join: bool = False, round_score: bool = True,
-                 counter_name=None):
+                 counter_name=None, shard_refs=None, shard_bases=None):
         self.__name__ = 'BroadcastVerify'
         self.bc_ref = bc_ref
         self.sim_type = sim_type
@@ -1177,8 +903,32 @@ class BroadcastVerify:
         self.self_join = self_join
         self.round_score = round_score
         self.counter_name = counter_name
+        # sharded-broadcast mode: every pair of a group lives in ONE
+        # (shard_a, shard_b) cell (BroadcastCandGen routed it there), so the
+        # task fetches at most two bounded shard broadcasts instead of the
+        # stitched table
+        self.shard_refs = shard_refs
+        self.shard_bases = shard_bases
         self._bc = None
+        self._shards: dict = {}
         self._counter = None  # actor handle cached once per task
+
+    def _shard(self, sp: int):
+        if sp not in self._shards:
+            self._shards[sp] = ray.get(self.shard_refs[sp])
+        return self._shards[sp]
+
+    def _sides(self, ia: np.ndarray, ib: np.ndarray):
+        """(bcA, la, bcB, lb): per-side broadcast + LOCAL indices.  In
+        stitched mode both sides are the one global table."""
+        if self.shard_bases is None:
+            if self._bc is None:
+                self._bc = ray.get(self.bc_ref)
+            return self._bc, ia, self._bc, ib
+        spa = int(np.searchsorted(self.shard_bases, ia[0], 'right') - 1)
+        spb = int(np.searchsorted(self.shard_bases, ib[0], 'right') - 1)
+        return (self._shard(spa), ia - self.shard_bases[spa],
+                self._shard(spb), ib - self.shard_bases[spb])
 
     def _empty(self) -> pd.DataFrame:
         return pd.DataFrame({'l_key': np.array([], object),
@@ -1203,12 +953,12 @@ class BroadcastVerify:
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
         if len(tbl) == 0:
             return self._empty()
-        if self._bc is None:
-            self._bc = ray.get(self.bc_ref)
-        bc = self._bc
         cand = np.unique(tbl['pair64'].to_numpy(zero_copy_only=False))
+        if len(cand) == 0:
+            return self._empty()
         ia = (cand >> np.int64(32)).astype(np.int64)
         ib = (cand & np.int64(0xFFFFFFFF)).astype(np.int64)
+        bcA, la, bcB, lb = self._sides(ia, ib)
         is_ed = self.sim_type == 'EDIT_DISTANCE'
         _mark('setup')
 
@@ -1225,12 +975,12 @@ class BroadcastVerify:
         n_pairs = len(ia)
         pov = pamax = pbmax = None
         if not is_ed:
-            plA = np.minimum(bc.rank_off[ia + 1] - bc.rank_off[ia],
-                             bc.plen[ia])
-            plB = np.minimum(bc.rank_off[ib + 1] - bc.rank_off[ib],
-                             bc.plen[ib])
+            plA = np.minimum(bcA.rank_off[la + 1] - bcA.rank_off[la],
+                             bcA.plen[la])
+            plB = np.minimum(bcB.rank_off[lb + 1] - bcB.rank_off[lb],
+                             bcB.plen[lb])
 
-            def pref_keys(idx, pl):
+            def pref_keys(bcS, idx, pl):
                 # (pid << 32 | tok) keys over each pair's prefix slice; pid
                 # ascends block-wise and tok ascends within each block (rank
                 # arrays are sorted), so the keys come out GLOBALLY sorted —
@@ -1242,13 +992,13 @@ class BroadcastVerify:
                             np.empty(0, np.int64), seg)
                 pid = np.repeat(np.arange(n_pairs, dtype=np.int64), pl)
                 off = np.arange(tot, dtype=np.int64) - np.repeat(seg[:-1], pl)
-                tok = bc.rank_flat[np.repeat(bc.rank_off[idx], pl) + off]
+                tok = bcS.rank_flat[np.repeat(bcS.rank_off[idx], pl) + off]
                 key = ((pid.astype(np.uint64) << np.uint64(32))
                        | tok.astype(np.uint64))
                 return key, pid, off, seg
 
-            keyA, pidA, offA, segA = pref_keys(ia, plA)
-            keyB, pidB, offB, segB = pref_keys(ib, plB)
+            keyA, pidA, offA, segA = pref_keys(bcA, la, plA)
+            keyB, pidB, offB, segB = pref_keys(bcB, lb, plB)
             pov = np.zeros(n_pairs, dtype=np.int64)
             pamax = np.zeros(n_pairs, dtype=np.int64)
             pbmax = np.zeros(n_pairs, dtype=np.int64)
@@ -1268,11 +1018,11 @@ class BroadcastVerify:
                     pamax[pu] = (loc[hit] - segA[hpid])[ilast]
                     pbmax[pu] = offB[hit][ilast]
 
-        l_cnt = np.diff(bc.l_key_off)
-        r_cnt = np.diff(bc.r_key_off)
+        cntA = bcA.l_key_off[la + 1] - bcA.l_key_off[la]
+        cntB = bcB.r_key_off[lb + 1] - bcB.r_key_off[lb]
         # counter semantics: unique candidate pairs entering verification
         # (== round 2's ownership survivors), record-pair weighted
-        checked = int((l_cnt[ia] * r_cnt[ib]).sum())
+        checked = int((cntA * cntB).sum())
         if self.counter_name and checked:
             try:
                 if self._counter is None:
@@ -1282,13 +1032,14 @@ class BroadcastVerify:
                 pass
 
         if not is_ed:
-            szA = bc.sz[ia]
-            szB = bc.sz[ib]
+            szA = bcA.sz[la]
+            szB = bcB.sz[lb]
             ovt = bounds.overlap_threshold_many(szA, szB, self.sim_type,
                                                 self.threshold)
             ub = pov + np.minimum(szA - 1 - pamax, szB - 1 - pbmax)
             keep = ub >= ovt
-            ia, ib = ia[keep], ib[keep]
+            ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+            cntA, cntB = cntA[keep], cntB[keep]
             pov, pamax, pbmax = pov[keep], pamax[keep], pbmax[keep]
         _mark('intersect')
         if len(ia) == 0:
@@ -1296,21 +1047,22 @@ class BroadcastVerify:
 
         # ---- exact verification --------------------------------------
         if is_ed:
-            keep = np.abs(bc.s_len[ia] - bc.s_len[ib]) <= self.threshold
-            ia, ib = ia[keep], ib[keep]
+            keep = np.abs(bcA.s_len[la] - bcB.s_len[lb]) <= self.threshold
+            ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+            cntA, cntB = cntA[keep], cntB[keep]
             if len(ia) == 0:
                 return self._empty()
-            scores = _lev_many(bc.s[ia].tolist(),
-                               bc.s[ib].tolist()).astype(np.float64)
+            scores = _lev_many(bcA.s[la].tolist(),
+                               bcB.s[lb].tolist()).astype(np.float64)
         else:
             # overlap = pov + |tail_A ∩ tail_B| where the tails start just
             # after the last shared prefix position (all earlier shared
             # tokens are already in pov — see bound derivation above).
             # Tails are tiny for pruned survivors; a numpy sort-merge over
             # (pid, token) keys replaces round 2's full-array explode join.
-            o = pov + self._tail_overlap(bc, ia, ib, pamax, pbmax)
-            n1 = bc.sz[ia].astype(np.float64)
-            n2 = bc.sz[ib].astype(np.float64)
+            o = pov + self._tail_overlap(bcA, la, bcB, lb, pamax, pbmax)
+            n1 = bcA.sz[la].astype(np.float64)
+            n2 = bcB.sz[lb].astype(np.float64)
             of = o.astype(np.float64)
             st = self.sim_type
             if st == 'OVERLAP':
@@ -1328,7 +1080,8 @@ class BroadcastVerify:
             if self.round_score and st in ('JACCARD', 'COSINE', 'DICE'):
                 scores = np.round(scores, 4)
         keep = self.comp_fn(scores, self.threshold)
-        ia, ib, scores = ia[keep], ib[keep], scores[keep]
+        ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+        cntA, cntB, scores = cntA[keep], cntB[keep], scores[keep]
         _mark('verify')
         if len(ia) == 0:
             return self._empty()
@@ -1339,10 +1092,12 @@ class BroadcastVerify:
         # one sig pair with tot = m² expanded rows) must not drive one
         # unbounded np.repeat/np.arange allocation — each slab's transient
         # arrays are bounded regardless of per-pair tot
-        nl, nr = l_cnt[ia], r_cnt[ib]
+        nl, nr = cntA, cntB
         tot = (nl * nr).astype(np.int64)
         cum = np.concatenate(([0], np.cumsum(tot)))
         total = int(cum[-1])
+        offA_k = bcA.l_key_off[la]
+        offB_k = bcB.r_key_off[lb]
         parts_l, parts_r, parts_s = [], [], []
         for s in range(0, total, _EXPAND_SLAB):
             e = min(s + _EXPAND_SLAB, total)
@@ -1350,8 +1105,8 @@ class BroadcastVerify:
             pair_idx = np.searchsorted(cum, flat, 'right') - 1
             off = flat - cum[pair_idx]
             nr_p = nr[pair_idx]
-            out_l = bc.l_key_flat[bc.l_key_off[ia][pair_idx] + off // nr_p]
-            out_r = bc.r_key_flat[bc.r_key_off[ib][pair_idx] + off % nr_p]
+            out_l = bcA.l_key_flat[offA_k[pair_idx] + off // nr_p]
+            out_r = bcB.r_key_flat[offB_k[pair_idx] + off % nr_p]
             out_s = scores[pair_idx]
             if self.self_join:
                 # candidates are canonical (ia <= ib): orient each expanded
@@ -1390,18 +1145,19 @@ class BroadcastVerify:
                              '_sim_score': out_s})
 
     @staticmethod
-    def _tail_overlap(bc: _TsigBroadcast, ia: np.ndarray, ib: np.ndarray,
+    def _tail_overlap(bcA: _TsigBroadcast, la: np.ndarray,
+                      bcB: _TsigBroadcast, lb: np.ndarray,
                       pamax: np.ndarray, pbmax: np.ndarray) -> np.ndarray:
         """|A[pamax+1:] ∩ B[pbmax+1:]| per pair, via a sort-merge over
         (pair, token) keys.  Set tokenizers make per-side tokens unique, so
         the match count is the exact intersection size."""
-        m = len(ia)
-        startsA = bc.rank_off[ia] + pamax + 1
-        lensA = np.maximum(bc.rank_off[ia + 1] - startsA, 0)
-        startsB = bc.rank_off[ib] + pbmax + 1
-        lensB = np.maximum(bc.rank_off[ib + 1] - startsB, 0)
+        m = len(la)
+        startsA = bcA.rank_off[la] + pamax + 1
+        lensA = np.maximum(bcA.rank_off[la + 1] - startsA, 0)
+        startsB = bcB.rank_off[lb] + pbmax + 1
+        lensB = np.maximum(bcB.rank_off[lb + 1] - startsB, 0)
 
-        def keys(starts, lens):
+        def keys(bcS, starts, lens):
             tot = int(lens.sum())
             if tot == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.int64)
@@ -1409,12 +1165,12 @@ class BroadcastVerify:
             off = (np.arange(tot, dtype=np.int64)
                    - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])),
                                lens))
-            tok = bc.rank_flat[np.repeat(starts, lens) + off]
+            tok = bcS.rank_flat[np.repeat(starts, lens) + off]
             return ((pid.astype(np.uint64) << np.uint64(32))
                     | tok.astype(np.uint64)), pid
 
-        keyA, _ = keys(startsA, lensA)
-        keyB, pidB = keys(startsB, lensB)
+        keyA, _ = keys(bcA, startsA, lensA)
+        keyB, pidB = keys(bcB, startsB, lensB)
         out = np.zeros(m, dtype=np.int64)
         if len(keyA) == 0 or len(keyB) == 0:
             return out
@@ -1558,185 +1314,66 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                 = prev_ppc
             ctx.op_resource_reservation_enabled = prev_reserve
 
-    # ---- Tmem: slim membership (sig, side, key) --------------------------
-    def mem_cols(b: pa.Table) -> pa.Table:
-        return pa.table({'sig': b['sig'], 'side': b['side'], 'key': b['key']})
-    tmem = tagged.map_batches(mem_cols, batch_format='pyarrow').materialize()
 
-    # ---- Tsig: one row per distinct signature ----------------------------
-    def fold(b: pa.Table) -> pa.Table:
-        return _fold_batch(b, nb)
-    tsig = tagged.map_batches(fold, batch_format='pyarrow') \
-        .groupby('sb').map_groups(_fold_group, batch_format='pyarrow')
-    if same_relation:
-        # single-side input: every signature serves both sides
-        def both_sides(b: pa.Table) -> pa.Table:
-            return b.set_column(b.schema.get_field_index('c_r'), 'c_r',
-                                b['c_l'])
-        tsig = tsig.map_batches(both_sides, batch_format='pyarrow')
-    tsig = tsig.materialize()
-
-    # ---- postings + per-partition candidate generation -------------------
-    # one SQL per PARTITION of buckets (join keyed on (bucket, tok)), not
-    # one per bucket/grid-cell — see BroadcastCandGen for the rationale
-    postings = tsig.map_batches(SlimPostingsStage(nb, heavy_ref,
-                                                  num_parts=256),
-                                batch_format='pyarrow')
-    pair_fn = SlimPairGen(cfg.sim_type, cfg.threshold, cfg.qval,
-                          same_relation=same_relation)
-    cands = postings.groupby('part').map_groups(pair_fn,
-                                                batch_format='pyarrow')
-    if same_relation and not cfg.self_join:
-        # full pair-matrix semantics: restore both orientations of the
-        # canonical candidates (identity pairs mirror to themselves)
-        def mirror(b: pa.Table) -> pa.Table:
-            sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
-            sb = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = sa != sb
-            return pa.table({
-                'sa': np.concatenate([sa, sb[keep]]),
-                'sb': np.concatenate([sb, sa[keep]])})
-        cands = cands.map_batches(mirror, batch_format='pyarrow')
-
-    sch = tmem.schema()
-    key_type = dict(zip(sch.names, sch.types)).get('key', pa.int64())
-    ranks_type = pa.list_(pa.int32())
-
-    # ---- verify pass 1: co-bucket candidates with Tsig, attach side A ----
-    def sig_rows_v(b: pa.Table) -> pa.Table:
-        n = len(b)
-        cols = {
-            'vb': pa.array(_hash_bucket(b['sig'].to_numpy(), nb)
-                           .astype(np.int64)),
-            'kind': pa.array(np.zeros(n, np.int8)),
-            'sig': b['sig'],
-            # sentinel, not null: a nullable int64 silently becomes float64
-            # through any pandas block conversion, rounding 63-bit sigs
-            'other': pa.array(np.full(n, -1, np.int64)),
-            'sz': b['sz'], 'c_l': b['c_l'], 'c_r': b['c_r'],
-            'ranks': b['ranks'],
-        }
-        if keep_string:
-            cols['s'] = b['s']
-        return pa.table(cols)
-
-    def pair_rows_v1(b) -> pa.Table:
-        if isinstance(b, pd.DataFrame):
-            b = pa.Table.from_pandas(b, preserve_index=False)
-        sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(b)
-        cols = {
-            'vb': pa.array(_hash_bucket(sa, nb).astype(np.int64)),
-            'kind': pa.array(np.ones(n, np.int8)),
-            'sig': pa.array(sa), 'other': b['sb'],
-            'sz': pa.array(np.zeros(n, np.int32)),
-            'c_l': pa.array(np.zeros(n, np.int64)),
-            'c_r': pa.array(np.zeros(n, np.int64)),
-            'ranks': _null_col(n, ranks_type),
-        }
-        if keep_string:
-            cols['s'] = _null_col(n, pa.string())
-        return pa.table(cols)
-
-    v1_in = tsig.map_batches(sig_rows_v, batch_format='pyarrow').union(
-        cands.map_batches(pair_rows_v1, batch_format='pyarrow'))
-    attached_a = v1_in.groupby('vb').map_groups(AttachA(keep_string),
-                                                batch_format='pyarrow')
-
-    # ---- verify pass 2: attach side B + exact scoring --------------------
-    def pair_rows_v2(b) -> pa.Table:
-        if isinstance(b, pd.DataFrame):
-            b = pa.Table.from_pandas(b, preserve_index=False)
-        sb_ = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(b)
-        ra = b['ranks_a']
-        if not isinstance(ra, (pa.ListArray, pa.ChunkedArray)) or \
-                not pa.types.is_list(ra.type):
-            ra = pa.array([np.asarray(x, np.int32) for x in
-                           b['ranks_a'].to_pylist()], type=ranks_type)
-        cols = {
-            'vb': pa.array(_hash_bucket(sb_, nb).astype(np.int64)),
-            'kind': pa.array(np.ones(n, np.int8)),
-            'sig': pa.array(sb_), 'other': b['sa'],
-            'sz': pa.compute.cast(b['sz_a'], pa.int32()),
-            'c_l': pa.compute.cast(b['cnt_a'], pa.int64()),
-            'c_r': pa.array(np.zeros(n, np.int64)),
-            'ranks': ra,
-        }
-        if keep_string:
-            sa_col = b['s_a']
-            cols['s'] = (sa_col if pa.types.is_string(sa_col.type)
-                         else pa.compute.cast(sa_col, pa.string()))
-        return pa.table(cols)
-
-    v2_in = tsig.map_batches(sig_rows_v, batch_format='pyarrow').union(
-        attached_a.map_batches(pair_rows_v2, batch_format='pyarrow'))
-    matched = v2_in.groupby('vb').map_groups(
-        AttachBVerify(cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
-                      round_score=True, counter_name=cfg.counter_name),
-        batch_format='pyarrow')
-
-    # ---- expansion: matched sig pairs × memberships ----------------------
-    def mem_rows(side):
-        def f(b: pa.Table) -> pa.Table:
-            m = b.filter(pa.compute.equal(b['side'], side))
-            n = len(m)
-            return pa.table({
-                'vb': pa.array(_hash_bucket(m['sig'].to_numpy(), nb)
-                               .astype(np.int64)),
-                'kind': pa.array(np.zeros(n, np.int8)),
-                'sig': m['sig'],
-                'other': pa.array(np.full(n, -1, np.int64)),
-                'score': _null_col(n, pa.float64()),
-                'key': m['key'],
-                'ident': pa.array(np.zeros(n, np.int8)),
-            })
-        f.__name__ = f'mem_rows{side}'
-        return f
-
-    mem_side_r = 0 if same_relation else 1
-
-    def match_rows_e1(b) -> pa.Table:
-        if isinstance(b, pd.DataFrame):
-            b = pa.Table.from_pandas(b, preserve_index=False)
-        sa = b['sa'].to_numpy(zero_copy_only=False).astype(np.int64)
-        sb_arr = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(b)
-        return pa.table({
-            'vb': pa.array(_hash_bucket(sa, nb).astype(np.int64)),
-            'kind': pa.array(np.ones(n, np.int8)),
-            'sig': pa.array(sa), 'other': b['sb'],
-            'score': pa.compute.cast(b['score'], pa.float64()),
-            'key': _null_col(n, key_type),
-            'ident': pa.array((sa == sb_arr).astype(np.int8)),
-        })
-
-    e1_in = tmem.map_batches(mem_rows(0), batch_format='pyarrow').union(
-        matched.map_batches(match_rows_e1, batch_format='pyarrow'))
-    half = e1_in.groupby('vb').map_groups(ExpandSide(0, cfg.self_join),
-                                          batch_format='pyarrow')
-
-    def match_rows_e2(b) -> pa.Table:
-        if isinstance(b, pd.DataFrame):
-            b = pa.Table.from_pandas(b, preserve_index=False)
-        sb_ = b['sb'].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(b)
-        lk = b['l_key']
-        if key_type is not None and lk.type != key_type:
-            lk = pa.compute.cast(lk, key_type)
-        return pa.table({
-            'vb': pa.array(_hash_bucket(sb_, nb).astype(np.int64)),
-            'kind': pa.array(np.ones(n, np.int8)),
-            'sig': pa.array(sb_),
-            'other': pa.array(np.full(n, -1, np.int64)),
-            'score': pa.compute.cast(b['score'], pa.float64()),
-            'key': lk,
-            'ident': pa.compute.cast(b['ident'], pa.int8()),
-        })
-
-    e2_in = tmem.map_batches(mem_rows(mem_side_r),
-                             batch_format='pyarrow').union(
-        half.map_batches(match_rows_e2, batch_format='pyarrow'))
-    pairs = e2_in.groupby('vb').map_groups(ExpandSide(1, cfg.self_join),
-                                           batch_format='pyarrow')
-    return pairs
+    # ---- sharded-broadcast scale path ------------------------------------
+    # Tsig is built by the SAME parallel shard builders as the broadcast
+    # path, but never stitched: each shard (a HIGH-BIT signature range) is
+    # its own bounded _TsigBroadcast ref.  Candidate pairs route by shard
+    # PAIR (BroadcastCandGen.shard_bases), so a verify task reads at most
+    # TWO shards (~SSJ_SHARD_TARGET_BYTES each, zero-copy per node) and the
+    # rank arrays never ride a pair exchange — the pair streams carry 8-B
+    # pair64s end to end.  Replaces the former five-barrier attach/expand
+    # pipeline (measured on the 3x/4.46M-file corpus at 32 CPUs: 247 s);
+    # the only full-payload exchanges left are the split combiner and the
+    # shard builders' object reads.
+    from ray.data.context import ShuffleStrategy
+    ctx = ray.data.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = getattr(
+        ShuffleStrategy,
+        os.environ.get('SSJ_SHUFFLE_STRATEGY', 'SORT_SHUFFLE_PUSH_BASED'))
+    prev_reserve = ctx.op_resource_reservation_enabled
+    if os.environ.get('SSJ_OP_RESERVATION') != '1':
+        ctx.op_resource_reservation_enabled = False
+    try:
+        target = int(os.environ.get('SSJ_SHARD_TARGET_BYTES',
+                                    str(256 * 1024 ** 2)))
+        est = size_bytes_hint or (2 * _BROADCAST_GATE_FLOOR)
+        # every shard builder scans all split blocks (zero-copy filter), so
+        # build cost is nsh × O(data) — the cap bounds that; beyond cap ×
+        # target the per-shard size grows past the target proportionally
+        # (raise SSJ_MAX_SHARDS on clusters with more aggregate CPU)
+        max_sh = int(os.environ.get('SSJ_MAX_SHARDS', '64'))
+        nsh = min(max(8, -(-int(est) // target)), max_sh)
+        nsh = 1 << (int(nsh) - 1).bit_length()  # pow2: no empty top shards
+        shard_refs, bases, tbl_refs, nsig = collect_tsig_shards(
+            tagged, same_relation, keep_string, nsh)
+        if nsig == 0:
+            return ray.data.from_pandas(pd.DataFrame({
+                'l_key': np.array([], object),
+                'r_key': np.array([], object),
+                '_sim_score': np.array([], np.float64)}))
+        heavy = {}
+        if heavy_ref is not None:
+            heavy = (ray.get(heavy_ref)
+                     if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref)
+        postings = tsig_postings_input(tbl_refs, nsig).map_batches(
+            SlimPostingsStage(nb, heavy_ref, emit_sides=not same_relation,
+                              num_parts=256),
+            batch_format='pyarrow')
+        cand = postings.groupby('part').map_groups(
+            BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
+                             same_relation=same_relation,
+                             heavy=heavy, shard_bases=bases,
+                             shard_sub=int(os.environ.get(
+                                 'SSJ_SHARD_SUB', '8'))),
+            batch_format='pyarrow')
+        fn = BroadcastVerify(
+            None, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
+            same_relation=same_relation, self_join=cfg.self_join,
+            round_score=True, counter_name=cfg.counter_name,
+            shard_refs=shard_refs, shard_bases=bases)
+        return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        ctx.op_resource_reservation_enabled = prev_reserve
