@@ -161,3 +161,19 @@ def test_broadcast_gate_adaptive(monkeypatch):
     assert broadcast_gate_bytes() == 12345
     monkeypatch.delenv('SSJ_BROADCAST_GATE_BYTES')
     assert broadcast_gate_bytes() >= 2 * 1024 ** 3
+
+
+def test_sharded_path_many_shards(parts, monkeypatch):
+    """Sharded-broadcast regime with a tiny shard target (max shard count):
+    shard-pair routing + two-sided verify must reproduce the broadcast
+    pair set exactly (regression: int32 group keys overflowed at high
+    shard counts)."""
+    tok = WhitespaceTokenizer(return_set=True)
+    base = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                        'p_name', 'p_name', tok, 0.5)
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    monkeypatch.setenv('SSJ_SHARD_TARGET_BYTES', '2000')
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    sharded = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                           'p_name', 'p_name', tok, 0.5)
+    assert _pairs(base) == _pairs(sharded)
