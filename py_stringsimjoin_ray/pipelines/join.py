@@ -301,10 +301,20 @@ def _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation):
                                       32, int(ray.cluster_resources()
                                               .get('CPU', 8)) * 4))
 
+    # same gate hint formula as the broadcast-ordering path: without it the
+    # join would always pick the single-broadcast regime — contradicting
+    # the whole point of this beyond-driver-vocabulary path at scale
+    try:
+        tot_tokens = int(freq_ds.sum('count') or 0)
+        rows_est = tok_l.count() + (0 if same_relation else tok_r.count())
+        per_tok = 5 if cfg.keep_string else 4
+        size_hint = tot_tokens * per_tok + rows_est * 64
+    except Exception:  # pragma: no cover
+        size_hint = None
     return slim_match_pairs(ranked(tok_l),
                             None if same_relation else ranked(tok_r),
                             cfg, heavy_ref, same_relation,
-                            size_bytes_hint=None)
+                            size_bytes_hint=size_hint)
 
 
 def _empty_key_lists(cfg, tok_l, tok_r):

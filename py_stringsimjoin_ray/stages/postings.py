@@ -502,6 +502,17 @@ class PostingsStage:
     key, sz:int32, ranks:list<int64>, plen:int32 [, s:string].
     (Token positions are NOT carried: the verify/position-filter kernels
     recompute them by binary search on the sorted rank arrays.)
+
+    SCALE NOTE: this stage serves ONLY the reference-parity FILTER
+    blockers (``mode='overlap_candidates' / 'prefix_candidates' /
+    'position_candidates'`` — ``Filter.filter_tables``), whose contract is
+    the exact reference pair set of one named filter, and whose kernels
+    need both rank arrays per pair.  It carries each record's rank array
+    on every posting (O(n·p) payload per record).  The JOIN core — the
+    100-TB path — does NOT use it: ``mode='join'`` routes through
+    ``stages/slimjoin.py`` (16–26 B rank-free postings, signature dedup,
+    broadcast/sharded verify-time attach).  Pipelines that must block at
+    corpus scale should use the joins, not ``filter_tables``.
     """
 
     def __init__(self, side: int, num_buckets: int,
