@@ -75,35 +75,75 @@ class Filter:
         if isinstance(candset, pd.DataFrame) and candset.empty:
             return candset
 
-        l_pd = ltable if isinstance(ltable, pd.DataFrame) else ltable.to_pandas()
-        r_pd = rtable if isinstance(rtable, pd.DataFrame) else rtable.to_pandas()
-
         # stream the candset through map_batches (same shape as
-        # apply_matcher): the filter-attr maps broadcast once via ray.put,
-        # the per-pair predicate runs distributed over candset batches
-        lmap_ref = ray.put(dict(zip(l_pd[l_key_attr], l_pd[l_filter_attr])))
-        rmap_ref = ray.put(dict(zip(r_pd[r_key_attr], r_pd[r_filter_attr])))
+        # apply_matcher): the filter-attr projections attach per batch via
+        # stages/attach.py — broadcast once via ray.put under the
+        # object-store gate, bucketed hash-shuffle attach beyond it
+        # (VERDICT r2 #3) — and the per-pair predicate runs distributed
+        # over candset batches
+        from ..stages.attach import (arrow_schema_of, bucketed_attach,
+                                     plan_side)
+        lmode, lside = plan_side(ltable, l_key_attr,
+                                 list(dict.fromkeys([l_key_attr,
+                                                     l_filter_attr])))
+        rmode, rside = plan_side(rtable, r_key_attr,
+                                 list(dict.fromkeys([r_key_attr,
+                                                     r_filter_attr])))
         flt = self
 
-        def keep_batch(batch: pd.DataFrame) -> pd.DataFrame:
-            lmap = ray.get(lmap_ref)
-            rmap = ray.get(rmap_ref)
-            keep = [not flt.filter_pair(lmap[lk], rmap[rk])
-                    for lk, rk in zip(batch[candset_l_key_attr],
-                                      batch[candset_r_key_attr])]
-            return batch[np.asarray(keep, dtype=bool)]
-        keep_batch.__name__ = 'filter_candset'
+        if lmode == 'broadcast' and rmode == 'broadcast':
+            lmap_ref = ray.put(dict(zip(lside[l_key_attr],
+                                        lside[l_filter_attr])))
+            rmap_ref = ray.put(dict(zip(rside[r_key_attr],
+                                        rside[r_filter_attr])))
+
+            def keep_batch(batch: pd.DataFrame) -> pd.DataFrame:
+                lmap = ray.get(lmap_ref)
+                rmap = ray.get(rmap_ref)
+                keep = [not flt.filter_pair(lmap[lk], rmap[rk])
+                        for lk, rk in zip(batch[candset_l_key_attr],
+                                          batch[candset_r_key_attr])]
+                return batch[np.asarray(keep, dtype=bool)]
+            keep_batch.__name__ = 'filter_candset'
+
+            def run(cand_ds):
+                return cand_ds.map_batches(keep_batch, batch_format='pandas')
+        else:
+            def run(cand_ds):
+                cand_schema = arrow_schema_of(cand_ds)
+                att, lm, sch1 = bucketed_attach(
+                    cand_ds, cand_schema, lside, candset_l_key_attr,
+                    l_key_attr, [l_key_attr, l_filter_attr]
+                    if l_filter_attr != l_key_attr else [l_key_attr], 'l')
+                att, rm, _ = bucketed_attach(
+                    att, sch1, rside, candset_r_key_attr, r_key_attr,
+                    [r_key_attr, r_filter_attr]
+                    if r_filter_attr != r_key_attr else [r_key_attr], 'r')
+                drop = [c for c in list(lm.values()) + list(rm.values())
+                        if c.startswith('__ssj_')]
+
+                def keep_joined(batch: pd.DataFrame) -> pd.DataFrame:
+                    lv = batch[lm[l_filter_attr]]
+                    rv = batch[rm[r_filter_attr]]
+                    keep = [not flt.filter_pair(l, r)
+                            for l, r in zip(lv, rv)]
+                    return batch[np.asarray(keep, dtype=bool)] \
+                        .drop(columns=drop)
+                keep_joined.__name__ = 'filter_candset'
+                return att.map_batches(keep_joined, batch_format='pandas')
 
         if isinstance(candset, ray.data.Dataset):
-            return candset.map_batches(keep_batch, batch_format='pandas')
-        # DataFrame parity: carry the original index through the pipeline so
-        # the filtered frame keeps the reference's row identities
+            return run(candset)
+        # DataFrame parity: carry the original index AND position through the
+        # pipeline so the filtered frame keeps the reference's row
+        # identities and order (the bucketed-attach regime reorders rows)
         staged = candset.reset_index()
         idx_col = staged.columns[0]
-        out_pd = ray.data.from_pandas(staged) \
-            .map_batches(keep_batch, batch_format='pandas').to_pandas()
+        staged['__ssj_pos'] = np.arange(len(staged))
+        out_pd = run(ray.data.from_pandas(staged)).to_pandas()
         if idx_col not in out_pd.columns:  # empty result lost its schema
             out_pd = staged.iloc[0:0]
+        out_pd = out_pd.sort_values('__ssj_pos').drop(columns=['__ssj_pos'])
         out_pd = out_pd.set_index(idx_col)
         out_pd.index.name = candset.index.name
         return out_pd

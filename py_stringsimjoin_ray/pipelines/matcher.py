@@ -1,12 +1,19 @@
 """apply_matcher — refine a candidate set with an arbitrary similarity
 function (reference: ``/root/reference/py_stringsimjoin/matcher/apply_matcher.py``).
 
-Ray-Data shape: the candset streams through ``map_batches``; the two source
-tables' (key → match-attr value) maps are broadcast via ``ray.put`` and
-fetched once per task (the reference instead copies both full tables into
-every joblib worker, ``apply_matcher.py:254-260``).  The user-supplied
+Ray-Data shape: the candset streams through ``map_batches`` end-to-end — a
+Dataset candset is NEVER collected to the driver (the reference instead
+splits the candset across joblib workers and copies both full tables into
+each, ``apply_matcher.py:196-229, 254-260``).  The two tables' (key →
+match/output attrs) projections attach per batch through
+``stages/attach.py``: broadcast via ``ray.put`` when they fit the
+object-store gate, Ray-native hash join beyond it.  The user-supplied
 ``sim_function`` and tokenizer ride along as serialized state (Ray's
 cloudpickle replaces the reference's copyreg hooks, ``utils/pickle.py``).
+
+``output='pandas'`` (default) returns the reference-parity DataFrame with
+the candset ``_id`` preserved; ``output='dataset'`` returns the same rows as
+a streaming ``ray.data.Dataset`` (identical schema).
 """
 
 from __future__ import annotations
@@ -19,7 +26,32 @@ import ray.data
 
 from ..core import validation as V
 from ..core.comp_ops import COMP_OP_MAP
+from ..stages.attach import bucketed_attach, plan_side
 from .join import _remove_redundant_attrs, _to_dataset, output_header
+
+
+def _score_mask(lv_all, rv_all, tokenizer, sim_function, comp_fn, threshold,
+                allow_missing):
+    """Vectorized-as-possible scoring core: one tokenize per distinct string
+    per batch, comp_op applied per pair.  Missing (null) attr values keep
+    the pair with a NaN score iff ``allow_missing``
+    (``apply_matcher.py:286-297`` semantics)."""
+    null_mask = pd.isnull(lv_all) | pd.isnull(rv_all)
+    if tokenizer is not None:
+        tok_cache = {}
+        for v in pd.unique(np.concatenate([lv_all[~null_mask],
+                                           rv_all[~null_mask]])):
+            tok_cache[v] = tokenizer.tokenize(v)
+        get = tok_cache.get
+    else:
+        get = lambda v: v  # noqa: E731 - raw-value contract
+    scores = np.full(len(lv_all), np.nan)
+    keep = np.full(len(lv_all), bool(allow_missing))
+    for i in np.flatnonzero(~null_mask):
+        s = sim_function(get(lv_all[i]), get(rv_all[i]))
+        scores[i] = s
+        keep[i] = bool(comp_fn(s, threshold))
+    return scores, keep
 
 
 def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
@@ -28,7 +60,7 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
                   threshold, comp_op='>=', allow_missing=False,
                   l_out_attrs=None, r_out_attrs=None,
                   l_out_prefix='l_', r_out_prefix='r_', out_sim_score=True,
-                  n_jobs=1, show_progress=False):
+                  n_jobs=1, show_progress=False, output='pandas'):
     """Find matching pairs from the candidate set by applying
     ``sim_function`` on the match attribute (token lists if a tokenizer is
     given, raw values otherwise); keep pairs whose score satisfies
@@ -53,78 +85,96 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
         V.validate_key_attr(l_key_attr, ltable, 'left table')
         V.validate_key_attr(r_key_attr, rtable, 'right table')
 
-    cand_pd = candset if isinstance(candset, pd.DataFrame) else candset.to_pandas()
-    if cand_pd.empty:
-        return cand_pd
+    if isinstance(candset, pd.DataFrame) and candset.empty:
+        return candset
 
     l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
     r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
-
-    l_pd = ltable if isinstance(ltable, pd.DataFrame) else ltable.to_pandas()
-    r_pd = rtable if isinstance(rtable, pd.DataFrame) else rtable.to_pandas()
-
-    l_need = list(dict.fromkeys([l_key_attr, l_match_attr] + (l_out_attrs or [])))
-    r_need = list(dict.fromkeys([r_key_attr, r_match_attr] + (r_out_attrs or [])))
-    l_ref = ray.put(l_pd[l_need].set_index(l_key_attr, drop=False))
-    r_ref = ray.put(r_pd[r_need].set_index(r_key_attr, drop=False))
-
-    comp_fn = COMP_OP_MAP[comp_op]
-    id_col = cand_pd.columns[0]
-
-    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        lt = ray.get(l_ref)
-        rt = ray.get(r_ref)
-        # one vectorized positional gather per side instead of a pandas
-        # label lookup per pair
-        li = lt.index.get_indexer(batch[candset_l_key_attr])
-        ri = rt.index.get_indexer(batch[candset_r_key_attr])
-        if (li < 0).any() or (ri < 0).any():
-            bad = (batch[candset_l_key_attr][li < 0].tolist()
-                   + batch[candset_r_key_attr][ri < 0].tolist())
-            raise KeyError(f'candset keys not present in the input tables: '
-                           f'{bad[:5]}')
-        lv_all = lt[l_match_attr].to_numpy()[li]
-        rv_all = rt[r_match_attr].to_numpy()[ri]
-        null_mask = pd.isnull(lv_all) | pd.isnull(rv_all)
-
-        if tokenizer is not None:
-            # tokenize each distinct string once per batch
-            tok_cache = {}
-            for v in pd.unique(np.concatenate([lv_all[~null_mask],
-                                               rv_all[~null_mask]])):
-                tok_cache[v] = tokenizer.tokenize(v)
-            get = tok_cache.get
-        else:
-            get = lambda v: v  # noqa: E731 - raw-value contract
-
-        scores = np.full(len(batch), np.nan)
-        keep = np.full(len(batch), bool(allow_missing))
-        for i in np.flatnonzero(~null_mask):
-            s = sim_function(get(lv_all[i]), get(rv_all[i]))
-            scores[i] = s
-            keep[i] = bool(comp_fn(s, threshold))
-        out = batch.copy()
-        out['__score'] = scores
-        return out[keep]
-
-    cand_ds = _to_dataset(cand_pd)
-    kept = cand_ds.map_batches(score_batch, batch_format='pandas').to_pandas()
-
+    l_need = list(dict.fromkeys([l_key_attr, l_match_attr]
+                                + (l_out_attrs or [])))
+    r_need = list(dict.fromkeys([r_key_attr, r_match_attr]
+                                + (r_out_attrs or [])))
     header = output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
                            l_out_prefix, r_out_prefix)
-    out = pd.DataFrame({'_id': kept[id_col].to_numpy() if len(kept) else [],
-                        header[0]: kept[candset_l_key_attr].to_numpy() if len(kept) else [],
-                        header[1]: kept[candset_r_key_attr].to_numpy() if len(kept) else []})
-    if l_out_attrs:
-        lmap = l_pd.set_index(l_key_attr)
-        for a in l_out_attrs:
-            out[l_out_prefix + a] = (lmap[a].reindex(kept[candset_l_key_attr]).to_numpy()
-                                     if len(kept) else np.array([]))
-    if r_out_attrs:
-        rmap = r_pd.set_index(r_key_attr)
-        for a in r_out_attrs:
-            out[r_out_prefix + a] = (rmap[a].reindex(kept[candset_r_key_attr]).to_numpy()
-                                     if len(kept) else np.array([]))
-    if out_sim_score:
-        out['_sim_score'] = kept['__score'].to_numpy() if len(kept) else []
+    out_cols = (['_id'] + header
+                + (['_sim_score'] if out_sim_score else []))
+    comp_fn = COMP_OP_MAP[comp_op]
+    id_col = cand_cols[0]
+
+    def emit(batch, keep, scores, lvals_by_attr, rvals_by_attr):
+        out = {'_id': batch[id_col].to_numpy()[keep],
+               header[0]: batch[candset_l_key_attr].to_numpy()[keep],
+               header[1]: batch[candset_r_key_attr].to_numpy()[keep]}
+        for a in (l_out_attrs or []):
+            out[l_out_prefix + a] = lvals_by_attr[a][keep]
+        for a in (r_out_attrs or []):
+            out[r_out_prefix + a] = rvals_by_attr[a][keep]
+        if out_sim_score:
+            out['_sim_score'] = scores[keep]
+        return pd.DataFrame(out)
+
+    lmode, lside = plan_side(ltable, l_key_attr, l_need)
+    rmode, rside = plan_side(rtable, r_key_attr, r_need)
+    cand_ds = _to_dataset(candset)
+
+    if lmode == 'broadcast' and rmode == 'broadcast':
+        l_ref, r_ref = ray.put(lside), ray.put(rside)
+
+        def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            lt, rt = ray.get(l_ref), ray.get(r_ref)
+            # one vectorized positional gather per side instead of a
+            # pandas label lookup per pair
+            li = lt.index.get_indexer(batch[candset_l_key_attr])
+            ri = rt.index.get_indexer(batch[candset_r_key_attr])
+            if (li < 0).any() or (ri < 0).any():
+                bad = (batch[candset_l_key_attr][li < 0].tolist()
+                       + batch[candset_r_key_attr][ri < 0].tolist())
+                raise KeyError(f'candset keys not present in the input '
+                               f'tables: {bad[:5]}')
+            lv_all = lt[l_match_attr].to_numpy()[li]
+            rv_all = rt[r_match_attr].to_numpy()[ri]
+            scores, keep = _score_mask(lv_all, rv_all, tokenizer,
+                                       sim_function, comp_fn, threshold,
+                                       allow_missing)
+            return emit(batch, keep, scores,
+                        {a: lt[a].to_numpy()[li] for a in (l_out_attrs or [])},
+                        {a: rt[a].to_numpy()[ri] for a in (r_out_attrs or [])})
+        score_batch.__name__ = 'apply_matcher'
+        scored = cand_ds.map_batches(score_batch, batch_format='pandas')
+    else:
+        # beyond-gate regime: bucketed hash-shuffle attach of the side
+        # projections onto the candset stream (stages/attach.py); missing
+        # candset keys raise inside the attach groups (KeyError parity)
+        from ..stages.attach import arrow_schema_of
+        cand_schema = arrow_schema_of(cand_ds)
+        if cand_schema is None:  # empty candset lost its schema
+            empty = pd.DataFrame({c: [] for c in out_cols})
+            return ray.data.from_pandas(empty) if output == 'dataset' else empty
+        joined, lmap, sch1 = bucketed_attach(cand_ds, cand_schema, lside,
+                                             candset_l_key_attr, l_key_attr,
+                                             l_need, 'l')
+        joined, rmap, _ = bucketed_attach(joined, sch1, rside,
+                                          candset_r_key_attr, r_key_attr,
+                                          r_need, 'r')
+
+        def score_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            lv_all = batch[lmap[l_match_attr]].to_numpy()
+            rv_all = batch[rmap[r_match_attr]].to_numpy()
+            scores, keep = _score_mask(lv_all, rv_all, tokenizer,
+                                       sim_function, comp_fn, threshold,
+                                       allow_missing)
+            return emit(batch, keep, scores,
+                        {a: batch[lmap[a]].to_numpy()
+                         for a in (l_out_attrs or [])},
+                        {a: batch[rmap[a]].to_numpy()
+                         for a in (r_out_attrs or [])})
+        score_joined.__name__ = 'apply_matcher'
+        scored = joined.map_batches(score_joined, batch_format='pandas')
+
+    if output == 'dataset':
+        return scored
+    out = scored.to_pandas()
+    if len(out.columns) == 0 and len(out) == 0:
+        # a fully-empty Dataset drops its schema; restore the header
+        out = pd.DataFrame({c: [] for c in out_cols})
     return out
