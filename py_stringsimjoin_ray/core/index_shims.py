@@ -55,3 +55,65 @@ class PositionIndex:
 
     def probe(self, token):
         return self.index.get(token, [])
+
+
+class InvertedIndex:
+    """token → [row ids] over ALL tokens of the index attr, plus optional
+    size cache (reference ``index/inverted_index.py:29-68``).  Takes the
+    reference's (table-as-tuples, attr position, tokenizer) surface;
+    ``build`` reports empty records like the reference."""
+
+    def __init__(self, table, index_attr, tokenizer, cache_size_flag=False):
+        self.table = table
+        self.index_attr = index_attr
+        self.tokenizer = tokenizer
+        self.cache_size_flag = cache_size_flag
+        self.index = None
+        self.size_cache = None
+
+    def build(self, cache_empty_records=True):
+        self.index = {}
+        self.size_cache = []
+        empty_records = []
+        for row_id, row in enumerate(self.table):
+            tokens = self.tokenizer.tokenize(row[self.index_attr])
+            for token in tokens:
+                self.index.setdefault(token, []).append(row_id)
+            if self.cache_size_flag:
+                self.size_cache.append(len(tokens))
+            if cache_empty_records and len(tokens) == 0:
+                empty_records.append(row_id)
+        return {'empty_records': empty_records}
+
+    def probe(self, token):
+        return self.index.get(token, [])
+
+
+class SizeIndex:
+    """token count → [row ids]; empty records tracked but not indexed
+    (reference ``index/size_index.py:22-58``)."""
+
+    def __init__(self, table, index_attr, tokenizer):
+        self.table = table
+        self.index_attr = index_attr
+        self.tokenizer = tokenizer
+        self.index = None
+        self.min_length = 2 ** 63 - 1
+        self.max_length = 0
+
+    def build(self, cache_empty_records=True):
+        self.index = {}
+        empty_records = []
+        for row_id, row in enumerate(self.table):
+            num_tokens = len(self.tokenizer.tokenize(row[self.index_attr]))
+            self.min_length = min(self.min_length, num_tokens)
+            self.max_length = max(self.max_length, num_tokens)
+            if num_tokens == 0:
+                if cache_empty_records:
+                    empty_records.append(row_id)
+                continue
+            self.index.setdefault(num_tokens, []).append(row_id)
+        return {'empty_records': empty_records}
+
+    def probe(self, num_tokens):
+        return self.index.get(num_tokens, [])

@@ -227,10 +227,12 @@ class OverlapFilter(Filter):
             score_dtype=np.int64, **kw)
 
     def find_candidates(self, probe_tokens, inverted_index):
-        # compatibility shim for code written against the reference surface
+        # compatibility shim for code written against the reference surface;
+        # accepts a plain token->ids dict or a core.index_shims.InvertedIndex
+        index = getattr(inverted_index, 'index', inverted_index) or {}
         candidate_overlap = {}
         for token in probe_tokens:
-            for cand in inverted_index.get(token, ()):
+            for cand in index.get(token, ()):
                 candidate_overlap[cand] = candidate_overlap.get(cand, 0) + 1
         return candidate_overlap
 
@@ -384,12 +386,14 @@ class SizeFilter(Filter):
                                 r_out_prefix, out_sim_score=False)
 
     def find_candidates(self, probe_num_tokens, size_index):
+        # accepts a plain size->ids dict or a core.index_shims.SizeIndex
+        index = getattr(size_index, 'index', size_index) or {}
         lb = bounds.size_lower_bound(probe_num_tokens, self.sim_measure_type,
                                      self.threshold)
         ub = bounds.size_upper_bound(probe_num_tokens, self.sim_measure_type,
                                      self.threshold)
         out = set()
-        for size, cands in size_index.items():
+        for size, cands in index.items():
             if lb <= size <= ub:
                 out.update(cands)
         return out

@@ -167,7 +167,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         # applied entirely with distributed shuffles; the driver never holds
         # the vocabulary (only the tiny heavy-token list for salting)
         pairs = _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation)
-        return pairs, _empty_key_lists(cfg, tok_l, tok_r)
+        return pairs, _empty_key_sets(cfg, tok_l, tok_r)
 
     # corpus-wide ordering over BOTH join columns (token_ordering.py:24-42
     # semantics; one global artifact instead of per-worker rebuilds).  For a
@@ -235,7 +235,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
                                  None if same_relation else ranked(tok_r),
                                  cfg, heavy_ref, same_relation,
                                  size_bytes_hint=size_hint)
-        empties = _empty_key_lists(cfg, tok_l, tok_r)
+        empties = _empty_key_sets(cfg, tok_l, tok_r)
         return pairs, empties
 
     ranked_l = ranked(tok_l)
@@ -262,7 +262,7 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
     pairs = postings.groupby('bucket') \
         .map_groups(pair_fn, batch_format='pyarrow')
 
-    return pairs, _empty_key_lists(cfg, tok_l, tok_r)
+    return pairs, _empty_key_sets(cfg, tok_l, tok_r)
 
 
 def _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation):
@@ -317,21 +317,153 @@ def _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation):
                             size_bytes_hint=size_hint)
 
 
-def _empty_key_lists(cfg, tok_l, tok_r):
+def _empty_key_sets(cfg, tok_l, tok_r):
     """allow_empty fast path inputs: keys of records whose token list is
-    empty (``join/set_sim_join.py:81-96`` semantics)."""
+    empty (``join/set_sim_join.py:81-96`` semantics).  Returned LAZY, as
+    key Datasets — the pandas assembler collects them behind a count gate,
+    the dataset assembler crosses them distributed (VERDICT r2 #2/#3)."""
     empties = {}
     if cfg.allow_empty and cfg.sim_type not in ('OVERLAP', 'EDIT_DISTANCE') \
             and cfg.mode != 'overlap_candidates':
+        def empty_keys(batch: pa.Table) -> pa.Table:
+            lens = pa.compute.list_value_length(batch['tokens'])
+            m = pa.compute.equal(lens, 0)
+            return pa.table({'key': batch['key'].filter(m)})
         for name, tds in (('l', tok_l), ('r', tok_r)):
-            def empty_keys(batch: pa.Table) -> pa.Table:
-                lens = pa.compute.list_value_length(batch['tokens'])
-                m = pa.compute.equal(lens, 0)
-                return pa.table({'key': batch['key'].filter(m)})
-            empties[name] = [r['key'] for r in
-                             tds.map_batches(empty_keys, batch_format='pyarrow')
-                             .take_all()]
+            empties[name] = tds.map_batches(empty_keys,
+                                            batch_format='pyarrow')
     return empties
+
+
+def _empties_to_lists(empties):
+    """Driver-side key lists from an empties dict whose values may be lists
+    (local fast path) or key Datasets.  Dataset collects are gated: a corpus
+    whose join attr is mostly empty would otherwise OOM the driver."""
+    import os
+    gate = int(os.environ.get('SSJ_EMPTY_KEYS_GATE', 5_000_000))
+    out = {}
+    for name, v in empties.items():
+        if isinstance(v, ray.data.Dataset):
+            v = v.materialize()
+            n = v.count()
+            if n > gate:
+                raise MemoryError(
+                    f'allow_empty key set has {n} rows, beyond the driver '
+                    f'collect gate ({gate}; env SSJ_EMPTY_KEYS_GATE). Use '
+                    f"output='dataset' — the empty cross product attaches "
+                    f'distributed there.')
+            out[name] = [r['key'] for r in v.take_all()]
+        else:
+            out[name] = v
+    return out
+
+
+def _keys_dataset(v):
+    """list-or-Dataset of keys → Dataset with column ``key``."""
+    if isinstance(v, ray.data.Dataset):
+        return v
+    return ray.data.from_pandas(pd.DataFrame({'key': list(v)}))
+
+
+def _cross_pairs_dataset(l_keys, r_keys, score):
+    """``l_keys × r_keys`` as a Dataset[(l_key, r_key, _sim_score)],
+    distributed: the smaller key set broadcasts in bounded chunks (one
+    ``ray.put`` per chunk, driver holds one chunk at a time) while the
+    larger side streams through ``map_batches``.  Returns None when either
+    side is empty."""
+    import os
+    l_keys = _keys_dataset(l_keys).materialize()
+    r_keys = _keys_dataset(r_keys).materialize()
+    nl, nr = l_keys.count(), r_keys.count()
+    if nl == 0 or nr == 0:
+        return None
+    small_is_l = nl <= nr
+    small, big = (l_keys, r_keys) if small_is_l else (r_keys, l_keys)
+    chunk = int(os.environ.get('SSJ_CROSS_CHUNK_ROWS', 200_000))
+    parts = []
+    for sb in small.iter_batches(batch_format='pyarrow', batch_size=chunk):
+        ref = ray.put(sb['key'].to_numpy(zero_copy_only=False))
+
+        def cross(b: pa.Table, _ref=ref) -> pa.Table:
+            sk = ray.get(_ref)
+            bk = b['key'].to_numpy(zero_copy_only=False)
+            si = np.repeat(sk, len(bk))
+            bi = np.tile(bk, len(sk))
+            lcol, rcol = (si, bi) if small_is_l else (bi, si)
+            return pa.table({'l_key': pa.array(lcol),
+                             'r_key': pa.array(rcol),
+                             '_sim_score': pa.array(
+                                 np.full(len(lcol), score, np.float64))})
+        cross.__name__ = 'cross_pairs'
+        parts.append(big.map_batches(cross, batch_format='pyarrow'))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _null_split_keys(table, key_attr, join_attr):
+    """(null-join-attr keys, non-null keys) as key Datasets."""
+    ds = _to_dataset(table).select_columns(
+        list(dict.fromkeys([key_attr, join_attr])))
+
+    def nulls(b: pa.Table) -> pa.Table:
+        m = pa.compute.is_null(b[join_attr])
+        return pa.table({'key': b[key_attr].filter(m)})
+    nulls.__name__ = 'null_keys'
+
+    def notnulls(b: pa.Table) -> pa.Table:
+        m = pa.compute.is_valid(b[join_attr])
+        return pa.table({'key': b[key_attr].filter(m)})
+    notnulls.__name__ = 'notnull_keys'
+    return (ds.map_batches(nulls, batch_format='pyarrow'),
+            ds.map_batches(notnulls, batch_format='pyarrow'))
+
+
+def _score_to_float(pairs_ds):
+    def f(b: pa.Table) -> pa.Table:
+        if '_sim_score' in b.column_names \
+                and b['_sim_score'].type != pa.float64():
+            i = b.column_names.index('_sim_score')
+            b = b.set_column(i, '_sim_score',
+                             b['_sim_score'].cast(pa.float64()))
+        return b
+    f.__name__ = 'score_to_float'
+    return pairs_ds.map_batches(f, batch_format='pyarrow')
+
+
+def _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
+                         l_key_attr, r_key_attr, l_join_attr, r_join_attr):
+    """``output='dataset'`` assembler: attach the allow_empty (∅,∅)
+    score-1.0 pairs and the allow_missing null cross-products to the match
+    stream, fully distributed (the pandas assembler's semantics —
+    ``set_sim_join.py:81-96``, ``utils/missing_value_handler.py:10-92`` —
+    without the driver materialization).  Schema stays
+    (l_key, r_key, _sim_score)."""
+    pairs_ds = _to_dataset(pairs) if isinstance(pairs, pd.DataFrame) else pairs
+    parts = []
+    if 'l' in empties and 'r' in empties:
+        c = _cross_pairs_dataset(empties['l'], empties['r'], 1.0)
+        if c is not None:
+            parts.append(c)
+    if cfg.allow_missing:
+        l_null, l_notnull = _null_split_keys(ltable, l_key_attr, l_join_attr)
+        r_null, _ = _null_split_keys(rtable, r_key_attr, r_join_attr)
+        r_all = _to_dataset(rtable).select_columns([r_key_attr]) \
+            .map_batches(lambda b: pa.table({'key': b[b.column_names[0]]}),
+                         batch_format='pyarrow')
+        # L-null × all R, then L-non-null × R-null: null×null pairs emitted
+        # exactly once (reference's two loops)
+        for lk, rk in ((l_null, r_all), (l_notnull, r_null)):
+            c = _cross_pairs_dataset(lk, rk, np.nan)
+            if c is not None:
+                parts.append(c)
+    if not parts:
+        return pairs_ds
+    out = _score_to_float(pairs_ds)
+    for p in parts:
+        out = out.union(p)
+    return out
 
 
 def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
@@ -388,7 +520,9 @@ def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
         pairs['_sim_score'] = np.nan
 
     # allow_empty fast path: (∅,∅) pairs, score 1.0, comp_op bypassed —
-    # bug-compatible with set_sim_join.py:81-96
+    # bug-compatible with set_sim_join.py:81-96.  Dataset-valued key sets
+    # collect behind the count gate (VERDICT r2 #3).
+    empties = _empties_to_lists(empties)
     le, re_ = empties.get('l', []), empties.get('r', [])
     if le and re_:
         el = np.repeat(np.asarray(le, dtype=object), len(re_))
@@ -475,8 +609,9 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if output == 'dataset':
-            return (ray.data.from_pandas(pairs)
-                    if isinstance(pairs, pd.DataFrame) else pairs)
+            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
+                                        l_key_attr, r_key_attr, l_join_attr,
+                                        r_join_attr)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,
@@ -602,8 +737,9 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if kw.get('output') == 'dataset':
-            return (ray.data.from_pandas(pairs)
-                    if isinstance(pairs, pd.DataFrame) else pairs)
+            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
+                                        l_key_attr, r_key_attr, l_join_attr,
+                                        r_join_attr)
         # reference emits integer edit distances (dtype parity)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,

@@ -157,6 +157,48 @@ def q_apply_matcher_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_apply_matcher_dataset_part(sf_dir):
+    """apply_matcher with a streaming Dataset candset and
+    output='dataset' — the candset is never collected to the driver
+    (VERDICT r2 #1); result equals the pandas-mode oracle."""
+    from ..core.measures import jaccard
+    part = _t(sf_dir, 'part')
+    cand = filters.OverlapFilter(_ws(), 1).filter_tables(
+        part, part, 'p_partkey', 'p_partkey', 'p_name', 'p_name')
+    import ray.data as rd
+    out = matcher.apply_matcher(rd.from_pandas(cand), 'l_p_partkey',
+                                'r_p_partkey', part, part, 'p_partkey',
+                                'p_partkey', 'p_name', 'p_name', _ws(),
+                                jaccard, 0.5, output='dataset').to_pandas()
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
+def q_apply_matcher_dist_part(sf_dir):
+    """apply_matcher through the beyond-gate bucketed-attach regime
+    (SSJ_ATTACH_FORCE_DIST): no side-table broadcast, hash-shuffle attach
+    only; result equals the broadcast-regime oracle."""
+    import os
+
+    from ..core.measures import jaccard
+    part = _t(sf_dir, 'part')
+    cand = filters.OverlapFilter(_ws(), 1).filter_tables(
+        part, part, 'p_partkey', 'p_partkey', 'p_name', 'p_name')
+    prev = os.environ.get('SSJ_ATTACH_FORCE_DIST')
+    os.environ['SSJ_ATTACH_FORCE_DIST'] = '1'
+    try:
+        out = matcher.apply_matcher(cand, 'l_p_partkey', 'r_p_partkey',
+                                    part, part, 'p_partkey', 'p_partkey',
+                                    'p_name', 'p_name', _ws(), jaccard, 0.5)
+    finally:
+        if prev is None:
+            del os.environ['SSJ_ATTACH_FORCE_DIST']
+        else:  # pragma: no cover
+            os.environ['SSJ_ATTACH_FORCE_DIST'] = prev
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 # ------------------------------------------------------- profiler / utils
 
 def q_profile_part(sf_dir):
@@ -438,6 +480,22 @@ def q_allow_missing_jaccard_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_allow_missing_jaccard_dataset_part(sf_dir):
+    """Same pair classes as allow_missing_jaccard_part but through
+    output='dataset': verified matches + allow_empty + allow_missing
+    cross-products all attach DISTRIBUTED (VERDICT r2 #2)."""
+    part = _t(sf_dir, 'part').to_pandas()
+    part['p_name'] = part['p_name'].mask(part['p_partkey'] % 97 == 0)
+    import ray.data as rd
+    ds = join.jaccard_join(rd.from_pandas(part), rd.from_pandas(part),
+                           'p_partkey', 'p_partkey', 'p_name', 'p_name',
+                           _ws(), 0.5, allow_missing=True, output='dataset')
+    out = ds.to_pandas().rename(columns={'l_key': 'l_p_partkey',
+                                         'r_key': 'r_p_partkey'})
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_person_dataset_join(sf_dir):
     """Bundled person dataset (sources/datasets.py, the reference's demo
     tables) joined end-to-end: whitespace Jaccard t=0.3 on name, incl. the
@@ -464,6 +522,8 @@ QUERIES = {
     'position_filter_part': q_position_filter_part,
     'suffix_filter_part': q_suffix_filter_part,
     'apply_matcher_part': q_apply_matcher_part,
+    'apply_matcher_dataset_part': q_apply_matcher_dataset_part,
+    'apply_matcher_dist_part': q_apply_matcher_dist_part,
     'profile_part': q_profile_part,
     'exact_dedup_documents': q_exact_dedup_documents,
     'ngram_dedup_documents': q_ngram_dedup_documents,
@@ -488,6 +548,7 @@ QUERIES = {
     'remove_non_ascii_documents': q_remove_non_ascii_documents,
     'filter_candset_part': q_filter_candset_part,
     'allow_missing_jaccard_part': q_allow_missing_jaccard_part,
+    'allow_missing_jaccard_dataset_part': q_allow_missing_jaccard_dataset_part,
     'person_dataset_join': q_person_dataset_join,
 }
 
@@ -984,6 +1045,12 @@ SELECT a.p_partkey, b.p_partkey FROM p a, p b
 WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 """,
 }
+
+# regime variants share the base operators' oracles (identical output rows)
+ORACLE_SQL['apply_matcher_dataset_part'] = ORACLE_SQL['apply_matcher_part']
+ORACLE_SQL['apply_matcher_dist_part'] = ORACLE_SQL['apply_matcher_part']
+ORACLE_SQL['allow_missing_jaccard_dataset_part'] = \
+    ORACLE_SQL['allow_missing_jaccard_part']
 
 # IVF at nprobe == nlist is exact, so it shares the brute-force top-k oracle
 # bundled person fixture re-created as inline VALUES (rows with a NULL

@@ -480,3 +480,44 @@ def test_filter_candset_forced_distributed_equality(person_tables):
     got = ds.to_pandas().sort_values(['_id']).reset_index(drop=True)
     exp = base.sort_values(['_id']).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_inverted_index_shim_reference_behavior():
+    """InvertedIndex shim mirrors index/inverted_index.py:29-68: all tokens
+    indexed (bag multiplicity), size cache optional, empty records
+    reported, probe returns row-id lists."""
+    from py_stringsimjoin_ray import WhitespaceTokenizer as WT
+    from py_stringsimjoin_ray.core.index_shims import InvertedIndex
+    tok = WT(return_set=False)
+    table = [('r0', 'aa bb aa'), ('r1', 'bb cc'), ('r2', ' '), ('r3', 'aa')]
+    idx = InvertedIndex(table, 1, tok, cache_size_flag=True)
+    info = idx.build()
+    assert info['empty_records'] == [2]
+    assert idx.probe('aa') == [0, 0, 3]  # bag tokenizer: both occurrences
+    assert idx.probe('cc') == [1]
+    assert idx.probe('zz') == []
+    assert idx.size_cache == [3, 2, 0, 1]
+    # OverlapFilter.find_candidates accepts the shim directly
+    f = OverlapFilter(WT(return_set=True), 1)
+    ov = f.find_candidates(['aa', 'cc'], idx)
+    # 'aa' postings [0, 0, 3] → r0 counted twice; 'cc' → r1 once
+    assert ov == {0: 2, 1: 1, 3: 1}
+
+
+def test_size_index_shim_reference_behavior():
+    """SizeIndex shim mirrors index/size_index.py:22-58: empty records not
+    indexed, min/max lengths tracked, probe by exact size."""
+    from py_stringsimjoin_ray import WhitespaceTokenizer as WT
+    from py_stringsimjoin_ray.core.index_shims import SizeIndex
+    tok = WT(return_set=True)
+    table = [('r0', 'aa bb cc'), ('r1', 'bb cc'), ('r2', ' '), ('r3', 'aa')]
+    idx = SizeIndex(table, 1, tok)
+    info = idx.build()
+    assert info['empty_records'] == [2]
+    assert idx.min_length == 0 and idx.max_length == 3
+    assert idx.probe(2) == [1]
+    assert idx.probe(0) == []  # empties never indexed
+    # SizeFilter.find_candidates accepts the shim directly
+    f = SizeFilter(tok, 'JACCARD', 0.5)
+    # probe size 2 → bounds [1, 4] → all non-empty records
+    assert f.find_candidates(2, idx) == {0, 1, 3}

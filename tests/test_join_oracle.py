@@ -285,3 +285,107 @@ def test_random_tables_oracle(seed, measure, threshold, ov_threshold):
     if measure == 'OVERLAP':
         exp = {p for p in exp}  # no empty-pair fast path for overlap
     assert set(zip(out['l_id'], out['r_id'])) == exp
+
+
+def _pairs_key_set(df, lcol, rcol):
+    return set(zip(df[lcol], df[rcol]))
+
+
+@pytest.mark.parametrize('force_dist', [False, True])
+def test_dataset_output_attaches_empty_and_missing(person_tables,
+                                                   force_dist):
+    """output='dataset' emits the SAME pair classes as the pandas
+    assembler: verified matches + allow_empty (∅,∅) score-1.0 pairs +
+    allow_missing NaN cross-products (VERDICT r2 #2) — on both the local
+    fast path and the forced distributed pipeline."""
+    import os
+
+    import ray.data
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    env = {}
+    if force_dist:
+        env['SSJ_LOCAL_JOIN'] = os.environ.get('SSJ_LOCAL_JOIN')
+        os.environ['SSJ_LOCAL_JOIN'] = '0'
+    try:
+        ref = jaccard_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok,
+                           0.7, allow_missing=True)
+        ds = jaccard_join(ray.data.from_pandas(A), ray.data.from_pandas(B),
+                          'A.ID', 'B.ID', 'A.name', 'B.name', tok, 0.7,
+                          allow_missing=True, output='dataset')
+        got = ds.to_pandas()
+    finally:
+        if force_dist:
+            if env['SSJ_LOCAL_JOIN'] is None:
+                del os.environ['SSJ_LOCAL_JOIN']
+            else:
+                os.environ['SSJ_LOCAL_JOIN'] = env['SSJ_LOCAL_JOIN']
+    assert _pairs_key_set(got, 'l_key', 'r_key') \
+        == _pairs_key_set(ref, 'l_A.ID', 'r_B.ID')
+    # per-pair score parity (NaN == NaN)
+    ref_scores = {(l, r): s for l, r, s in
+                  zip(ref['l_A.ID'], ref['r_B.ID'], ref['_sim_score'])}
+    for l, r, s in zip(got['l_key'], got['r_key'], got['_sim_score']):
+        e = ref_scores[(l, r)]
+        assert (np.isnan(s) and np.isnan(e)) or s == e
+    # the (∅,∅) whitespace-name pair rides along with score 1.0
+    assert got.loc[(got['l_key'] == 'a6') & (got['r_key'] == 'b7'),
+                   '_sim_score'].iloc[0] == 1.0
+
+
+def test_dataset_output_edit_distance_allow_missing(person_tables):
+    """edit_distance_join dataset mode attaches the allow_missing NaN
+    cross-product (no allow_empty class for EDIT_DISTANCE)."""
+    import ray.data
+    A, B = person_tables
+    ref = edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 3,
+                             allow_missing=True)
+    got = edit_distance_join(ray.data.from_pandas(A),
+                             ray.data.from_pandas(B),
+                             'A.ID', 'B.ID', 'A.name', 'B.name', 3,
+                             allow_missing=True, output='dataset').to_pandas()
+    assert _pairs_key_set(got, 'l_key', 'r_key') \
+        == _pairs_key_set(ref, 'l_A.ID', 'r_B.ID')
+    assert np.isnan(got.loc[got['l_key'] == 'a7', '_sim_score']).all()
+
+
+def test_empty_keys_collect_gate(person_tables):
+    """The pandas assembler's allow_empty key collect is gated: beyond
+    SSJ_EMPTY_KEYS_GATE it raises with a pointer at output='dataset'
+    instead of OOMing the driver (VERDICT r2 #3)."""
+    import os
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    os.environ['SSJ_EMPTY_KEYS_GATE'] = '0'
+    os.environ['SSJ_LOCAL_JOIN'] = '0'  # local path returns plain lists
+    try:
+        with pytest.raises(MemoryError) as ei:
+            jaccard_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok, 0.7)
+        assert "output='dataset'" in str(ei.value)
+        # dataset mode still works under the same gate
+        out = jaccard_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok,
+                           0.7, output='dataset').to_pandas()
+        assert ('a6', 'b7') in set(zip(out['l_key'], out['r_key']))
+    finally:
+        del os.environ['SSJ_EMPTY_KEYS_GATE']
+        del os.environ['SSJ_LOCAL_JOIN']
+
+
+def test_cross_pairs_chunked_equality():
+    """_cross_pairs_dataset with a 1-row chunk budget (many broadcast
+    chunks) emits the identical cross product."""
+    import os
+
+    from py_stringsimjoin_ray.pipelines.join import _cross_pairs_dataset
+    lk = ['a1', 'a2', 'a3']
+    rk = ['b1', 'b2', 'b3', 'b4', 'b5']
+    exp = {(l, r) for l in lk for r in rk}
+    base = _cross_pairs_dataset(lk, rk, 1.0).to_pandas()
+    os.environ['SSJ_CROSS_CHUNK_ROWS'] = '1'
+    try:
+        chunked = _cross_pairs_dataset(lk, rk, 1.0).to_pandas()
+    finally:
+        del os.environ['SSJ_CROSS_CHUNK_ROWS']
+    assert set(zip(base['l_key'], base['r_key'])) == exp
+    assert set(zip(chunked['l_key'], chunked['r_key'])) == exp
+    assert (chunked['_sim_score'] == 1.0).all()

@@ -66,7 +66,9 @@ def test_all_queries_have_callables():
     'overlap_join_part', 'overlap_coefficient_join_part',
     'jaccard_join_supplier_qgram3', 'edit_distance_join_customer',
     'overlap_filter_part', 'size_filter_documents', 'prefix_filter_part',
-    'position_filter_part', 'apply_matcher_part', 'profile_part',
+    'position_filter_part', 'apply_matcher_part',
+    'apply_matcher_dataset_part', 'apply_matcher_dist_part',
+    'allow_missing_jaccard_dataset_part', 'profile_part',
     'exact_dedup_documents', 'ngram_dedup_documents',
     'token_count_documents', 'quality_documents', 'langid_documents',
     'ann_topk_embeddings', 'cluster_components_part', 'media_meta_documents',
