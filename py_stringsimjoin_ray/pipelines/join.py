@@ -503,10 +503,31 @@ def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
     return out
 
 
+def _join_fingerprint(sim_type, tokenizer, threshold, comp_op,
+                      allow_empty, allow_missing, ltable, rtable,
+                      l_key_attr, r_key_attr, l_join_attr, r_join_attr):
+    """Default checkpoint fingerprint: join parameters + input row counts.
+    Callers with stronger lineage (file mtimes etc.) pass
+    ``input_fingerprint`` explicitly (state/manifests.file_fingerprint)."""
+    import hashlib
+    import json as _json
+
+    def rows(t):
+        return len(t) if isinstance(t, pd.DataFrame) else t.count()
+    tok_sig = (type(tokenizer).__name__ if tokenizer is not None else None,
+               getattr(tokenizer, 'qval', None),
+               getattr(tokenizer, 'delim_set', None) and
+               sorted(tokenizer.delim_set))
+    payload = [sim_type, repr(threshold), comp_op, bool(allow_empty),
+               bool(allow_missing), list(tok_sig), l_key_attr, r_key_attr,
+               l_join_attr, r_join_attr, rows(ltable), rows(rtable)]
+    return hashlib.md5(_json.dumps(payload).encode()).hexdigest()
+
+
 def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
                      r_key_attr, l_join_attr, r_join_attr, cfg,
                      l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
-                     out_sim_score, score_dtype=None):
+                     out_sim_score, score_dtype=None, extras_attached=False):
     """Materialize matches, add allow_empty / allow_missing pairs, attach
     output attrs, set the reference output header and dense _id."""
     l_pd = l_table if isinstance(l_table, pd.DataFrame) else l_table.to_pandas()
@@ -521,8 +542,9 @@ def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
 
     # allow_empty fast path: (∅,∅) pairs, score 1.0, comp_op bypassed —
     # bug-compatible with set_sim_join.py:81-96.  Dataset-valued key sets
-    # collect behind the count gate (VERDICT r2 #3).
-    empties = _empties_to_lists(empties)
+    # collect behind the count gate (VERDICT r2 #3).  A checkpoint-resumed
+    # pair stream already carries the empty/missing classes.
+    empties = {} if extras_attached else _empties_to_lists(empties)
     le, re_ = empties.get('l', []), empties.get('r', [])
     if le and re_:
         el = np.repeat(np.asarray(le, dtype=object), len(re_))
@@ -547,7 +569,7 @@ def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
             score = score.astype(score_dtype)
         out['_sim_score'] = score.to_numpy()
 
-    if cfg.allow_missing:
+    if cfg.allow_missing and not extras_attached:
         miss = _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
                                      l_join_attr, r_join_attr,
                                      l_out_attrs, r_out_attrs,
@@ -566,7 +588,8 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
                   out_sim_score=True, output='pandas', self_join=False,
                   num_buckets=DEFAULT_NUM_BUCKETS,
                   salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
-                  validate_keys=None, score_dtype=None):
+                  validate_keys=None, score_dtype=None,
+                  checkpoint_dir=None, input_fingerprint=None):
     # ---- validation (mirrors jaccard_join_py.py:107-142) ----
     V.validate_input_table(ltable, 'left table')
     V.validate_input_table(rtable, 'right table')
@@ -606,6 +629,35 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
                           allow_missing, out_sim_score, self_join=self_join,
                           num_buckets=num_buckets,
                           salt_df_threshold=salt_df_threshold)
+        if checkpoint_dir:
+            # north-rule resumability for the standalone join entry point
+            # (VERDICT r2 #4): the full pair stream (verified matches +
+            # empty/missing classes) checkpoints as partitioned Parquet
+            # with a lineage manifest; a matching fingerprint skips the
+            # whole pipeline on re-run.
+            from ..state import manifests as mf
+            fp = input_fingerprint or _join_fingerprint(
+                sim_type, tokenizer, threshold, comp_op, allow_empty,
+                allow_missing, ltable, rtable, l_key_attr, r_key_attr,
+                l_join_attr, r_join_attr)
+            if mf.is_complete(checkpoint_dir, 'pairs', fp):
+                full = mf.read_stage(checkpoint_dir, 'pairs')
+            else:
+                pairs, empties = match_pairs_dataset(
+                    ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                    r_join_attr, cfg)
+                full = _dataset_with_extras(pairs, empties, cfg, ltable,
+                                            rtable, l_key_attr, r_key_attr,
+                                            l_join_attr, r_join_attr)
+                full = mf.write_stage(full, checkpoint_dir, 'pairs', fp)
+            if output == 'dataset':
+                return full
+            return _assemble_pandas(full, {}, ltable, rtable, l_key_attr,
+                                    r_key_attr, l_join_attr, r_join_attr,
+                                    cfg, l_out_attrs, r_out_attrs,
+                                    l_out_prefix, r_out_prefix,
+                                    out_sim_score, score_dtype=score_dtype,
+                                    extras_attached=True)
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if output == 'dataset':

@@ -32,21 +32,50 @@ from ..state import manifests as mf
 from .join import _JoinConfig, match_pairs_dataset
 
 
+def _row_views(col) -> tuple:
+    """(offsets, memoryview) over a binary/string Arrow column's single
+    data buffer — per-row hashing slices the buffer directly instead of
+    materializing Python strings (VERDICT r2 #6)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = arr.fill_null(b'' if pa.types.is_binary(arr.type) else '')
+    bufs = arr.buffers()
+    off_dtype = np.int64 if (pa.types.is_large_binary(arr.type)
+                             or pa.types.is_large_string(arr.type)) \
+        else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b'')
+    return offs, mv
+
+
 def _ingest_batch(batch: pa.Table) -> pa.Table:
     """Add record_id (deterministic 63-bit hash of (repo, path, commit) —
     dense global numbering is deliberately not reproduced at scale,
-    SURVEY.md §7.4) and the per-row sha256(content) invariant column."""
-    repos = batch['repo'].to_pylist()
-    paths = batch['path'].to_pylist()
-    commits = batch['commit'].to_pylist()
-    contents = batch['content'].to_pylist()
-    rids = np.empty(len(repos), dtype=np.int64)
-    shas = []
-    for i in range(len(repos)):
-        key = f'{repos[i]}\x00{paths[i]}\x00{commits[i]}'.encode()
-        rids[i] = int.from_bytes(hashlib.sha1(key).digest()[:8],
-                                 'little') & 0x7FFFFFFFFFFFFFFF
-        shas.append(hashlib.sha256((contents[i] or '').encode()).hexdigest())
+    SURVEY.md §7.4) and the per-row sha256(content) invariant column.
+
+    The key bytes build in ONE Arrow kernel pass
+    (``binary_join_element_wise`` over binary-cast columns — byte-identical
+    to the former per-row ``f'{repo}\\x00{path}\\x00{commit}'.encode()``)
+    and each row hashes a zero-copy slice of that single buffer; only the
+    irreducible C-speed sha1/sha256 calls remain per row."""
+    import pyarrow.compute as pc
+    n = len(batch)
+    keys = pc.binary_join_element_wise(
+        batch['repo'].cast(pa.binary()),
+        batch['path'].cast(pa.binary()),
+        batch['commit'].cast(pa.binary()),
+        pa.scalar(b'\x00', pa.binary()))
+    koffs, kmv = _row_views(keys)
+    rids = np.empty(n, dtype=np.int64)
+    sha1 = hashlib.sha1
+    frombytes = int.from_bytes
+    for i in range(n):
+        rids[i] = frombytes(sha1(kmv[koffs[i]:koffs[i + 1]]).digest()[:8],
+                            'little') & 0x7FFFFFFFFFFFFFFF
+    coffs, cmv = _row_views(batch['content'].cast(pa.binary()))
+    sha256 = hashlib.sha256
+    shas = [sha256(cmv[coffs[i]:coffs[i + 1]]).hexdigest() for i in range(n)]
     return batch.append_column('record_id', pa.array(rids)) \
                 .append_column('sha256', pa.array(shas, pa.string()))
 

