@@ -114,11 +114,13 @@ class Filter:
                 att, lm, sch1 = bucketed_attach(
                     cand_ds, cand_schema, lside, candset_l_key_attr,
                     l_key_attr, [l_key_attr, l_filter_attr]
-                    if l_filter_attr != l_key_attr else [l_key_attr], 'l')
+                    if l_filter_attr != l_key_attr else [l_key_attr], 'l',
+                    salt_col=candset_r_key_attr)
                 att, rm, _ = bucketed_attach(
                     att, sch1, rside, candset_r_key_attr, r_key_attr,
                     [r_key_attr, r_filter_attr]
-                    if r_filter_attr != r_key_attr else [r_key_attr], 'r')
+                    if r_filter_attr != r_key_attr else [r_key_attr], 'r',
+                    salt_col=candset_l_key_attr)
                 drop = [c for c in list(lm.values()) + list(rm.values())
                         if c.startswith('__ssj_')]
 
@@ -155,7 +157,8 @@ class Filter:
                              r_filter_attr, l_out_attrs, r_out_attrs,
                              l_out_prefix, r_out_prefix, out_sim_score=False,
                              score_dtype=None, num_buckets=DEFAULT_NUM_BUCKETS,
-                             salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD):
+                             salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
+                             output='pandas'):
         V.validate_input_table(ltable, 'left table')
         V.validate_input_table(rtable, 'right table')
         l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
@@ -183,6 +186,14 @@ class Filter:
         pairs, empties = match_pairs_dataset(ltable, rtable, l_key_attr,
                                              r_key_attr, l_filter_attr,
                                              r_filter_attr, cfg)
+        if output == 'dataset':
+            # 100-TB candset path: the pair stream (plus empty/missing
+            # classes) stays distributed — feed it straight into
+            # filter_candset / apply_matcher without a driver stop
+            from .join import _dataset_with_extras
+            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
+                                        l_key_attr, r_key_attr,
+                                        l_filter_attr, r_filter_attr)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_filter_attr, r_filter_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,
@@ -273,7 +284,7 @@ class SizeFilter(Filter):
     def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
                       l_filter_attr, r_filter_attr, l_out_attrs=None,
                       r_out_attrs=None, l_out_prefix='l_', r_out_prefix='r_',
-                      n_jobs=1, show_progress=False):
+                      n_jobs=1, show_progress=False, output='pandas'):
         from ..stages.tokenize import TokenizeStage
         V.validate_input_table(ltable, 'left table')
         V.validate_input_table(rtable, 'right table')
@@ -380,6 +391,11 @@ class SizeFilter(Filter):
                                 batch_format='pyarrow').take_all()]
         cfg = _JoinConfig(st, self.tokenizer, t, '>=', handle_empty,
                           self.allow_missing, False)
+        if output == 'dataset':
+            from .join import _dataset_with_extras
+            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
+                                        l_key_attr, r_key_attr,
+                                        l_filter_attr, r_filter_attr)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_filter_attr, r_filter_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,

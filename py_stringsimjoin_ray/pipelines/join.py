@@ -421,9 +421,14 @@ def _null_split_keys(table, key_attr, join_attr):
 
 
 def _score_to_float(pairs_ds):
+    """Normalize the pair stream for a union with NaN-scored extras:
+    `_sim_score` cast to float64, added as all-null when the stream has no
+    score column (filter candsets emit bare key pairs)."""
     def f(b: pa.Table) -> pa.Table:
-        if '_sim_score' in b.column_names \
-                and b['_sim_score'].type != pa.float64():
+        if '_sim_score' not in b.column_names:
+            return b.append_column('_sim_score',
+                                   pa.nulls(len(b), pa.float64()))
+        if b['_sim_score'].type != pa.float64():
             i = b.column_names.index('_sim_score')
             b = b.set_column(i, '_sim_score',
                              b['_sim_score'].cast(pa.float64()))

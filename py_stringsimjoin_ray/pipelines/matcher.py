@@ -7,7 +7,8 @@ splits the candset across joblib workers and copies both full tables into
 each, ``apply_matcher.py:196-229, 254-260``).  The two tables' (key →
 match/output attrs) projections attach per batch through
 ``stages/attach.py``: broadcast via ``ray.put`` when they fit the
-object-store gate, Ray-native hash join beyond it.  The user-supplied
+object-store gate, bucketed hash-shuffle attach beyond it.  The
+user-supplied
 ``sim_function`` and tokenizer ride along as serialized state (Ray's
 cloudpickle replaces the reference's copyreg hooks, ``utils/pickle.py``).
 
@@ -152,10 +153,12 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
             return ray.data.from_pandas(empty) if output == 'dataset' else empty
         joined, lmap, sch1 = bucketed_attach(cand_ds, cand_schema, lside,
                                              candset_l_key_attr, l_key_attr,
-                                             l_need, 'l')
+                                             l_need, 'l',
+                                             salt_col=candset_r_key_attr)
         joined, rmap, _ = bucketed_attach(joined, sch1, rside,
                                           candset_r_key_attr, r_key_attr,
-                                          r_need, 'r')
+                                          r_need, 'r',
+                                          salt_col=candset_l_key_attr)
 
         def score_joined(batch: pd.DataFrame) -> pd.DataFrame:
             lv_all = batch[lmap[l_match_attr]].to_numpy()

@@ -127,6 +127,20 @@ def q_prefix_filter_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_prefix_filter_dataset_part(sf_dir):
+    """PrefixFilter.filter_tables through output='dataset' — the candset
+    stays a distributed pair stream (the 100-TB path feeding
+    filter_candset / apply_matcher); rows equal the pandas surface."""
+    part = _t(sf_dir, 'part')
+    f = filters.PrefixFilter(_ws(), 'JACCARD', 0.8)
+    ds = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                         'p_name', output='dataset')
+    out = ds.to_pandas().rename(columns={'l_key': 'l_p_partkey',
+                                         'r_key': 'r_p_partkey'})
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_position_filter_part(sf_dir):
     part = _t(sf_dir, 'part')
     f = filters.PositionFilter(_ws(), 'JACCARD', 0.6)
@@ -519,6 +533,7 @@ QUERIES = {
     'overlap_filter_part': q_overlap_filter_part,
     'size_filter_documents': q_size_filter_documents,
     'prefix_filter_part': q_prefix_filter_part,
+    'prefix_filter_dataset_part': q_prefix_filter_dataset_part,
     'position_filter_part': q_position_filter_part,
     'suffix_filter_part': q_suffix_filter_part,
     'apply_matcher_part': q_apply_matcher_part,
@@ -1048,6 +1063,7 @@ WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 
 # regime variants share the base operators' oracles (identical output rows)
 ORACLE_SQL['apply_matcher_dataset_part'] = ORACLE_SQL['apply_matcher_part']
+ORACLE_SQL['prefix_filter_dataset_part'] = ORACLE_SQL['prefix_filter_part']
 ORACLE_SQL['apply_matcher_dist_part'] = ORACLE_SQL['apply_matcher_part']
 ORACLE_SQL['allow_missing_jaccard_dataset_part'] = \
     ORACLE_SQL['allow_missing_jaccard_part']

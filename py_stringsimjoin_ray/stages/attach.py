@@ -117,15 +117,27 @@ def _schema_of(side, need_cols: list[str]) -> pa.Schema:
 def bucketed_attach(cand_ds: ray.data.Dataset, cand_schema: pa.Schema,
                     side, cand_key_col: str, side_key_attr: str,
                     need_cols: list[str], tag: str,
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    salt_col: str | None = None, salt: int | None = None):
     """Hash-bucket shuffle attach of ``side``'s (key → attrs) projection
     onto the candset stream.
 
     Side value columns land under reserved ``__ssj_{tag}_{i}`` names (the
     side KEY maps to the candset's own key column — its values are equal by
     construction).  Returns ``(attached_ds, colmap, out_schema)`` where
-    ``colmap`` maps each original side column to its output column."""
+    ``colmap`` maps each original side column to its output column.
+
+    Skew salting: a hot candset key funnels all its pairs into one bucket
+    group.  With ``salt`` > 1 (env ``SSJ_ATTACH_SALT``) each side row
+    replicates into ``salt`` sub-buckets while each candset row picks ONE
+    sub-bucket by hashing ``salt_col`` (the pair's OTHER key — uniform per
+    hot key by construction), bounding any group at ~1/salt of the hot
+    key's pairs for salt× side wire."""
     P = num_buckets or default_attach_buckets()
+    if salt is None:
+        salt = int(os.environ.get('SSJ_ATTACH_SALT', '1'))
+    if salt_col is None:
+        salt = 1
     if isinstance(side, pd.DataFrame):
         side_ds = ray.data.from_pandas(side[need_cols].reset_index(drop=True))
     else:
@@ -161,7 +173,13 @@ def bucketed_attach(cand_ds: ray.data.Dataset, cand_schema: pa.Schema,
         for c in value_cols:
             cols[colmap[c]] = pa.nulls(n, side_schema.field(c).type)
         cols['__ssj_side'] = pa.array(np.zeros(n, np.int8))
-        cols['__ssj_b'] = _bucket_of(b[cand_key_col], P)
+        bkt = _bucket_of(b[cand_key_col], P).to_numpy().astype(np.int64)
+        if salt > 1:
+            sub = pd.util.hash_array(
+                np.asarray(b[salt_col].to_numpy(zero_copy_only=False)),
+                categorize=False) % np.uint64(salt)
+            bkt = bkt * salt + sub.astype(np.int64)
+        cols['__ssj_b'] = pa.array(bkt.astype(np.int32))
         return conform(cols)
     pad_cand.__name__ = f'attach_pad_cand_{tag}'
 
@@ -175,7 +193,17 @@ def bucketed_attach(cand_ds: ray.data.Dataset, cand_schema: pa.Schema,
         for c in value_cols:
             cols[colmap[c]] = b[c]
         cols['__ssj_side'] = pa.array(np.ones(n, np.int8))
-        cols['__ssj_b'] = _bucket_of(key, P)
+        bkt = _bucket_of(key, P).to_numpy().astype(np.int64)
+        if salt > 1:
+            # replicate each side row into every sub-bucket of its key
+            rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+            cols = {k: (v.take(rep) if isinstance(v, (pa.Array,
+                                                      pa.ChunkedArray))
+                        else pa.array(v).take(rep))
+                    for k, v in cols.items()}
+            bkt = (np.repeat(bkt, salt) * salt
+                   + np.tile(np.arange(salt, dtype=np.int64), n))
+        cols['__ssj_b'] = pa.array(bkt.astype(np.int32))
         return conform(cols)
     pad_side.__name__ = f'attach_pad_side_{tag}'
 

@@ -521,3 +521,22 @@ def test_size_index_shim_reference_behavior():
     f = SizeFilter(tok, 'JACCARD', 0.5)
     # probe size 2 → bounds [1, 4] → all non-empty records
     assert f.find_candidates(2, idx) == {0, 1, 3}
+
+
+def test_filter_tables_dataset_output(person_tables):
+    """filter_tables(output='dataset') keeps the candset distributed with
+    the same pair classes as the pandas surface (incl. allow_empty)."""
+    import ray.data
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    for f in (OverlapFilter(tok, 1),
+              PrefixFilter(tok, 'JACCARD', 0.3),
+              PositionFilter(tok, 'JACCARD', 0.3),
+              SizeFilter(tok, 'JACCARD', 0.5)):
+        base = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+        ds = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name',
+                             output='dataset')
+        assert isinstance(ds, ray.data.Dataset), type(f).__name__
+        got = ds.to_pandas()
+        assert set(zip(got['l_key'], got['r_key'])) \
+            == set(zip(base['l_A.ID'], base['r_B.ID'])), type(f).__name__

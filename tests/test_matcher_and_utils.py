@@ -228,3 +228,25 @@ def test_apply_matcher_dataset_streaming_no_driver_collect(person_tables):
     df = out.to_pandas()
     assert set(df.columns) == {'_id', 'l_A.ID', 'r_B.ID', '_sim_score'}
     assert (df['_sim_score'] >= 0.3).all()
+
+
+def test_apply_matcher_salted_attach_equality(person_tables):
+    """SSJ_ATTACH_SALT>1 replicates side rows across sub-buckets (skew
+    hardening); the attached result must be identical."""
+    import os
+    A, B = person_tables
+    base = _matcher_all_paths(A, B, l_out_attrs=['A.name'])
+    os.environ['SSJ_ATTACH_FORCE_DIST'] = '1'
+    os.environ['SSJ_ATTACH_SALT'] = '4'
+    try:
+        cand = make_candset(A, B)
+        salted = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID',
+                               'B.ID', 'A.name', 'B.name', WS,
+                               measures.jaccard, 0.3,
+                               l_out_attrs=['A.name'])
+    finally:
+        os.environ.pop('SSJ_ATTACH_FORCE_DIST', None)
+        os.environ.pop('SSJ_ATTACH_SALT', None)
+    pd.testing.assert_frame_equal(
+        salted.sort_values('_id').reset_index(drop=True),
+        base.sort_values('_id').reset_index(drop=True), check_like=True)
