@@ -329,10 +329,23 @@ class SizeFilter(Filter):
             # R table for the second consumer
             r_sizes = r_sizes.materialize()
 
-        l_pd_sizes = _pd_with_cols(l_sizes, ['key', 'sz'])
-        nonempty = l_pd_sizes[l_pd_sizes['sz'] > 0]
-        l_min = int(nonempty['sz'].min()) if len(nonempty) else 0
-        l_max = int(nonempty['sz'].max()) if len(nonempty) else -1
+        # distributed min/max over non-empty L sizes: per-block partials +
+        # a tiny driver fold — the former full (key, sz) driver collect was
+        # the one O(|L|) materialization on this path
+        def _mm(b: pa.Table) -> pa.Table:
+            sz = b['sz'].to_numpy() if not isinstance(b['sz'],
+                                                      pa.ChunkedArray) \
+                else b['sz'].combine_chunks().to_numpy()
+            nz = sz[sz > 0]
+            return pa.table({'mn': pa.array(
+                [int(nz.min()) if len(nz) else 2 ** 31], pa.int64()),
+                'mx': pa.array([int(nz.max()) if len(nz) else -1],
+                               pa.int64())})
+        _agg = l_sizes.map_batches(_mm, batch_format='pyarrow').to_pandas()
+        l_min = int(_agg['mn'].min()) if len(_agg) else 2 ** 31
+        l_max = int(_agg['mx'].max()) if len(_agg) else -1
+        if l_min == 2 ** 31:
+            l_min = 0
 
         def l_post(b: pa.Table) -> pa.Table:
             m = pa.compute.greater(b['sz'], 0)
@@ -382,13 +395,17 @@ class SizeFilter(Filter):
                                                      batch_format='pandas')
         empties = {}
         if handle_empty:
-            empties['l'] = list(l_pd_sizes.loc[l_pd_sizes['sz'] == 0, 'key'])
-            empties['r'] = [row['key'] for row in
-                            r_sizes.map_batches(
-                                lambda b: pa.table(
-                                    {'key': b['key'].filter(
-                                        pa.compute.equal(b['sz'], 0))}),
-                                batch_format='pyarrow').take_all()]
+            # lazy key Datasets: the pandas assembler collects them behind
+            # the SSJ_EMPTY_KEYS_GATE count gate, dataset mode crosses them
+            # distributed
+            def _ekeys(b: pa.Table) -> pa.Table:
+                return pa.table({'key': b['key'].filter(
+                    pa.compute.equal(b['sz'], 0))})
+            _ekeys.__name__ = 'empty_keys'
+            empties['l'] = l_sizes.map_batches(_ekeys,
+                                               batch_format='pyarrow')
+            empties['r'] = r_sizes.map_batches(_ekeys,
+                                               batch_format='pyarrow')
         cfg = _JoinConfig(st, self.tokenizer, t, '>=', handle_empty,
                           self.allow_missing, False)
         if output == 'dataset':

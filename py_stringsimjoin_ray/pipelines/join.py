@@ -791,6 +791,32 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                           False, allow_missing, out_sim_score,
                           **{k: kw[k] for k in ('num_buckets', 'salt_df_threshold',
                                                 'self_join') if k in kw})
+        checkpoint_dir = kw.get('checkpoint_dir')
+        if checkpoint_dir:
+            # same resumable-pairs protocol as _set_sim_join
+            from ..state import manifests as mf
+            fp = kw.get('input_fingerprint') or _join_fingerprint(
+                'EDIT_DISTANCE', tokenizer, threshold, comp_op, False,
+                allow_missing, ltable, rtable, l_key_attr, r_key_attr,
+                l_join_attr, r_join_attr)
+            if mf.is_complete(checkpoint_dir, 'pairs', fp):
+                full = mf.read_stage(checkpoint_dir, 'pairs')
+            else:
+                pairs, empties = match_pairs_dataset(
+                    ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                    r_join_attr, cfg)
+                full = _dataset_with_extras(pairs, empties, cfg, ltable,
+                                            rtable, l_key_attr, r_key_attr,
+                                            l_join_attr, r_join_attr)
+                full = mf.write_stage(full, checkpoint_dir, 'pairs', fp)
+            if kw.get('output') == 'dataset':
+                return full
+            return _assemble_pandas(full, {}, ltable, rtable, l_key_attr,
+                                    r_key_attr, l_join_attr, r_join_attr,
+                                    cfg, l_out_attrs, r_out_attrs,
+                                    l_out_prefix, r_out_prefix,
+                                    out_sim_score, score_dtype=np.int64,
+                                    extras_attached=True)
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if kw.get('output') == 'dataset':

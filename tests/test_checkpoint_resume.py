@@ -92,3 +92,28 @@ def test_minhash_lsh_checkpoint_resume(tmp_path, monkeypatch, ray_session):
     r3 = dedup.minhash_lsh_pairs(docs, 'doc_id', 'text', threshold=0.99,
                                  k=3, checkpoint_dir=ckpt).to_pandas()
     assert key_set(r3) <= key_set(r1)
+
+
+def test_edit_distance_join_checkpoint_resume(person_tables, tmp_path,
+                                              monkeypatch):
+    from py_stringsimjoin_ray import edit_distance_join
+    A, B = person_tables
+    ckpt = str(tmp_path / 'ed_ckpt')
+    args = (A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 3)
+    plain = edit_distance_join(*args)
+    r1 = edit_distance_join(*args, checkpoint_dir=ckpt)
+    assert mf.load_manifest(ckpt, 'pairs')['num_rows'] == len(plain)
+
+    import py_stringsimjoin_ray.pipelines.join as J
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError('pipeline re-ran despite completed checkpoint')
+    monkeypatch.setattr(J, 'match_pairs_dataset', boom)
+    r2 = edit_distance_join(*args, checkpoint_dir=ckpt)
+    monkeypatch.undo()
+
+    def key_set(df):
+        return set(zip(df['l_A.ID'], df['r_B.ID']))
+    assert key_set(plain) == key_set(r1) == key_set(r2)
+    # integer-score dtype parity survives the parquet round trip
+    assert r2['_sim_score'].dtype == plain['_sim_score'].dtype
