@@ -247,6 +247,15 @@ def q_minhash_lsh_documents(sf_dir):
     return _keys_int(out[['l_id', 'r_id']].copy(), ['l_id', 'r_id'])
 
 
+def q_near_dedup_documents(sf_dir):
+    """End-to-end near-dedup: minhash-LSH pairs -> connected components ->
+    min-id representative per cluster; every document gets (rep_id, keep)."""
+    docs = _t(sf_dir, 'documents')
+    out = dedup.near_dedup(docs, 'doc_id', 'text', threshold=0.6,
+                           k=5).to_pandas()
+    return _keys_int(out, ['doc_id', 'rep_id', 'keep'])
+
+
 def q_simhash_documents(sf_dir):
     docs = _t(sf_dir, 'documents')
     out = docs.map_batches(dedup.SimHashStage('doc_id', 'text'),
@@ -543,6 +552,7 @@ QUERIES = {
     'exact_dedup_documents': q_exact_dedup_documents,
     'ngram_dedup_documents': q_ngram_dedup_documents,
     'minhash_lsh_documents': q_minhash_lsh_documents,
+    'near_dedup_documents': q_near_dedup_documents,
     'simhash_documents': q_simhash_documents,
     'token_count_documents': q_token_count_documents,
     'quality_documents': q_quality_documents,
@@ -1062,6 +1072,61 @@ WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 }
 
 # regime variants share the base operators' oracles (identical output rows)
+ORACLE_SQL['near_dedup_documents'] = f"""
+WITH perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '') AS w FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN []
+                   WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 3),
+                        i -> array_to_string(
+                            w[CAST(i AS INT):CAST(i AS INT)+4], ' '))
+              END AS shingles
+       FROM toks),
+hs AS (SELECT doc_id, CAST(md5_number_upper(s) AS HUGEINT) AS h
+       FROM sh, LATERAL unnest(shingles) AS g(s)),
+sigs0 AS (SELECT hs.doc_id, p.j,
+                 min(((CAST(p.a AS HUGEINT) * hs.h) % 18446744073709551616
+                      + p.b) % 18446744073709551616
+                     % 2305843009213693951) AS sig
+          FROM hs, perms p GROUP BY 1, 2),
+empty_docs AS (SELECT doc_id FROM sh WHERE len(shingles) = 0),
+sigs AS (SELECT * FROM sigs0
+         UNION ALL
+         SELECT e.doc_id, p.j, CAST(2305843009213693951 AS HUGEINT)
+         FROM empty_docs e, perms p),
+bands AS (SELECT doc_id, j // 4 AS band,
+                 array_agg(sig ORDER BY j) AS bs
+          FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS l_id, y.doc_id AS r_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+ssets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT c.l_id, c.r_id,
+         CASE WHEN len(sa.ss) = 0 AND len(sb.ss) = 0 THEN 1.0
+              WHEN len(sa.ss) = 0 OR len(sb.ss) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                   (len(sa.ss) + len(sb.ss)
+                    - len(list_intersect(sa.ss, sb.ss)))
+         END AS j
+  FROM cand c JOIN ssets sa ON c.l_id = sa.doc_id
+              JOIN ssets sb ON c.r_id = sb.doc_id),
+match AS (SELECT l_id, r_id FROM verified WHERE j >= 0.6),
+edges AS (SELECT l_id AS src, r_id AS dst FROM match
+          UNION SELECT r_id, l_id FROM match),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walkres AS (SELECT node, min(label) AS comp FROM (
+  WITH RECURSIVE walk(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+  ) SELECT node, label FROM walk) GROUP BY node)
+SELECT d.doc_id, coalesce(w.comp, d.doc_id) AS rep_id,
+       CAST(coalesce(w.comp, d.doc_id) = d.doc_id AS BIGINT) AS keep
+FROM documents d LEFT JOIN walkres w ON d.doc_id = w.node
+"""
 ORACLE_SQL['apply_matcher_dataset_part'] = ORACLE_SQL['apply_matcher_part']
 ORACLE_SQL['prefix_filter_dataset_part'] = ORACLE_SQL['prefix_filter_part']
 ORACLE_SQL['apply_matcher_dist_part'] = ORACLE_SQL['apply_matcher_part']

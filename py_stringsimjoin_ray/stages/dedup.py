@@ -913,3 +913,76 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     # pathologically slow at high key cardinality
     from .groupagg import bucketed_distinct
     return bucketed_distinct(cand, ['l_id', 'r_id'])
+
+
+def near_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
+               threshold: float = 0.8, k: int = 5, num_perm: int = 64,
+               bands: int = 16, seed: int = 42,
+               checkpoint_dir: str = None) -> ray.data.Dataset:
+    """End-to-end near-duplicate removal — the canonical training-data
+    dedup flow composed from this module's scale paths:
+
+        minhash_lsh_pairs (banded LSH + exact-Jaccard verify)
+        → connected_components (bucketed star rounds / task kernel)
+        → representative pick (component = min id by construction)
+
+    Returns Dataset ``(id_col, rep_id, keep)`` covering EVERY input row:
+    ``rep_id`` is the minimum id of the row's near-duplicate cluster
+    (itself when unique) and ``keep`` (int64 0/1) marks cluster
+    representatives — ``filter(keep == 1)`` is the deduplicated corpus.
+    The component map attaches to the corpus with one id-hash bucket
+    shuffle (no driver materialization, absent ids default to
+    themselves)."""
+    from .cluster import connected_components
+    pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold,
+                              k=k, num_perm=num_perm, bands=bands,
+                              seed=seed, checkpoint_dir=checkpoint_dir)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({'u': pa.compute.cast(b['l_id'], pa.int64()),
+                         'v': pa.compute.cast(b['r_id'], pa.int64())})
+    to_edges.__name__ = 'neardedup_edges'
+    comp = connected_components(pairs.map_batches(to_edges,
+                                                  batch_format='pyarrow'))
+
+    nb = 64
+    ids_ds = ds.select_columns([id_col])
+
+    def tag_ids(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ((ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(nb)
+        n = len(ids)
+        return pa.table({'bucket': pa.array(bk.astype(np.int64)),
+                         'side': pa.array(np.zeros(n, np.int8)),
+                         'id': pa.array(ids),
+                         'component': pa.array(np.zeros(n, np.int64))})
+    tag_ids.__name__ = 'neardedup_tag_ids'
+
+    def tag_comp(b: pa.Table) -> pa.Table:
+        ids = b['node'].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ((ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)) \
+            % np.uint64(nb)
+        n = len(ids)
+        return pa.table({'bucket': pa.array(bk.astype(np.int64)),
+                         'side': pa.array(np.ones(n, np.int8)),
+                         'id': pa.array(ids),
+                         'component': pa.compute.cast(b['component'],
+                                                      pa.int64())})
+    tag_comp.__name__ = 'neardedup_tag_comp'
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df['side'] == 0]
+        right = df[df['side'] == 1]
+        comp_s = pd.Series(right['component'].to_numpy(),
+                           index=right['id'].to_numpy())
+        rep = left['id'].map(comp_s).fillna(left['id']).astype(np.int64)
+        out = pd.DataFrame({id_col: left['id'].to_numpy(),
+                            'rep_id': rep.to_numpy()})
+        out['keep'] = (out[id_col] == out['rep_id']).astype(np.int64)
+        return out
+    merge.__name__ = 'neardedup_attach'
+
+    both = ids_ds.map_batches(tag_ids, batch_format='pyarrow').union(
+        comp.map_batches(tag_comp, batch_format='pyarrow'))
+    return both.groupby('bucket').map_groups(merge, batch_format='pandas')

@@ -545,3 +545,36 @@ class TestDistributedTopkMerge:
         out = ann.ann_topk_bruteforce(ds, Q, k=4)
         assert list(out.columns) == ['query_id', 'vec_id', 'cosine', 'rank']
         assert out['query_id'].is_monotonic_increasing
+
+
+def test_near_dedup_planted_clusters():
+    """near_dedup keeps exactly one representative (min id) per planted
+    near-duplicate cluster and every unique doc."""
+    words = [f'tok{i}' for i in range(40)]
+    rng = np.random.default_rng(9)
+    base = [' '.join(rng.choice(words, 30)) for _ in range(20)]
+    texts, ids = [], []
+    nid = 0
+    for t in base:
+        for variant in (t, t + ' extra_tail_token'):
+            texts.append(variant)
+            ids.append(nid)
+            nid += 1
+    for _ in range(15):  # uniques
+        texts.append(' '.join(rng.choice(words[:20], 8)) + f' uniq{nid}')
+        ids.append(nid)
+        nid += 1
+    docs = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(np.asarray(ids, np.int64)),
+        'text': pa.array(texts)}))
+    out = dedup.near_dedup(docs, 'doc_id', 'text', threshold=0.6,
+                           k=3).to_pandas()
+    assert len(out) == len(ids)
+    # planted pairs (2i, 2i+1) collapse to rep 2i
+    for i in range(20):
+        row = out[out['doc_id'] == 2 * i + 1].iloc[0]
+        assert row['rep_id'] == 2 * i and row['keep'] == 0
+        row = out[out['doc_id'] == 2 * i].iloc[0]
+        assert row['rep_id'] == 2 * i and row['keep'] == 1
+    # kept corpus = one per cluster + uniques
+    assert out['keep'].sum() == 20 + 15
