@@ -20,3 +20,14 @@ from .pipelines.join import (cosine_join, dice_join, edit_distance_join,  # noqa
 from .pipelines.disk_join import disk_edit_distance_join  # noqa: F401
 from .pipelines.matcher import apply_matcher  # noqa: F401
 from .sources.datasets import load_books_dataset, load_person_dataset  # noqa: F401
+
+# training-data-pipeline operators (Ray-native additions beyond the
+# reference surface; see SURVEY.md §2 "LLM-data-pipeline operators")
+from .core.index_shims import (InvertedIndex, PositionIndex,  # noqa: F401
+                               PrefixIndex, SizeIndex)
+from .stages.ann import (ann_topk_bruteforce, ann_topk_ivf,  # noqa: F401
+                         ann_topk_lsh, cosine_neardup_pairs)
+from .stages.cluster import connected_components  # noqa: F401
+from .stages.dedup import (exact_dedup, minhash_lsh_pairs,  # noqa: F401
+                           near_dedup, simhash_near_dup_pairs)
+from .stages.windows import sessionize, tumbling_window_agg  # noqa: F401
