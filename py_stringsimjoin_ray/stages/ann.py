@@ -3,7 +3,8 @@
 
 - ``ann_topk_bruteforce``: exact cosine top-k per query — numpy matmul per
   batch against a broadcast query matrix (the baseline; one streaming pass,
-  no shuffle; per-batch partial top-k merged on the driver).
+  no shuffle; partial top-k merged via the bucketed ``_topk_per_query``
+  reduce, driver-side only for small pandas query sets).
 - ``ann_topk_lsh``: random-hyperplane LSH variant (the scale path): vectors
   are bucketed by sign-pattern signatures, queries probe their own bucket(s),
   exact cosine within bucket — recall < 1, cost ≪ brute force.

@@ -250,3 +250,40 @@ def test_apply_matcher_salted_attach_equality(person_tables):
     pd.testing.assert_frame_equal(
         salted.sort_values('_id').reset_index(drop=True),
         base.sort_values('_id').reset_index(drop=True), check_like=True)
+
+
+@pytest.mark.parametrize('key_dtype', ['int64', 'str'])
+def test_bucketed_attach_dtypes_and_null_values(key_dtype):
+    """bucketed_attach preserves value dtypes (incl. int64 with nulls via
+    arrow) and attaches correct values for int and string key domains."""
+    import ray.data
+
+    from py_stringsimjoin_ray.stages.attach import (arrow_schema_of,
+                                                    bucketed_attach)
+    n = 57
+    if key_dtype == 'int64':
+        keys = np.arange(n, dtype=np.int64) * 7
+    else:
+        keys = np.array([f'k{i:03d}' for i in range(n)], dtype=object)
+    side = pd.DataFrame({'k': keys,
+                         'val_i': np.arange(n, dtype=np.int64) * 11,
+                         'val_s': [f'v{i}' if i % 5 else None
+                                   for i in range(n)]})
+    rng = np.random.default_rng(3)
+    cand = pd.DataFrame({'_id': np.arange(200),
+                         'ck': keys[rng.integers(0, n, 200)],
+                         'other': rng.integers(0, 10, 200)})
+    cand_ds = ray.data.from_pandas(cand)
+    att, colmap, _ = bucketed_attach(cand_ds, arrow_schema_of(cand),
+                                     side, 'ck', 'k',
+                                     ['k', 'val_i', 'val_s'], 't',
+                                     salt_col='other', salt=3)
+    got = att.to_pandas()
+    assert len(got) == len(cand)
+    smap_i = dict(zip(side['k'], side['val_i']))
+    smap_s = dict(zip(side['k'], side['val_s']))
+    for _, row in got.iterrows():
+        assert row[colmap['val_i']] == smap_i[row['ck']]
+        exp = smap_s[row['ck']]
+        assert (pd.isnull(row[colmap['val_s']]) and pd.isnull(exp)) \
+            or row[colmap['val_s']] == exp
