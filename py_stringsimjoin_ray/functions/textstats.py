@@ -277,3 +277,16 @@ def fingerprint_batch(batch: pa.Table, text_col: str = 'text') -> pa.Table:
         h[active] = _mod61(_mulmod_base(h[active]) + th)
     out = batch.select([c for c in batch.column_names if c != text_col])
     return out.append_column('fingerprint', pa.array(h.astype(np.int64)))
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = 'text',
+                         out_col: str = 'text_norm') -> pa.Table:
+    """Training-data text normalization, fully Arrow-vectorized: casefold
+    (utf8_lower), collapse every whitespace run to one space, strip leading
+    and trailing whitespace.  Mirrors the usual pre-dedup canonicalization
+    step; oracle: ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    col = batch[text_col]
+    lowered = pc.utf8_lower(col)
+    squeezed = pc.replace_substring_regex(lowered, r'\s+', ' ')
+    trimmed = pc.utf8_trim_whitespace(squeezed)
+    return batch.append_column(out_col, trimmed)

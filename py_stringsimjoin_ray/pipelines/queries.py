@@ -247,6 +247,15 @@ def q_minhash_lsh_documents(sf_dir):
     return _keys_int(out[['l_id', 'r_id']].copy(), ['l_id', 'r_id'])
 
 
+def q_normalize_text_documents(sf_dir):
+    """Vectorized text normalization (casefold + whitespace collapse +
+    trim) over the documents table."""
+    docs = _t(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    out = docs.map_batches(textstats.normalize_text_batch,
+                           batch_format='pyarrow').to_pandas()
+    return _keys_int(out[['doc_id', 'text_norm']].copy(), ['doc_id'])
+
+
 def q_near_dedup_documents(sf_dir):
     """End-to-end near-dedup: minhash-LSH pairs -> connected components ->
     min-id representative per cluster; every document gets (rep_id, keep)."""
@@ -553,6 +562,7 @@ QUERIES = {
     'ngram_dedup_documents': q_ngram_dedup_documents,
     'minhash_lsh_documents': q_minhash_lsh_documents,
     'near_dedup_documents': q_near_dedup_documents,
+    'normalize_text_documents': q_normalize_text_documents,
     'simhash_documents': q_simhash_documents,
     'token_count_documents': q_token_count_documents,
     'quality_documents': q_quality_documents,
@@ -1072,6 +1082,11 @@ WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 }
 
 # regime variants share the base operators' oracles (identical output rows)
+ORACLE_SQL['normalize_text_documents'] = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           AS text_norm
+FROM documents
+"""
 ORACLE_SQL['near_dedup_documents'] = f"""
 WITH perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
 toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

@@ -73,7 +73,8 @@ def test_all_queries_have_callables():
     'exact_dedup_documents', 'ngram_dedup_documents',
     'token_count_documents', 'quality_documents', 'langid_documents',
     'ann_topk_embeddings', 'cluster_components_part', 'media_meta_documents',
-    'minhash_lsh_documents', 'near_dedup_documents', 'simhash_documents',
+    'minhash_lsh_documents', 'near_dedup_documents',
+    'normalize_text_documents', 'simhash_documents',
     'fingerprint_documents', 'media_decode_documents',
     'top_tokens_documents',
     'suffix_filter_part', 'ann_topk_ivf_embeddings',
