@@ -500,6 +500,37 @@ def q_filter_candset_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_composable_dataset_pipeline_part(sf_dir):
+    """SURVEY §3.3's composable filter → candset → matcher chain run FULLY
+    streaming: filter_tables(output='dataset') → filter_candset (Dataset
+    in/out) → apply_matcher(output='dataset') — no pandas stop anywhere.
+    Oracle: overlap ≥ 2 candidates ∧ size-filter bounds ∧ jaccard ≥ 0.5."""
+    from ..core.measures import jaccard
+    part = _t(sf_dir, 'part')
+    cand = filters.OverlapFilter(_ws(), 2).filter_tables(
+        part, part, 'p_partkey', 'p_partkey', 'p_name', 'p_name',
+        output='dataset')
+    import pyarrow as pa
+
+    def add_id(b: pa.Table) -> pa.Table:
+        import numpy as np
+        t = pa.table({'_id': pa.array(np.zeros(len(b), np.int64)),
+                      'l_key': b['l_key'], 'r_key': b['r_key']})
+        return t
+    cand = cand.map_batches(add_id, batch_format='pyarrow')
+    cand = filters.SizeFilter(_ws(), 'JACCARD', 0.5).filter_candset(
+        cand, 'l_key', 'r_key', part, part, 'p_partkey', 'p_partkey',
+        'p_name', 'p_name')
+    out = matcher.apply_matcher(cand, 'l_key', 'r_key', part, part,
+                                'p_partkey', 'p_partkey', 'p_name',
+                                'p_name', _ws(), jaccard, 0.5,
+                                output='dataset').to_pandas()
+    out = out.rename(columns={'l_l_key': 'l_p_partkey',
+                              'r_r_key': 'r_p_partkey'})
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_allow_missing_jaccard_part(sf_dir):
     """allow_missing=True join semantics: null join-attrs cross-pair with
     the other side (L-null × all R, plus R-null × L-non-null)."""
@@ -582,6 +613,7 @@ QUERIES = {
     'col_to_str_customer': q_col_to_str_customer,
     'remove_non_ascii_documents': q_remove_non_ascii_documents,
     'filter_candset_part': q_filter_candset_part,
+    'composable_dataset_pipeline_part': q_composable_dataset_pipeline_part,
     'allow_missing_jaccard_part': q_allow_missing_jaccard_part,
     'allow_missing_jaccard_dataset_part': q_allow_missing_jaccard_dataset_part,
     'person_dataset_join': q_person_dataset_join,
@@ -1082,6 +1114,29 @@ WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
 }
 
 # regime variants share the base operators' oracles (identical output rows)
+ORACLE_SQL['composable_dataset_pipeline_part'] = r"""
+WITH tok AS (SELECT p_partkey AS id,
+                    unnest(list_filter(string_split_regex(trim(p_name),
+                                                          '\s+'),
+                                       x -> x <> '')) AS t
+             FROM part),
+dtok AS (SELECT DISTINCT id, t FROM tok),
+sz AS (SELECT id, count(*) AS n FROM dtok GROUP BY id),
+ovb AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+        FROM tok a JOIN tok b ON a.t = b.t GROUP BY 1, 2),
+cand AS (SELECT la, rb FROM ovb WHERE o >= 2),
+sized AS (SELECT c.la, c.rb FROM cand c
+          JOIN sz sa ON c.la = sa.id JOIN sz sb ON c.rb = sb.id
+          WHERE sb.n >= ceil(round(0.5 * sa.n, 4))
+            AND sb.n <= floor(round(sa.n / 0.5, 4))),
+ov AS (SELECT a.id AS la, b.id AS rb, count(*) AS o
+       FROM dtok a JOIN dtok b ON a.t = b.t GROUP BY 1, 2)
+SELECT s.la AS l_p_partkey, s.rb AS r_p_partkey,
+       o * 1.0 / (sa.n + sb.n - o) AS _sim_score
+FROM sized s JOIN ov ON s.la = ov.la AND s.rb = ov.rb
+JOIN sz sa ON s.la = sa.id JOIN sz sb ON s.rb = sb.id
+WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.5
+"""
 ORACLE_SQL['normalize_text_documents'] = r"""
 SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
            AS text_norm

@@ -70,6 +70,7 @@ def test_all_queries_have_callables():
     'position_filter_part', 'apply_matcher_part',
     'apply_matcher_dataset_part', 'apply_matcher_dist_part',
     'allow_missing_jaccard_dataset_part', 'profile_part',
+    'composable_dataset_pipeline_part',
     'exact_dedup_documents', 'ngram_dedup_documents',
     'token_count_documents', 'quality_documents', 'langid_documents',
     'ann_topk_embeddings', 'cluster_components_part', 'media_meta_documents',
