@@ -389,3 +389,24 @@ def test_cross_pairs_chunked_equality():
     assert set(zip(base['l_key'], base['r_key'])) == exp
     assert set(zip(chunked['l_key'], chunked['r_key'])) == exp
     assert (chunked['_sim_score'] == 1.0).all()
+
+
+def test_dataset_output_overlap_allow_missing_score_cast(person_tables):
+    """OVERLAP emits int64 scores; unioning the allow_missing NaN
+    cross-product in dataset mode must promote the stream to float64
+    without corrupting values."""
+    import ray.data
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    ref = overlap_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', tok, 1,
+                       allow_missing=True)
+    got = overlap_join(ray.data.from_pandas(A), ray.data.from_pandas(B),
+                       'A.ID', 'B.ID', 'A.name', 'B.name', tok, 1,
+                       allow_missing=True, output='dataset').to_pandas()
+    assert _pairs_key_set(got, 'l_key', 'r_key') \
+        == _pairs_key_set(ref, 'l_A.ID', 'r_B.ID')
+    ref_scores = {(l, r): s for l, r, s in
+                  zip(ref['l_A.ID'], ref['r_B.ID'], ref['_sim_score'])}
+    for l, r, s in zip(got['l_key'], got['r_key'], got['_sim_score']):
+        e = ref_scores[(l, r)]
+        assert (np.isnan(s) and np.isnan(e)) or float(s) == float(e)
