@@ -50,6 +50,18 @@ CORPUS_DIR = os.environ.get('SSJ_BENCH_CORPUS',
                             f'/tmp/ssj_bench_corpus_{_ARGS_TAG}')
 
 
+def _steal_jiffies():
+    """(steal jiffies, total jiffies) from /proc/stat — the shared-VM
+    hypervisor-contention counter behind the ±2x run-to-run wall variance
+    (BASELINE.md §3/§5)."""
+    try:
+        with open('/proc/stat') as f:
+            v = f.readline().split()
+        return int(v[8]), sum(map(int, v[1:]))
+    except Exception:  # pragma: no cover
+        return 0, 1
+
+
 def _corpus_path() -> str:
     from py_stringsimjoin_ray.sources.repos_corpus import generate_repos_corpus
     repos, _ = generate_repos_corpus(CORPUS_DIR, **CORPUS_ARGS)
@@ -138,8 +150,11 @@ def run_default():
     # standard noise-robust estimator, and rep 2+ also measures the
     # warm-cache steady state a long-running cluster job actually sees
     reps = max(1, int(os.environ.get('SSJ_BENCH_REPS', '2')))
-    times, rows = {}, {}
+    times, rows, reps_detail = {}, {}, []
     for _ in range(reps):
+        rep_times = {}
+        st0, _tj0 = _steal_jiffies()
+        rep_t0 = time.time()
         for name, fn in _bench_queries(SF_DIR).items():
             t0 = time.time()
             n = fn()
@@ -148,14 +163,24 @@ def run_default():
                 raise AssertionError(
                     f'nondeterministic bench query {name}: {rows[name]} != {n}')
             rows[name] = n
+            rep_times[name] = dt
             if name not in times or dt < times[name]:
                 times[name] = dt
+        rep_wall = time.time() - rep_t0
+        st1, _tj1 = _steal_jiffies()
+        # hypervisor steal during the rep, as % of this job's CPU budget —
+        # in-file evidence for reading a contended battery (VERDICT r3 #2)
+        steal_pct = round(100.0 * (st1 - st0) / 100.0
+                          / max(rep_wall * NUM_CPUS, 1e-9), 1)
+        reps_detail.append({'wall_sec': round(rep_wall, 3),
+                            'steal_pct_of_budget': steal_pct,
+                            'queries': rep_times})
     total = round(sum(times.values()), 3)
     ray.shutdown()
     print(json.dumps({
         'metric': 'bench_total_wall_sec', 'value': total, 'unit': 'sec',
         'queries': times, 'rows': rows, 'sf': SF_DIR,
-        'num_cpus': NUM_CPUS, 'reps': reps,
+        'num_cpus': NUM_CPUS, 'reps': reps, 'reps_detail': reps_detail,
         'protocol': 'best-of-%d per query; value = sum of per-query minima'
                     % reps,
         # round 2 grew the flagship corpus 6x (124k -> 744k files) so the
@@ -210,14 +235,6 @@ def run_linkage_once():
         .map_batches(_warm).materialize()
     ray.get([ray.remote(num_cpus=1)(lambda: __import__(
         'py_stringsimjoin_ray')).remote() for _ in range(NUM_CPUS)])
-
-    def _steal_jiffies():
-        try:
-            with open('/proc/stat') as f:
-                v = f.readline().split()
-            return int(v[8]), sum(map(int, v[1:]))
-        except Exception:  # pragma: no cover
-            return 0, 1
 
     st0, tj0 = _steal_jiffies()
     t0 = time.time()

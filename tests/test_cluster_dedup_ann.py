@@ -578,3 +578,95 @@ def test_near_dedup_planted_clusters():
         assert row['rep_id'] == 2 * i and row['keep'] == 1
     # kept corpus = one per cluster + uniques
     assert out['keep'].sum() == 20 + 15
+
+
+class TestIvfTrainingSample:
+    """VERDICT r3 #3: IVF must train its coarse quantizer on a corpus-wide
+    seeded sample — a ``ds.limit`` head sample of a source/time-ordered
+    corpus sees one slice of the distribution and recall at nprobe < nlist
+    collapses."""
+
+    @staticmethod
+    def _sorted_clustered(seed=0, dim=48, n_clusters=32, per=250,
+                          noise=0.25):
+        """Corpus SORTED by cluster (the normal by-source layout): the
+        first ``train_sample`` rows cover only the first cluster or two."""
+        rng = np.random.default_rng(seed)
+        vecs, ids = [], []
+        for c in range(n_clusters):
+            e = np.zeros(dim)
+            e[c] = 1.0
+            for j in range(per):
+                vecs.append(e + noise * rng.standard_normal(dim))
+                ids.append(c * per + j)
+        return pd.DataFrame({'vec_id': ids,
+                             'embedding': [v.tolist() for v in vecs]})
+
+    def test_random_sample_beats_head_sample(self, ray_session):
+        from py_stringsimjoin_ray.stages import ann
+        df = self._sorted_clustered()
+        per, nclust, ts = 250, 32, 1000
+        ds = ray.data.from_pandas(df).repartition(4)
+        Q = np.stack([np.asarray(df['embedding'][c * per], np.float64)
+                      for c in range(nclust)])
+        exact = ann.ann_topk_bruteforce(ds, Q, k=10)
+        # the OLD behavior: centroids trained on the corpus head only
+        head = np.stack([np.asarray(v, np.float64)
+                         for v in df['embedding'][:ts]])
+        head_spec = ann.IVFIndexSpec.train(head, nclust, seed=42)
+        r_head = _recall(exact, ann.ann_topk_ivf(
+            ds, Q, k=10, nlist=nclust, nprobe=1, spec=head_spec))
+        # default path: seeded corpus-wide hash-mod sample
+        r_rand = _recall(exact, ann.ann_topk_ivf(
+            ds, Q, k=10, nlist=nclust, nprobe=1, train_sample=ts, seed=42))
+        assert r_head < 0.45, f'head-sample recall unexpectedly ok: {r_head:.3f}'
+        assert r_rand >= 0.6, f'random-sample recall = {r_rand:.3f}'
+        assert r_rand >= r_head + 0.2
+
+    def test_sample_is_deterministic_and_corpus_wide(self, ray_session):
+        from py_stringsimjoin_ray.stages import ann
+        df = self._sorted_clustered(n_clusters=8, per=100)
+        ds = ray.data.from_pandas(df).repartition(4)
+        s1 = ann._train_sample_matrix(ds, 'vec_id', 'embedding', 200, 42)
+        s2 = ann._train_sample_matrix(ds, 'vec_id', 'embedding', 200, 42)
+        np.testing.assert_array_equal(s1, s2)
+        assert 100 <= len(s1) <= 200
+        # rows drawn from every region, not just the head
+        ids = {tuple(np.round(v, 6)) for v in s1}
+        first_cluster = {tuple(np.round(np.asarray(v, np.float64), 6))
+                         for v in df['embedding'][:100]}
+        assert len(ids - first_cluster) > 0
+
+
+class TestNeardupAutoGate:
+    """VERDICT r3 #7: the default cosine_neardup path must not broadcast an
+    OOM-sized corpus matrix — beyond the object-store gate it degrades to
+    the LSH scale path with a log line."""
+
+    def test_auto_below_gate_is_exact(self, ray_session):
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=9)
+        ds = ray.data.from_pandas(df).repartition(4)
+        auto = ann.cosine_neardup_pairs(ds, threshold=0.8)
+        forced = ann.cosine_neardup_pairs(ds, threshold=0.8,
+                                          method='bruteforce')
+        assert auto.equals(forced) and len(auto) > 100
+
+    def test_auto_beyond_gate_degrades_to_lsh(self, ray_session,
+                                              monkeypatch, caplog):
+        import logging
+
+        from py_stringsimjoin_ray.stages import ann
+        df = TestCosineNearDup._planted(seed=9)
+        ds = ray.data.from_pandas(df).repartition(4)
+        monkeypatch.setenv('SSJ_ANN_GATE_BYTES', '1')
+        with caplog.at_level(logging.WARNING, 'py_stringsimjoin_ray.ann'):
+            auto = ann.cosine_neardup_pairs(ds, threshold=0.8, seed=3)
+        assert any('degrading' in r.message for r in caplog.records)
+        lsh = ann.cosine_neardup_pairs(ds, threshold=0.8, method='lsh',
+                                       seed=3)
+        assert auto.equals(lsh)
+        # explicit bruteforce is NOT gated (documented exact baseline)
+        forced = ann.cosine_neardup_pairs(ds, threshold=0.8,
+                                          method='bruteforce')
+        assert len(forced) >= len(auto)
