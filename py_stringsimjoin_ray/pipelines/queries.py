@@ -454,6 +454,34 @@ def q_disk_edit_distance_join_customer(sf_dir):
                      ['l_c_custkey', 'r_c_custkey'])
 
 
+def q_disk_edit_distance_join_out_attrs_customer(sf_dir):
+    """Disk-sink join WITH out attrs (VERDICT r3 #1): l/r out attrs attach
+    onto the streaming pair Dataset and land in the sink under the
+    reference header — they used to be silently dropped."""
+    import shutil
+    import tempfile
+
+    from .disk_join import disk_edit_distance_join
+    cust = _t(sf_dir, 'customer')
+    tmp = tempfile.mkdtemp(prefix='ssj_disk_join_oa_')
+    try:
+        out_path = f'{tmp}/pairs'
+        disk_edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                'c_name', 'c_name', 1,
+                                output_file_path=out_path,
+                                l_out_attrs=['c_name'],
+                                r_out_attrs=['c_mktsegment'],
+                                output_format='parquet')
+        out = ray.data.read_parquet(out_path).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out['_sim_score'] = out['_sim_score'].astype(np.int64)
+    return _keys_int(
+        out[['l_c_custkey', 'r_c_custkey', 'l_c_name', 'r_c_mktsegment',
+             '_sim_score']].copy(),
+        ['l_c_custkey', 'r_c_custkey'])
+
+
 def q_col_to_str_customer(sf_dir):
     """dataframe/series → str converters (functions/converter.py), run as a
     distributed map_batches: int branch and integral-float branch."""
@@ -610,6 +638,8 @@ QUERIES = {
     'window_agg_events': q_window_agg_events,
     'sessionize_events': q_sessionize_events,
     'disk_edit_distance_join_customer': q_disk_edit_distance_join_customer,
+    'disk_edit_distance_join_out_attrs_customer':
+        q_disk_edit_distance_join_out_attrs_customer,
     'col_to_str_customer': q_col_to_str_customer,
     'remove_non_ascii_documents': q_remove_non_ascii_documents,
     'filter_candset_part': q_filter_candset_part,
@@ -1055,6 +1085,14 @@ FROM lagd
     # disk sink round-trip preserves exactly the in-memory join result
     'disk_edit_distance_join_customer': """
 SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS _sim_score
+FROM customer a, customer b
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    # out attrs reach the sink under the reference header
+    'disk_edit_distance_join_out_attrs_customer': """
+SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey,
+       a.c_name AS l_c_name, b.c_mktsegment AS r_c_mktsegment,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS _sim_score
 FROM customer a, customer b
 WHERE levenshtein(a.c_name, b.c_name) <= 1

@@ -44,6 +44,78 @@ def test_disk_join_invalid_args(person_tables):
                                 '/tmp/out.csv', data_limit=0)
 
 
+def test_disk_join_out_attrs_parquet(tmp_path, person_tables):
+    """VERDICT r3 #1: l_out_attrs/r_out_attrs must reach the sink with the
+    reference header (generic_helper.py:43-60) — they used to be silently
+    dropped."""
+    A, B = person_tables
+    out_dir = str(tmp_path / 'outp')
+    os.makedirs(out_dir)
+    ok = disk_edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 2,
+                                 out_dir, l_out_attrs=['A.name'],
+                                 r_out_attrs=['B.name', 'B.ID'])
+    assert ok
+    got = pd.read_parquet(out_dir)
+    exp = edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 2,
+                             l_out_attrs=['A.name'],
+                             r_out_attrs=['B.name', 'B.ID'])
+    # reference header order (B.ID is redundant with the key and dropped)
+    assert list(got.columns) == ['l_A.ID', 'r_B.ID', 'l_A.name', 'r_B.name',
+                                 '_sim_score']
+    key = ['l_A.ID', 'r_B.ID']
+    g = got.sort_values(key, ignore_index=True)
+    e = exp.drop(columns=['_id']).sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        g, e[g.columns].astype(g.dtypes.to_dict()), check_like=True)
+
+
+def test_disk_join_out_attrs_csv_header(tmp_path, person_tables):
+    A, B = person_tables
+    out_file = str(tmp_path / 'out.csv')
+    disk_edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 1,
+                            out_file, output_format='csv', data_limit=2,
+                            l_out_attrs=['A.name'], r_out_attrs=['B.name'],
+                            out_sim_score=False)
+    got = pd.read_csv(out_file)
+    assert list(got.columns) == ['l_A.ID', 'r_B.ID', 'l_A.name', 'r_B.name']
+    exp = edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 1,
+                             l_out_attrs=['A.name'], r_out_attrs=['B.name'])
+    assert sorted(zip(got['l_A.ID'], got['r_B.ID'], got['l_A.name'],
+                      got['r_B.name'])) == \
+        sorted(zip(exp['l_A.ID'], exp['r_B.ID'], exp['l_A.name'],
+                   exp['r_B.name']))
+
+
+def test_disk_join_out_attrs_bucketed_regime(tmp_path, person_tables,
+                                             monkeypatch):
+    """Beyond-gate path: out attrs attach via the bucketed hash-shuffle
+    (SSJ_ATTACH_FORCE_DIST) — result identical to the broadcast regime."""
+    A, B = person_tables
+    out_dir = str(tmp_path / 'outd')
+    os.makedirs(out_dir)
+    monkeypatch.setenv('SSJ_ATTACH_FORCE_DIST', '1')
+    disk_edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 2,
+                            out_dir, l_out_attrs=['A.name'],
+                            r_out_attrs=['B.name'])
+    monkeypatch.delenv('SSJ_ATTACH_FORCE_DIST')
+    got = pd.read_parquet(out_dir)
+    exp = edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 2,
+                             l_out_attrs=['A.name'], r_out_attrs=['B.name'])
+    key = ['l_A.ID', 'r_B.ID']
+    g = got.sort_values(key, ignore_index=True)
+    e = exp.drop(columns=['_id']).sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(g[sorted(g.columns)],
+                                  e[sorted(g.columns)].astype(
+                                      g.dtypes[sorted(g.columns)].to_dict()))
+
+
+def test_disk_join_invalid_out_attr(person_tables):
+    A, B = person_tables
+    with pytest.raises(AssertionError):
+        disk_edit_distance_join(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name', 2,
+                                '/tmp/out.csv', l_out_attrs=['no_such_col'])
+
+
 def test_load_person_dataset():
     A, B = load_person_dataset()
     assert len(A) == 7 and len(B) == 8

@@ -78,6 +78,8 @@ def test_all_queries_have_callables():
     'normalize_text_documents', 'simhash_documents',
     'fingerprint_documents', 'media_decode_documents',
     'top_tokens_documents',
+    'disk_edit_distance_join_customer',
+    'disk_edit_distance_join_out_attrs_customer',
     'suffix_filter_part', 'ann_topk_ivf_embeddings',
     'ann_topk_lsh_embeddings',
     'cosine_neardup_embeddings', 'window_agg_events', 'sessionize_events',
