@@ -14,9 +14,9 @@ from .functions.converter import dataframe_column_to_str, series_to_str  # noqa:
 from .functions.profiler import profile_counts, profile_table_for_join  # noqa: F401
 from .pipelines.filters import (Filter, OverlapFilter, PositionFilter,  # noqa: F401
                                 PrefixFilter, SizeFilter, SuffixFilter)
-from .pipelines.join import (cosine_join, dice_join, edit_distance_join,  # noqa: F401
-                             jaccard_join, overlap_coefficient_join,
-                             overlap_join)
+from .pipelines.join import (add_dense_id, cosine_join, dice_join,  # noqa: F401
+                             edit_distance_join, jaccard_join,
+                             overlap_coefficient_join, overlap_join)
 from .pipelines.disk_join import disk_edit_distance_join  # noqa: F401
 from .pipelines.matcher import apply_matcher  # noqa: F401
 from .sources.datasets import load_books_dataset, load_person_dataset  # noqa: F401

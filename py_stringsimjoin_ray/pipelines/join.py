@@ -12,8 +12,10 @@ executes as a Ray Data pipeline (SURVEY.md §7.0):
 Inputs may be ``pandas.DataFrame`` or ``ray.data.Dataset``.  With
 ``output='pandas'`` (default, reference parity) the result is a DataFrame
 with a dense ``_id`` column; with ``output='dataset'`` a Dataset of match
-rows (no ``_id`` — dense global numbering is a deliberate non-goal at web
-scale, SURVEY.md §7.4).
+rows (no ``_id`` by default — dense global numbering is a deliberate
+non-goal at web scale, SURVEY.md §7.4 — but ``dense_id=True`` opts into a
+streaming 0..N-1 ``_id`` via ``add_dense_id``'s counter-actor range
+allotment, VERDICT r3 #8).
 """
 
 from __future__ import annotations
@@ -380,26 +382,28 @@ def _cross_pairs_dataset(l_keys, r_keys, score):
     small_is_l = nl <= nr
     small, big = (l_keys, r_keys) if small_is_l else (r_keys, l_keys)
     chunk = int(os.environ.get('SSJ_CROSS_CHUNK_ROWS', 200_000))
-    parts = []
-    for sb in small.iter_batches(batch_format='pyarrow', batch_size=chunk):
-        ref = ray.put(sb['key'].to_numpy(zero_copy_only=False))
+    # broadcast ALL small-side chunk refs once and emit the cross product
+    # in a SINGLE pass over the big side (ADVICE r3: one full big-side
+    # scan per chunk + a deep union chain scaled with the small side);
+    # the driver streams one chunk at a time while putting, and the
+    # per-chunk generator output keeps each emitted block bounded
+    refs = [ray.put(sb['key'].to_numpy(zero_copy_only=False))
+            for sb in small.iter_batches(batch_format='pyarrow',
+                                         batch_size=chunk)]
 
-        def cross(b: pa.Table, _ref=ref) -> pa.Table:
-            sk = ray.get(_ref)
-            bk = b['key'].to_numpy(zero_copy_only=False)
+    def cross(b: pa.Table):
+        bk = b['key'].to_numpy(zero_copy_only=False)
+        for ref in refs:
+            sk = ray.get(ref)
             si = np.repeat(sk, len(bk))
             bi = np.tile(bk, len(sk))
             lcol, rcol = (si, bi) if small_is_l else (bi, si)
-            return pa.table({'l_key': pa.array(lcol),
-                             'r_key': pa.array(rcol),
-                             '_sim_score': pa.array(
-                                 np.full(len(lcol), score, np.float64))})
-        cross.__name__ = 'cross_pairs'
-        parts.append(big.map_batches(cross, batch_format='pyarrow'))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+            yield pa.table({'l_key': pa.array(lcol),
+                            'r_key': pa.array(rcol),
+                            '_sim_score': pa.array(
+                                np.full(len(lcol), score, np.float64))})
+    cross.__name__ = 'cross_pairs'
+    return big.map_batches(cross, batch_format='pyarrow')
 
 
 def _null_split_keys(table, key_attr, join_attr):
@@ -508,25 +512,81 @@ def _missing_pairs_pandas(l_pd, r_pd, l_key_attr, r_key_attr,
     return out
 
 
+def content_signature(table, cols) -> str:
+    """Order-independent content signature of the given columns:
+    ``<row count>:<xor of per-row hashes>``.  pandas inputs hash every row
+    (driver-resident already); Dataset inputs hash a bounded prefix sample
+    (4096 rows) plus the exact row count, so a same-cardinality content
+    change beyond the sample can still alias — callers with stronger
+    lineage (file mtimes etc.) should pass ``input_fingerprint``
+    explicitly (``state/manifests.file_fingerprint``)."""
+    cols = list(dict.fromkeys(cols))
+    if isinstance(table, pd.DataFrame):
+        sub, n = table[cols], len(table)
+    else:
+        sub = table.select_columns(cols).limit(4096).to_pandas()
+        n = table.count()
+    if len(sub):
+        h = pd.util.hash_pandas_object(sub, index=False).to_numpy()
+        acc = int(np.bitwise_xor.reduce(h))
+    else:
+        acc = 0
+    return f'{n}:{acc:016x}'
+
+
 def _join_fingerprint(sim_type, tokenizer, threshold, comp_op,
                       allow_empty, allow_missing, ltable, rtable,
                       l_key_attr, r_key_attr, l_join_attr, r_join_attr):
-    """Default checkpoint fingerprint: join parameters + input row counts.
-    Callers with stronger lineage (file mtimes etc.) pass
-    ``input_fingerprint`` explicitly (state/manifests.file_fingerprint)."""
+    """Default checkpoint fingerprint: join parameters + a content
+    signature of each input's key+join columns (ADVICE r3: row counts
+    alone let a same-cardinality content change silently reuse stale
+    checkpointed pairs).  Callers with stronger lineage (file mtimes etc.)
+    pass ``input_fingerprint`` explicitly
+    (state/manifests.file_fingerprint)."""
     import hashlib
     import json as _json
 
-    def rows(t):
-        return len(t) if isinstance(t, pd.DataFrame) else t.count()
     tok_sig = (type(tokenizer).__name__ if tokenizer is not None else None,
                getattr(tokenizer, 'qval', None),
                getattr(tokenizer, 'delim_set', None) and
                sorted(tokenizer.delim_set))
     payload = [sim_type, repr(threshold), comp_op, bool(allow_empty),
                bool(allow_missing), list(tok_sig), l_key_attr, r_key_attr,
-               l_join_attr, r_join_attr, rows(ltable), rows(rtable)]
+               l_join_attr, r_join_attr,
+               content_signature(ltable, [l_key_attr, l_join_attr]),
+               content_signature(rtable, [r_key_attr, r_join_attr])]
     return hashlib.md5(_json.dumps(payload).encode()).hexdigest()
+
+
+def add_dense_id(ds: ray.data.Dataset, col: str = '_id') -> ray.data.Dataset:
+    """Prepend a dense ``_id`` column (0..N-1, unique, no gaps) to a
+    streaming Dataset: a zero-CPU counter actor allots one contiguous id
+    range per batch, so no pass over the data is ever driver-side.  Ids
+    are dense but their assignment order follows block arrival — stable
+    within a run, not across runs (the pandas assembler's ``_id`` is the
+    deterministic reference surface; this is the opt-in dataset-mode
+    equivalent, VERDICT r3 #8)."""
+    @ray.remote(num_cpus=0)
+    class _IdAllocator:
+        def __init__(self):
+            self.n = 0
+
+        def allot(self, k: int) -> int:
+            s = self.n
+            self.n += int(k)
+            return s
+
+    alloc = _IdAllocator.remote()
+
+    def with_id(b: pa.Table) -> pa.Table:
+        start = ray.get(alloc.allot.remote(len(b)))
+        ids = pa.array(np.arange(start, start + len(b), dtype=np.int64))
+        cols = {col: ids}
+        for name in b.column_names:
+            cols[name] = b[name]
+        return pa.table(cols)
+    with_id.__name__ = 'dense_id'
+    return ds.map_batches(with_id, batch_format='pyarrow')
 
 
 def _assemble_pandas(pairs_ds, empties, l_table, r_table, l_key_attr,
@@ -594,7 +654,8 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
                   num_buckets=DEFAULT_NUM_BUCKETS,
                   salt_df_threshold=DEFAULT_SALT_DF_THRESHOLD,
                   validate_keys=None, score_dtype=None,
-                  checkpoint_dir=None, input_fingerprint=None):
+                  checkpoint_dir=None, input_fingerprint=None,
+                  dense_id=False):
     # ---- validation (mirrors jaccard_join_py.py:107-142) ----
     V.validate_input_table(ltable, 'left table')
     V.validate_input_table(rtable, 'right table')
@@ -656,7 +717,7 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
                                             l_join_attr, r_join_attr)
                 full = mf.write_stage(full, checkpoint_dir, 'pairs', fp)
             if output == 'dataset':
-                return full
+                return add_dense_id(full) if dense_id else full
             return _assemble_pandas(full, {}, ltable, rtable, l_key_attr,
                                     r_key_attr, l_join_attr, r_join_attr,
                                     cfg, l_out_attrs, r_out_attrs,
@@ -666,9 +727,10 @@ def _set_sim_join(sim_type, ltable, rtable, l_key_attr, r_key_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if output == 'dataset':
-            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
-                                        l_key_attr, r_key_attr, l_join_attr,
-                                        r_join_attr)
+            out_ds = _dataset_with_extras(pairs, empties, cfg, ltable,
+                                          rtable, l_key_attr, r_key_attr,
+                                          l_join_attr, r_join_attr)
+            return add_dense_id(out_ds) if dense_id else out_ds
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,
                                 l_out_attrs, r_out_attrs, l_out_prefix,
@@ -810,7 +872,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                                             l_join_attr, r_join_attr)
                 full = mf.write_stage(full, checkpoint_dir, 'pairs', fp)
             if kw.get('output') == 'dataset':
-                return full
+                return add_dense_id(full) if kw.get('dense_id') else full
             return _assemble_pandas(full, {}, ltable, rtable, l_key_attr,
                                     r_key_attr, l_join_attr, r_join_attr,
                                     cfg, l_out_attrs, r_out_attrs,
@@ -820,9 +882,10 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
         pairs, empties = match_pairs_dataset(
             ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, cfg)
         if kw.get('output') == 'dataset':
-            return _dataset_with_extras(pairs, empties, cfg, ltable, rtable,
-                                        l_key_attr, r_key_attr, l_join_attr,
-                                        r_join_attr)
+            out_ds = _dataset_with_extras(pairs, empties, cfg, ltable,
+                                          rtable, l_key_attr, r_key_attr,
+                                          l_join_attr, r_join_attr)
+            return add_dense_id(out_ds) if kw.get('dense_id') else out_ds
         # reference emits integer edit distances (dtype parity)
         return _assemble_pandas(pairs, empties, ltable, rtable, l_key_attr,
                                 r_key_attr, l_join_attr, r_join_attr, cfg,

@@ -61,10 +61,14 @@ def _ingest_batch(batch: pa.Table) -> pa.Table:
     irreducible C-speed sha1/sha256 calls remain per row."""
     import pyarrow.compute as pc
     n = len(batch)
+    # null repo/path/commit pre-fill as the literal b'None' so the key
+    # bytes stay identical to the former per-row f-string encoding
+    # (f'{None}' == 'None'); without this a null column value would join
+    # as null -> b'' and collide with the empty string (ADVICE r3)
     keys = pc.binary_join_element_wise(
-        batch['repo'].cast(pa.binary()),
-        batch['path'].cast(pa.binary()),
-        batch['commit'].cast(pa.binary()),
+        pc.fill_null(batch['repo'].cast(pa.binary()), b'None'),
+        pc.fill_null(batch['path'].cast(pa.binary()), b'None'),
+        pc.fill_null(batch['commit'].cast(pa.binary()), b'None'),
         pa.scalar(b'\x00', pa.binary()))
     koffs, kmv = _row_views(keys)
     rids = np.empty(n, dtype=np.int64)
