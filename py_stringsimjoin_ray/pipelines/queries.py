@@ -50,6 +50,24 @@ def q_jaccard_join_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_jaccard_dense_id_part(sf_dir):
+    """Dataset-mode join with the opt-in dense ``_id`` (VERDICT r3 #8):
+    asserts the ids are a dense 0..N-1 range, then compares the pair
+    stream to the shared jaccard oracle (ids themselves are
+    assignment-ordered, so they stay out of the hashed columns)."""
+    part = _t(sf_dir, 'part')
+    ds = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                           'p_name', _ws(), 0.5, output='dataset',
+                           validate_keys=False, dense_id=True)
+    out = ds.to_pandas()
+    assert list(out.columns)[0] == '_id'
+    assert sorted(out['_id']) == list(range(len(out))), 'ids not dense'
+    out = out.rename(columns={'l_key': 'l_p_partkey',
+                              'r_key': 'r_p_partkey'})
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_cosine_join_part(sf_dir):
     part = _t(sf_dir, 'part')
     out = join.cosine_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
@@ -601,6 +619,7 @@ def q_person_dataset_join(sf_dir):
 
 QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
+    'jaccard_dense_id_part': q_jaccard_dense_id_part,
     'cosine_join_part': q_cosine_join_part,
     'dice_join_part': q_dice_join_part,
     'overlap_join_part': q_overlap_join_part,
@@ -1235,6 +1254,7 @@ SELECT d.doc_id, coalesce(w.comp, d.doc_id) AS rep_id,
        CAST(coalesce(w.comp, d.doc_id) = d.doc_id AS BIGINT) AS keep
 FROM documents d LEFT JOIN walkres w ON d.doc_id = w.node
 """
+ORACLE_SQL['jaccard_dense_id_part'] = ORACLE_SQL['jaccard_join_part']
 ORACLE_SQL['apply_matcher_dataset_part'] = ORACLE_SQL['apply_matcher_part']
 ORACLE_SQL['prefix_filter_dataset_part'] = ORACLE_SQL['prefix_filter_part']
 ORACLE_SQL['apply_matcher_dist_part'] = ORACLE_SQL['apply_matcher_part']
