@@ -146,3 +146,31 @@ def test_edit_distance_join_matches_brute_force(ls, rs, d):
                 expect.add((lr['id'], rr['id'], float(ed)))
     assert set(zip(got['l_id'], got['r_id'],
                    [float(s) for s in got['_sim_score']])) == expect
+
+
+class TestBulkSetScoresProperty:
+    """Property: the apply_matcher fast-path kernel (_bulk_set_scores)
+    equals the scalar measures on arbitrary pair lists — empties, dups,
+    repeated value pairs and bag tokenizers included."""
+
+    @given(st.lists(st.tuples(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=6)
+        .map(' '.join),
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=6)
+        .map(' '.join)), min_size=1, max_size=40),
+        st.sampled_from(['JACCARD', 'COSINE', 'DICE', 'OVERLAP',
+                         'OVERLAP_COEFFICIENT']),
+        st.booleans())
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_kernel_matches_scalar(self, pairs, sim_type, return_set):
+        from py_stringsimjoin_ray.core import measures
+        from py_stringsimjoin_ray.pipelines.matcher import _bulk_set_scores
+        tok = WhitespaceTokenizer(return_set=return_set)
+        lv = np.asarray([p[0] for p in pairs], dtype=object)
+        rv = np.asarray([p[1] for p in pairs], dtype=object)
+        got = _bulk_set_scores(lv, rv, tok, sim_type)
+        fn = measures.SIM_FUNCTIONS[sim_type]
+        want = np.asarray([fn(tok.tokenize(a), tok.tokenize(b))
+                           for a, b in pairs], dtype=np.float64)
+        np.testing.assert_array_equal(got, want)
