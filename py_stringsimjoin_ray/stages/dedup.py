@@ -309,6 +309,25 @@ def _memb_index(reps: np.ndarray, ids: np.ndarray):
     return reps[first], off, ids
 
 
+def _band_digest_matrix(mat: np.ndarray) -> np.ndarray:
+    """(n, bands, rows_per_band) uint64 signature matrix → (n, bands)
+    uint64 band digests.  64-bit splitmix-style mix, vectorized over
+    (doc, band); like the md5[:16] digest it replaces, equal bands ⇒ equal
+    digests and cross-band/cross-digest collisions are ~n²/2⁶⁴ (and
+    removed by exact verification).  Shared by the distributed postings
+    stage and the driver-gated local fast path so both bucket
+    identically."""
+    n, bands = mat.shape[0], mat.shape[1]
+    c1 = np.uint64(0x9E3779B97F4A7C15)
+    c2 = np.uint64(0xBF58476D1CE4E5B9)
+    h = np.arange(bands, dtype=np.uint64)[None, :] * c1
+    h = np.broadcast_to(h, (n, bands)).copy()
+    for r in range(mat.shape[2]):
+        h = (h ^ mat[:, :, r]) * c2
+        h ^= h >> np.uint64(31)
+    return h
+
+
 def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
                     nb: int) -> ray.data.Dataset:
     """Expand class-level verified pairs back to record pairs.
@@ -507,6 +526,142 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                                    num_perm, bands, seed, verify_buckets)
 
 
+def _local_minhash_pairs(ds, id_col: str, text_col: str, threshold: float,
+                         k: int, num_perm: int, bands: int, seed: int):
+    """Size-gated local fast path for ``minhash_lsh_pairs`` (the
+    ``stages/localjoin.py`` pattern): at bench/test corpus sizes the
+    distributed pipeline's ~7 Dataset stage barriers cost more wall than
+    the whole computation, so below ``SSJ_LOCAL_MINHASH_MAX_ROWS``
+    (default 200k docs) the SAME kernels — ``_shingle_hashes_batch``,
+    ``_set_digest`` classes, ``MinHasher`` signatures,
+    ``_band_digest_matrix`` buckets, ``_verify_jaccard_slabbed``,
+    ``_memb_index``/``_side_expand`` class expansion — run synchronously
+    on one in-memory table.  Output rows are identical to the distributed
+    path (pinned by pytest equality and the driver oracles).  Returns
+    None beyond the gate or when disabled (``SSJ_LOCAL_MINHASH=0``;
+    ``force`` lifts the cap for parity tests)."""
+    import os as _os
+    flag = _os.environ.get('SSJ_LOCAL_MINHASH', '1')
+    if flag == '0':
+        return None
+    cap = 2 ** 62 if flag == 'force' else int(
+        _os.environ.get('SSJ_LOCAL_MINHASH_MAX_ROWS', '200000'))
+    from .localjoin import _fetch_local
+    t = _fetch_local(ds, [id_col, text_col], cap)
+    if t is None:
+        return None
+    rows_per_band = num_perm // bands
+    empty = pa.table({'l_id': pa.array([], pa.int64()),
+                      'r_id': pa.array([], pa.int64()),
+                      'jaccard': pa.array([], pa.float64())})
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) < 2:
+        return ray.data.from_arrow(empty)
+    sh = _shingle_hashes_batch(t[text_col].to_pylist(), k)
+    vals, off = _list_np(sh)
+    dg = _set_digest(vals, off)
+
+    # identical-shingle-set classes: rep = min id (same collapse as
+    # bucket_pairs — a class's members share every band digest)
+    codes, _uniq = pd.factorize(dg)
+    codes = codes.astype(np.int64)
+    order = np.lexsort((ids, codes))
+    first = np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+    rep_row = order[first]                  # row index of each class's rep
+    nclasses = len(rep_row)
+    rep_ids = ids[rep_row]
+    class_starts = np.nonzero(first)[0]
+    class_sizes = np.diff(np.concatenate((class_starts, [len(ids)])))
+
+    # signatures + band digests for class reps only (members are identical)
+    mh = MinHasher(num_perm, seed)
+    flat_u = vals.view(np.uint64)
+    sigs = np.stack([mh.signature(flat_u[off[r]:off[r + 1]])
+                     for r in rep_row]) if nclasses else \
+        np.empty((0, num_perm), np.uint64)
+    digests = _band_digest_matrix(
+        sigs.reshape(nclasses, bands, rows_per_band))
+
+    # candidate rep pairs: classes sharing a band digest (dedup over bands)
+    bvals = digests.ravel()
+    cls_of = np.repeat(np.arange(nclasses, dtype=np.int64), bands)
+    sidx = np.argsort(bvals, kind='stable')
+    bs, cs = bvals[sidx], cls_of[sidx]
+    run_start = np.concatenate(([0], np.nonzero(bs[1:] != bs[:-1])[0] + 1,
+                                [len(bs)]))
+    pl_parts, pr_parts = [], []
+    for s, e in zip(run_start[:-1], run_start[1:]):
+        if e - s < 2:
+            continue
+        reps = np.unique(cs[s:e])
+        if len(reps) < 2:
+            continue
+        li = np.repeat(reps, len(reps))
+        ri = np.tile(reps, len(reps))
+        m = rep_ids[li] < rep_ids[ri]
+        pl_parts.append(li[m])
+        pr_parts.append(ri[m])
+    if not pl_parts:
+        cand = np.empty((0, 2), np.int64)
+    else:
+        cand = np.unique(np.stack([np.concatenate(pl_parts),
+                                   np.concatenate(pr_parts)], axis=1),
+                         axis=0)
+
+    # exact verify on the full-doc CSR (reps' rows)
+    if len(cand):
+        keep, js = _verify_jaccard_slabbed(rep_row[cand[:, 0]],
+                                           rep_row[cand[:, 1]],
+                                           vals, off, threshold)
+        vl = rep_ids[cand[:, 0]][keep]
+        vr = rep_ids[cand[:, 1]][keep]
+        vj = js[keep]
+    else:
+        vl = vr = np.empty(0, np.int64)
+        vj = np.empty(0, np.float64)
+
+    # class expansion (== _expand_classes): member cross products of
+    # verified rep pairs + intra-class pairs at jaccard 1.0
+    dup_mask = class_sizes >= 2
+    if dup_mask.any():
+        dup_classes = np.nonzero(dup_mask)[0]
+        memb_rep, memb_id = [], []
+        ids_by_class = ids[order]
+        for ci in dup_classes:
+            mem = ids_by_class[class_starts[ci]:class_starts[ci]
+                               + class_sizes[ci]]
+            memb_rep.append(np.full(len(mem), rep_ids[ci], np.int64))
+            memb_id.append(mem)
+        ru, roff, iv = _memb_index(np.concatenate(memb_rep),
+                                   np.concatenate(memb_id))
+        lv, lc = _side_expand(vl, ru, roff, iv)
+        idx = np.repeat(np.arange(len(vl), dtype=np.int64), lc)
+        r1, j1 = vr[idx], vj[idx]
+        rv, rc = _side_expand(r1, ru, roff, iv)
+        idx2 = np.repeat(np.arange(len(r1), dtype=np.int64), rc)
+        l2 = lv[idx2]
+        out_l = [np.minimum(l2, rv)]
+        out_r = [np.maximum(l2, rv)]
+        out_j = [j1[idx2]]
+        for ci in range(len(ru)):
+            mem = iv[roff[ci]:roff[ci + 1]]
+            li = np.repeat(mem, len(mem))
+            ri = np.tile(mem, len(mem))
+            m = li < ri
+            out_l.append(li[m])
+            out_r.append(ri[m])
+            out_j.append(np.ones(int(m.sum()), np.float64))
+        out_l = np.concatenate(out_l)
+        out_r = np.concatenate(out_r)
+        out_j = np.concatenate(out_j)
+    else:
+        out_l, out_r, out_j = vl, vr, vj
+    return ray.data.from_arrow(pa.table({
+        'l_id': pa.array(out_l, pa.int64()),
+        'r_id': pa.array(out_r, pa.int64()),
+        'jaccard': pa.array(out_j, pa.float64())}))
+
+
 def _minhash_lsh_pairs_impl(ds: ray.data.Dataset, id_col: str, text_col: str,
                             threshold: float = 0.8, k: int = 5,
                             num_perm: int = 64, bands: int = 16,
@@ -536,6 +691,11 @@ def _minhash_lsh_pairs_impl(ds: ray.data.Dataset, id_col: str, text_col: str,
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
+    local = _local_minhash_pairs(ds, id_col, text_col, threshold, k,
+                                 num_perm, bands, seed)
+    if local is not None:
+        return local
+
     def shingle_tbl(b: pa.Table) -> pa.Table:
         sh = _shingle_hashes_batch(b[text_col].to_pylist(), k)
         vals = sh.values.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -556,18 +716,7 @@ def _minhash_lsh_pairs_impl(ds: ray.data.Dataset, id_col: str, text_col: str,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        mat = flat.reshape(n, bands, rows_per_band)
-        # 64-bit splitmix-style band digest, vectorized over (doc, band);
-        # like the md5[:16] digest it replaces, equal bands ⇒ equal digests
-        # and cross-band/cross-digest collisions are ~n²/2⁶⁴ (and removed by
-        # exact verification)
-        c1 = np.uint64(0x9E3779B97F4A7C15)
-        c2 = np.uint64(0xBF58476D1CE4E5B9)
-        h = np.arange(bands, dtype=np.uint64)[None, :] * c1
-        h = np.broadcast_to(h, (n, bands)).copy()
-        for r in range(rows_per_band):
-            h = (h ^ mat[:, :, r]) * c2
-            h ^= h >> np.uint64(31)
+        h = _band_digest_matrix(flat.reshape(n, bands, rows_per_band))
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({'bucket': pa.array(h.ravel().view(np.int64),
                                             pa.int64()),

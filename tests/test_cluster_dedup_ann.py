@@ -78,8 +78,9 @@ class TestDedup:
         assert all(l < r for l, r in pairs)
 
     def test_minhash_lsh_bucket_join_path(self, docs_ds, monkeypatch):
-        # force the beyond-gate bucketed-join verify (pair limit 0) and pin
-        # it row-identical to the broadcast fast path
+        # force the beyond-gate bucketed-join verify (local gate off, pair
+        # limit 0) and pin it row-identical to the broadcast fast path
+        monkeypatch.setenv('SSJ_LOCAL_MINHASH', '0')
         base = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
                                        threshold=0.5, k=3).to_pandas()
         monkeypatch.setenv('SSJ_LSH_BROADCAST_PAIR_LIMIT', '0')
@@ -88,6 +89,43 @@ class TestDedup:
         key = lambda d: sorted(map(tuple, d[['l_id', 'r_id', 'jaccard']]
                                    .round(12).to_numpy().tolist()))
         assert key(out) == key(base)
+
+    def test_minhash_local_equals_distributed(self, docs_ds, monkeypatch):
+        """The driver-gated local fast path must emit EXACTLY the
+        distributed pipeline's rows (same kernels, same band digests)."""
+        local = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
+                                        threshold=0.5, k=3).to_pandas()
+        monkeypatch.setenv('SSJ_LOCAL_MINHASH', '0')
+        dist = dedup.minhash_lsh_pairs(docs_ds, 'doc_id', 'text',
+                                       threshold=0.5, k=3).to_pandas()
+        key = lambda d: sorted(map(tuple, d[['l_id', 'r_id', 'jaccard']]
+                                   .to_numpy().tolist()))
+        assert key(local) == key(dist) and len(local) > 0
+
+    def test_minhash_local_equals_distributed_planted(self, ray_session,
+                                                      monkeypatch):
+        # near-dup clusters + exact-dup classes + uniques, randomized
+        rng = np.random.default_rng(17)
+        words = [f'w{i}' for i in range(60)]
+        texts = []
+        for c in range(25):
+            base = ' '.join(rng.choice(words, 15))
+            texts.append(base)
+            texts.append(base)                      # exact dup class
+            texts.append(base + ' extra token')     # near dup
+        for _ in range(40):
+            texts.append(' '.join(rng.choice(words, 15)))
+        ds = ray.data.from_arrow(pa.table({
+            'doc_id': pa.array(range(len(texts)), pa.int64()),
+            'text': pa.array(texts)})).repartition(4)
+        local = dedup.minhash_lsh_pairs(ds, 'doc_id', 'text',
+                                        threshold=0.6, k=3).to_pandas()
+        monkeypatch.setenv('SSJ_LOCAL_MINHASH', '0')
+        dist = dedup.minhash_lsh_pairs(ds, 'doc_id', 'text',
+                                       threshold=0.6, k=3).to_pandas()
+        key = lambda d: sorted(map(tuple, d[['l_id', 'r_id', 'jaccard']]
+                                   .to_numpy().tolist()))
+        assert key(local) == key(dist) and len(local) > 25
 
     def test_minhash_lsh_class_collapse_exact_dups(self, ray_session):
         # degenerate-band-bucket guard: 40 exact copies collapse to ONE
