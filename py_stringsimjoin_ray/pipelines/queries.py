@@ -68,6 +68,35 @@ def q_jaccard_dense_id_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_jaccard_two_relation_part(sf_dir):
+    """Two-relation (R ≠ S) join through the FORCED sharded-broadcast scale
+    path: the table is read as two distinct Datasets, so ``same_relation``
+    is False and the postings carry side tags
+    (``slimjoin.SlimPostingsStage(emit_sides=True)``), and
+    ``SSJ_FORCE_DISTRIBUTED`` routes past both the local fast path and the
+    broadcast kernel — the exact path a cross-table linkage takes beyond
+    the object-store gate.  Joining a table against an identical copy of
+    itself must equal the self-join oracle (reference semantics:
+    ``jaccard_join`` has no special casing for ltable == rtable —
+    ``join/jaccard_join_py.py``)."""
+    import os
+    l_part = _t(sf_dir, 'part')
+    r_part = _t(sf_dir, 'part')
+    assert l_part is not r_part
+    prev = os.environ.get('SSJ_FORCE_DISTRIBUTED')
+    os.environ['SSJ_FORCE_DISTRIBUTED'] = '1'
+    try:
+        out = join.jaccard_join(l_part, r_part, 'p_partkey', 'p_partkey',
+                                'p_name', 'p_name', _ws(), 0.5)
+    finally:
+        if prev is None:
+            del os.environ['SSJ_FORCE_DISTRIBUTED']
+        else:  # pragma: no cover
+            os.environ['SSJ_FORCE_DISTRIBUTED'] = prev
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_cosine_join_part(sf_dir):
     part = _t(sf_dir, 'part')
     out = join.cosine_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
@@ -620,6 +649,7 @@ def q_person_dataset_join(sf_dir):
 QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
     'jaccard_dense_id_part': q_jaccard_dense_id_part,
+    'jaccard_two_relation_part': q_jaccard_two_relation_part,
     'cosine_join_part': q_cosine_join_part,
     'dice_join_part': q_dice_join_part,
     'overlap_join_part': q_overlap_join_part,
@@ -1255,6 +1285,7 @@ SELECT d.doc_id, coalesce(w.comp, d.doc_id) AS rep_id,
 FROM documents d LEFT JOIN walkres w ON d.doc_id = w.node
 """
 ORACLE_SQL['jaccard_dense_id_part'] = ORACLE_SQL['jaccard_join_part']
+ORACLE_SQL['jaccard_two_relation_part'] = ORACLE_SQL['jaccard_join_part']
 ORACLE_SQL['apply_matcher_dataset_part'] = ORACLE_SQL['apply_matcher_part']
 ORACLE_SQL['prefix_filter_dataset_part'] = ORACLE_SQL['prefix_filter_part']
 ORACLE_SQL['apply_matcher_dist_part'] = ORACLE_SQL['apply_matcher_part']
