@@ -78,6 +78,8 @@ REPS = int(os.environ.get('SSJ_REF_REPS', '3'))
 MEASURES = [m.strip() for m in
             os.environ.get('SSJ_REF_MEASURES', 'jaccard').split(',') if m]
 ED_T = int(os.environ.get('SSJ_REF_ED_T', '2'))
+# overlap_join's threshold is an absolute shared-token count, not a ratio
+OVERLAP_T = int(os.environ.get('SSJ_REF_OVERLAP_T', '3'))
 
 
 def run_reference(ltable, rtable, n_jobs, measure):
@@ -93,6 +95,17 @@ def run_reference(ltable, rtable, n_jobs, measure):
         args = (WhitespaceTokenizer(return_set=True), THRESHOLD)
     elif measure == 'cosine':
         from py_stringsimjoin.join.cosine_join_py import cosine_join_py as fn
+        args = (WhitespaceTokenizer(return_set=True), THRESHOLD)
+    elif measure == 'dice':
+        from py_stringsimjoin.join.dice_join_py import dice_join_py as fn
+        args = (WhitespaceTokenizer(return_set=True), THRESHOLD)
+    elif measure == 'overlap':
+        from py_stringsimjoin.join.overlap_join_py import \
+            overlap_join_py as fn
+        args = (WhitespaceTokenizer(return_set=True), OVERLAP_T)
+    elif measure == 'overlap_coefficient':
+        from py_stringsimjoin.join.overlap_coefficient_join_py import \
+            overlap_coefficient_join_py as fn
         args = (WhitespaceTokenizer(return_set=True), THRESHOLD)
     elif measure == 'edit_distance':
         from py_stringsimjoin.join.edit_distance_join_py import \
@@ -132,6 +145,21 @@ def run_ours(ltable, rtable, measure):
             return join.cosine_join(ltable, rtable, 'id', 'id', 'text',
                                     'text', WhitespaceTokenizer(
                                         return_set=True), THRESHOLD)
+    elif measure == 'dice':
+        def call():
+            return join.dice_join(ltable, rtable, 'id', 'id', 'text',
+                                  'text', WhitespaceTokenizer(
+                                      return_set=True), THRESHOLD)
+    elif measure == 'overlap':
+        def call():
+            return join.overlap_join(ltable, rtable, 'id', 'id', 'text',
+                                     'text', WhitespaceTokenizer(
+                                         return_set=True), OVERLAP_T)
+    elif measure == 'overlap_coefficient':
+        def call():
+            return join.overlap_coefficient_join(
+                ltable, rtable, 'id', 'id', 'text', 'text',
+                WhitespaceTokenizer(return_set=True), THRESHOLD)
     elif measure == 'edit_distance':
         def call():
             return join.edit_distance_join(ltable, rtable, 'id', 'id',
@@ -166,9 +194,12 @@ def head_to_head(lt, rt, measure):
         f'{len(ref_pairs)}; sym-diff {len(ours_pairs ^ ref_pairs)}')
 
     best_ref = min(ref.values())
-    name = (f'asv_synthetic_{measure}_ws_t{THRESHOLD}'
-            if measure != 'edit_distance'
-            else f'asv_synthetic_edit_distance_qg2_d{ED_T}')
+    if measure == 'edit_distance':
+        name = f'asv_synthetic_edit_distance_qg2_d{ED_T}'
+    elif measure == 'overlap':
+        name = f'asv_synthetic_overlap_ws_o{OVERLAP_T}'
+    else:
+        name = f'asv_synthetic_{measure}_ws_t{THRESHOLD}'
     return {
         'benchmark': name,
         'rows_per_table': SIZE,

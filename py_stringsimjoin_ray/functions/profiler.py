@@ -70,9 +70,12 @@ def _dataset_profile(ds, attrs):
     if not attrs:
         return {}
     import os
-    from ..stages.localjoin import DEFAULT_LOCAL_MAX_ROWS, _fetch_local
+    from ..stages.localjoin import (DEFAULT_LOCAL_MAX_BYTES,
+                                    DEFAULT_LOCAL_MAX_ROWS, _fetch_local)
     cap = int(os.environ.get('SSJ_LOCAL_MAX_ROWS', DEFAULT_LOCAL_MAX_ROWS))
-    local = _fetch_local(ds, list(attrs), cap)
+    byte_cap = int(os.environ.get('SSJ_LOCAL_MAX_BYTES',
+                                  DEFAULT_LOCAL_MAX_BYTES))
+    local = _fetch_local(ds, list(attrs), cap, byte_cap)
     if local is not None:
         pdf = local.to_pandas()
         return {a: (len(pdf), len(pdf[a].unique()),

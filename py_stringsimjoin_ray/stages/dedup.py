@@ -546,8 +546,9 @@ def _local_minhash_pairs(ds, id_col: str, text_col: str, threshold: float,
         return None
     cap = 2 ** 62 if flag == 'force' else int(
         _os.environ.get('SSJ_LOCAL_MINHASH_MAX_ROWS', '200000'))
-    from .localjoin import _fetch_local
-    t = _fetch_local(ds, [id_col, text_col], cap)
+    from .localjoin import _fetch_local, _local_byte_cap
+    byte_cap = 2 ** 62 if flag == 'force' else _local_byte_cap()
+    t = _fetch_local(ds, [id_col, text_col], cap, byte_cap)
     if t is None:
         return None
     rows_per_band = num_perm // bands

@@ -44,7 +44,14 @@ from .slimjoin import (BroadcastVerify, SigStage, SlimPostingsStage,
                        _np_candidates, _TsigBroadcast)
 from .tokenize import TokenizeStage, partial_token_counts
 
-DEFAULT_LOCAL_MAX_ROWS = 200_000
+DEFAULT_LOCAL_MAX_ROWS = 1_000_000
+# the row cap alone routes by CARDINALITY; the byte cap routes by PAYLOAD —
+# a 600k-row corpus of 5-token strings (a few MB) joins fastest in-process,
+# while 600k long documents (hundreds of MB of text) amortize the
+# distributed pipeline's stage barriers and must go there.  Measured on the
+# asv synthetic shape at 150k x 150k rows: local 1.8 s vs distributed 8.8 s
+# (the distributed prep is ~4 s of fixed barrier latency at any size).
+DEFAULT_LOCAL_MAX_BYTES = 128 * 1024 ** 2
 # above these, candgen / verify fan out to plain Ray tasks (ms-latency)
 _FANOUT_POSTINGS = 300_000
 _FANOUT_PAIRS = 250_000
@@ -76,24 +83,40 @@ def _local_row_cap() -> int:
     return int(os.environ.get('SSJ_LOCAL_MAX_ROWS', DEFAULT_LOCAL_MAX_ROWS))
 
 
-def _fetch_local(table, cols: list, cap: int) -> pa.Table | None:
+def _local_byte_cap() -> int:
+    if os.environ.get('SSJ_LOCAL_JOIN') == 'force':
+        return 2 ** 62
+    return int(os.environ.get('SSJ_LOCAL_MAX_BYTES',
+                              DEFAULT_LOCAL_MAX_BYTES))
+
+
+def _fetch_local(table, cols: list, cap: int,
+                 byte_cap: int) -> pa.Table | None:
     """Probe-and-fetch in ONE bounded pass: materialize at most ``cap + 1``
-    rows of the needed columns; None means the input exceeds the gate and
-    the caller must take the distributed pipeline.  ``limit()`` pushes into
-    the streaming executor (and into parquet reads), so a 100 TB input pays
-    O(cap) rows here — and a small input pays a single Dataset execution
-    instead of a count() probe plus a separate to_pandas()."""
+    rows (and stop early past ``byte_cap`` bytes) of the needed columns;
+    None means the input exceeds a gate and the caller must take the
+    distributed pipeline.  ``limit()`` pushes into the streaming executor
+    (and into parquet reads), so a 100 TB input pays O(cap) rows here —
+    and a small input pays a single Dataset execution instead of a
+    count() probe plus a separate to_pandas()."""
     cols = list(dict.fromkeys(cols))
     if isinstance(table, pd.DataFrame):
         if len(table) > cap:
             return None
-        return pa.Table.from_pandas(table[cols].reset_index(drop=True),
-                                    preserve_index=False)
+        t = pa.Table.from_pandas(table[cols].reset_index(drop=True),
+                                 preserve_index=False)
+        return None if t.nbytes > byte_cap else t
     try:
         limited = table.select_columns(cols) if cap >= 2 ** 62 \
             else table.select_columns(cols).limit(cap + 1)
-        parts = [pa.table(b) for b in limited.iter_batches(
-            batch_size=None, batch_format='pyarrow')]
+        parts, got = [], 0
+        for b in limited.iter_batches(batch_size=None,
+                                      batch_format='pyarrow'):
+            t = pa.table(b)
+            parts.append(t)
+            got += t.nbytes
+            if got > byte_cap:  # stop consuming the stream early
+                return None
     except Exception:  # pragma: no cover - unreadable input → distributed
         return None
     if not parts:  # empty input: let the distributed path shape the schema
@@ -226,14 +249,15 @@ def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
     output as the distributed pipeline (pinned by tests/test_local_join.py
     against SSJ_LOCAL_JOIN=0 runs)."""
     cap = _local_row_cap()
-    arr_l = _fetch_local(ltable, [l_key_attr, l_join_attr], cap)
+    byte_cap = _local_byte_cap()
+    arr_l = _fetch_local(ltable, [l_key_attr, l_join_attr], cap, byte_cap)
     if arr_l is None:
         return None
     if same_relation:
         arr_r = arr_l
     else:
         arr_r = _fetch_local(rtable, [r_key_attr, r_join_attr],
-                             cap - len(arr_l))
+                             cap - len(arr_l), byte_cap - arr_l.nbytes)
         if arr_r is None:
             return None
     keep_string = cfg.keep_string

@@ -1296,12 +1296,19 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                                   emit_sides=not same_relation,
                                   num_parts=nparts, slim_wire=True),
                 batch_format='pyarrow')
+            # profiling aid: SSJ_JOIN_STAGE_BARRIERS=1 splits the 5-op plan
+            # at the two shuffle seams so per-stage walls are attributable
+            # (measured within noise of the fused plan at bench scale)
+            if os.environ.get('SSJ_JOIN_STAGE_BARRIERS') == '1':
+                postings = postings.materialize()
             cand = postings.groupby('part').map_groups(
                 BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
                                  same_relation=same_relation,
                                  num_vbuckets=nb, bc_ref=bc_ref,
                                  heavy=heavy),
                 batch_format='pyarrow')
+            if os.environ.get('SSJ_JOIN_STAGE_BARRIERS') == '1':
+                cand = cand.materialize()
             fn = BroadcastVerify(
                 bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
                 same_relation=same_relation, self_join=cfg.self_join,

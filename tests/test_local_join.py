@@ -197,12 +197,17 @@ def test_gate_routing(monkeypatch, ray_session):
 def test_fetch_gate(monkeypatch, ray_session):
     import ray.data
     big = pd.DataFrame({'id': range(5), 'txt': ['a'] * 5})
-    assert localjoin._fetch_local(big, ['id', 'txt'], 3) is None
-    got = localjoin._fetch_local(big, ['id', 'txt'], 5)
+    BIGB = 2 ** 62
+    assert localjoin._fetch_local(big, ['id', 'txt'], 3, BIGB) is None
+    got = localjoin._fetch_local(big, ['id', 'txt'], 5, BIGB)
     assert got is not None and len(got) == 5
+    # byte gate: tiny byte budget rejects even a row-eligible input
+    assert localjoin._fetch_local(big, ['id', 'txt'], 5, 8) is None
     # oversized Dataset input is rejected after a BOUNDED fetch
     ds = ray.data.range(10_000)
-    assert localjoin._fetch_local(ds, ['id'], 50) is None
+    assert localjoin._fetch_local(ds, ['id'], 50, BIGB) is None
+    # Dataset over the byte gate is rejected mid-stream
+    assert localjoin._fetch_local(ds, ['id'], 20_000, 64) is None
     # two-table sum crosses the gate even when each side fits: the join
     # routes to the distributed path and still returns correct output
     monkeypatch.setenv('SSJ_LOCAL_MAX_ROWS', '3')
