@@ -121,6 +121,20 @@ def q_overlap_join_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey', '_sim_score'])
 
 
+def q_overlap_join_gt_part(sf_dir):
+    """``comp_op='>'`` through a full join at driver scale (the reference
+    supports '>=', '>' and '=' on every join — ``join/overlap_join.py``
+    comp_op doc; truth tables are unit-tested, this pins the strict
+    operator end-to-end against SQL).  threshold=1 with '>' differs from
+    every '>=' query's pair set at o=1, so a comp_op regression cannot
+    hide behind an equal result."""
+    part = _t(sf_dir, 'part')
+    out = join.overlap_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                            'p_name', _ws(), 1, comp_op='>')
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey', '_sim_score'])
+
+
 def q_overlap_coefficient_join_part(sf_dir):
     part = _t(sf_dir, 'part')
     out = join.overlap_coefficient_join(part, part, 'p_partkey', 'p_partkey',
@@ -653,6 +667,7 @@ QUERIES = {
     'cosine_join_part': q_cosine_join_part,
     'dice_join_part': q_dice_join_part,
     'overlap_join_part': q_overlap_join_part,
+    'overlap_join_gt_part': q_overlap_join_gt_part,
     'overlap_coefficient_join_part': q_overlap_coefficient_join_part,
     'jaccard_join_supplier_qgram3': q_jaccard_join_supplier_qgram3,
     'edit_distance_join_customer': q_edit_distance_join_customer,
@@ -749,6 +764,11 @@ WHERE round(2.0 * o / (sa.n + sb.n), 4) >= 0.6
 WITH {_TOK_PART}
 SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
 FROM ov WHERE o >= 2
+""",
+    'overlap_join_gt_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
+FROM ov WHERE o > 1
 """,
     'overlap_coefficient_join_part': f"""
 WITH {_TOK_PART}

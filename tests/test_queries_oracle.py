@@ -65,7 +65,8 @@ def test_all_queries_have_callables():
     'jaccard_join_part', 'jaccard_dense_id_part',
     'jaccard_two_relation_part', 'cosine_join_part',
     'dice_join_part',
-    'overlap_join_part', 'overlap_coefficient_join_part',
+    'overlap_join_part', 'overlap_join_gt_part',
+    'overlap_coefficient_join_part',
     'jaccard_join_supplier_qgram3', 'edit_distance_join_customer',
     'overlap_filter_part', 'size_filter_documents', 'prefix_filter_part',
     'prefix_filter_dataset_part',
