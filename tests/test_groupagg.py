@@ -103,3 +103,32 @@ def test_matches_native_aggregate_small(ray_session):
     native = ray.data.from_pandas(df).groupby('k').min('v').to_pandas() \
         .sort_values('k', ignore_index=True)
     assert got['m'].tolist() == native['min(v)'].tolist()
+
+
+def test_nullable_int_key_dtype_fidelity(ray_session):
+    # Arrow-native reduce (round 4): a nullable int64 key keeps its int64
+    # Arrow type end to end — the pandas reducer widened it to float64
+    import pyarrow as pa
+    blk = pa.table({'k': pa.array([5, None, 7, 5], pa.int64()),
+                    'v': pa.array([1, 2, 3, 4], pa.int64())})
+    ds = ray.data.from_arrow([blk])
+    out = bucketed_group_agg(ds, ['k'], [('s', 'v', 'sum')], num_buckets=8)
+    schema = out.schema()
+    assert dict(zip(schema.names, schema.types))['k'] == pa.int64()
+    got = out.to_pandas()
+    by = {(-1 if pd.isnull(r['k']) else int(r['k'])): r['s']
+          for _, r in got.iterrows()}
+    assert by == {5: 5, 7: 3, -1: 2}
+
+
+def test_string_keys_shared_agg_columns(ray_session):
+    # two outs off the same (col, kind) pair share one Arrow aggregate
+    # pass; min+max+count over a string key
+    df = pd.DataFrame({'t': ['a', 'b', 'a', 'a'], 'v': [3, 9, 1, 5]})
+    out = bucketed_group_agg(
+        ray.data.from_pandas(df), ['t'],
+        [('lo', 'v', 'min'), ('lo2', 'v', 'min'), ('hi', 'v', 'max'),
+         ('n', None, 'count')]).to_pandas().set_index('t')
+    assert out.loc['a', 'lo'] == 1 and out.loc['a', 'lo2'] == 1
+    assert out.loc['a', 'hi'] == 5 and out.loc['a', 'n'] == 3
+    assert out.loc['b', 'lo'] == 9 and out.loc['b', 'n'] == 1
