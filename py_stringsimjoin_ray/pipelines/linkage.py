@@ -178,22 +178,32 @@ def _attach_components(ingest_slim, comp, num_buckets: int = 64,
             'sha256': pa.nulls(n, pa.string()),
             'component': pa.compute.cast(b['component'], pa.int64())})
 
-    def merge(df):
-        import pandas as pd
-        left = df[df['side'] == 0]
-        right = df[df['side'] == 1]
-        comp_s = pd.Series(right['component'].to_numpy(),
-                           index=right['record_id'].to_numpy())
-        vals = left['record_id'].map(comp_s)
-        vals = vals.fillna(left['record_id']).astype(np.int64)
-        out = left[['record_id', 'repo', 'path', 'commit', 'sha256']].copy()
-        out['component'] = vals.to_numpy()
-        return out
+    def merge(tbl: pa.Table) -> pa.Table:
+        side = tbl['side'].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        ids = tbl['record_id'].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lid = ids[lmask]
+        rid = ids[~lmask]
+        rcomp = tbl['component'].to_numpy(zero_copy_only=False)[~lmask] \
+            .astype(np.int64)
+        if len(rid):
+            order = np.argsort(rid, kind='stable')
+            rid, rcomp = rid[order], rcomp[order]
+            pos = np.minimum(np.searchsorted(rid, lid), len(rid) - 1)
+            vals = np.where(rid[pos] == lid, rcomp[pos], lid)
+        else:
+            vals = lid
+        sel = pa.array(np.flatnonzero(lmask))
+        out = tbl.select(['record_id', 'repo', 'path', 'commit',
+                          'sha256']).take(sel)
+        return out.append_column('component',
+                                 pa.array(vals.astype(np.int64)))
     merge.__name__ = 'attach_components'
 
     both = ingest_slim.map_batches(tag_left, batch_format='pyarrow').union(
         comp.map_batches(tag_right, batch_format='pyarrow'))
-    return both.groupby('bucket').map_groups(merge, batch_format='pandas')
+    return both.groupby('bucket').map_groups(merge, batch_format='pyarrow')
 
 
 def record_linkage(repos_path: str, checkpoint_dir: str | None = None,

@@ -71,6 +71,10 @@ def _topk_per_query(partials: ray.data.Dataset, k: int,
     that size.  ``output='dataset'`` keeps the merged stream distributed."""
     import os
 
+    # deliberately pandas (the one remaining pandas map_groups): the body
+    # is shared verbatim with the driver fast path below, and each bucket
+    # group is bounded at ≤ per-block-partials × k rows by construction —
+    # the conversion cost is noise, the single shared kernel is not
     def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((df['vec_id'].to_numpy(),
                             -df['cosine'].to_numpy(),

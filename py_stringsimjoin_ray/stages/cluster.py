@@ -49,36 +49,55 @@ def _sym_bucketed(edges: ray.data.Dataset, num_buckets: int
     return edges.map_batches(f, batch_format='pyarrow')
 
 
-def _large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _sorted_dedup_uv(tbl: pa.Table):
+    """(u, v) dedup'd and lexsorted by (u, v) — numpy on Arrow columns
+    (node ids are arbitrary int64, so no pair64 packing)."""
+    u = tbl['u'].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl['v'].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    if len(us):
+        dup = np.concatenate(
+            ([False], (us[1:] == us[:-1]) & (vs[1:] == vs[:-1])))
+        us, vs = us[~dup], vs[~dup]
+    return us, vs
+
+
+def _large_star_bucket(tbl: pa.Table) -> pa.Table:
     """All neighbors of each u in this group are global (bucketed by u):
     attach every neighbor > u to m(u) = min(u, min nbr)."""
-    df = df.drop_duplicates(['u', 'v'])
-    mins = df.groupby('u')['v'].min()
-    m = pd.Series(np.minimum(mins.to_numpy(), mins.index.to_numpy()),
-                  index=mins.index)
-    big = df[df['v'] > df['u']]
-    return pd.DataFrame({'u': big['v'].to_numpy(),
-                         'v': m[big['u']].to_numpy()})
+    us, vs = _sorted_dedup_uv(tbl)
+    if not len(us):
+        return pa.table({'u': pa.array([], pa.int64()),
+                         'v': pa.array([], pa.int64())})
+    first = np.concatenate(([True], us[1:] != us[:-1]))
+    gid = np.cumsum(first) - 1
+    m = np.minimum(vs[first], us[first])  # v asc within u → vs[first] = min
+    big = vs > us
+    return pa.table({'u': pa.array(vs[big]),
+                     'v': pa.array(m[gid[big]])})
 
 
 _large_star_bucket.__name__ = 'large_star'
 
 
-def _small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _small_star_bucket(tbl: pa.Table) -> pa.Table:
     """Attach each node's smaller neighbors (and itself) to the min smaller
     neighbor."""
-    df = df.drop_duplicates(['u', 'v'])
-    lt = df[df['v'] < df['u']]
-    if lt.empty:
-        return pd.DataFrame({'u': np.array([], np.int64),
-                             'v': np.array([], np.int64)})
-    mins = lt.groupby('u')['v'].min()
-    mv = mins[lt['u']].to_numpy()
-    vv = lt['v'].to_numpy()
-    keep = vv != mv
-    return pd.DataFrame({
-        'u': np.concatenate([vv[keep], mins.index.to_numpy()]),
-        'v': np.concatenate([mv[keep], mins.to_numpy()])})
+    us, vs = _sorted_dedup_uv(tbl)
+    lt = vs < us
+    if not lt.any():
+        return pa.table({'u': pa.array([], pa.int64()),
+                         'v': pa.array([], pa.int64())})
+    ul, vl = us[lt], vs[lt]
+    first = np.concatenate(([True], ul[1:] != ul[:-1]))
+    gid = np.cumsum(first) - 1
+    minv = vl[first]
+    mv = minv[gid]
+    keep = vl != mv
+    return pa.table({
+        'u': pa.array(np.concatenate([vl[keep], ul[first]])),
+        'v': pa.array(np.concatenate([mv[keep], minv]))})
 
 
 _small_star_bucket.__name__ = 'small_star'
@@ -122,15 +141,15 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 50,
 
     # Each star round is ONE bucket shuffle: nodes hash into P buckets so a
     # node's whole neighbor list is group-local, and the per-group rule is
-    # vectorized pandas — no per-node Python groups, no Dataset.join.
+    # numpy over Arrow columns — no per-node Python groups, no Dataset.join.
     num_buckets = max(8, 2 * int(ray.cluster_resources().get('CPU', 8)))
 
     prev = None
     for _ in range(max_rounds):
         edges = _sym_bucketed(edges, num_buckets).groupby('bucket') \
-            .map_groups(_large_star_bucket, batch_format='pandas')
+            .map_groups(_large_star_bucket, batch_format='pyarrow')
         edges = _sym_bucketed(edges, num_buckets).groupby('bucket') \
-            .map_groups(_small_star_bucket, batch_format='pandas')
+            .map_groups(_small_star_bucket, batch_format='pyarrow')
         edges = edges.materialize()
         cs = _checksum(edges)
         if cs == prev:

@@ -348,19 +348,23 @@ def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
         return pa.table({'mb': pa.array(_id_bucket(dg, nb)),
                          'dg': pa.array(dg), 'id': b['id']})
 
-    def dup_members(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby('dg')['id'].transform('size').to_numpy()
-        sub = df[sizes >= 2]
-        if not len(sub):
-            return pd.DataFrame({'rep': np.array([], np.int64),
-                                 'id': np.array([], np.int64)})
-        rep = sub.groupby('dg')['id'].transform('min').to_numpy()
-        return pd.DataFrame({'rep': rep.astype(np.int64),
-                             'id': sub['id'].to_numpy().astype(np.int64)})
+    def dup_members(tbl: pa.Table) -> pa.Table:
+        dg = tbl['dg'].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-class size and min-id via one lexsort over (dg, id)
+        order = np.lexsort((ids, dg))
+        dgs, idss = dg[order], ids[order]
+        first = np.concatenate(([True], dgs[1:] != dgs[:-1]))
+        gid = np.cumsum(first) - 1
+        sizes = np.bincount(gid)
+        rep = idss[np.flatnonzero(first)][gid]  # min id per class (sorted)
+        keep = sizes[gid] >= 2
+        return pa.table({'rep': pa.array(rep[keep]),
+                         'id': pa.array(idss[keep])})
     dup_members.__name__ = 'lsh_dup_members'
 
     dupm = shingled.map_batches(memb_rows, batch_format='pyarrow') \
-        .groupby('mb').map_groups(dup_members, batch_format='pandas') \
+        .groupby('mb').map_groups(dup_members, batch_format='pyarrow') \
         .materialize()
     n_dup = dupm.count()
     if n_dup == 0:
@@ -439,49 +443,58 @@ def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
                          'j': b['jaccard' if 'jaccard' in b.column_names
                                else 'j']})
 
-    def expand_group(df: pd.DataFrame) -> pd.DataFrame:
-        memb = df[df['kind'] == 0]
-        prs = df[df['kind'] == 1]
-        if prs.empty:
-            return pd.DataFrame({'key': np.array([], np.int64),
-                                 'other': np.array([], np.int64),
-                                 'j': np.array([], np.float64)})
+    def expand_group(tbl: pa.Table) -> pa.Table:
+        kind = tbl['kind'].to_numpy(zero_copy_only=False)
+        key = tbl['key'].to_numpy(zero_copy_only=False).astype(np.int64)
+        ism, isp = kind == 0, kind == 1
+        if not isp.any():
+            return pa.table({'key': pa.array([], pa.int64()),
+                             'other': pa.array([], pa.int64()),
+                             'j': pa.array([], pa.float64())})
         ru, of, iv = _memb_index(
-            memb['key'].to_numpy().astype(np.int64),
-            memb['mate'].to_numpy().astype(np.int64))
-        keys = prs['key'].to_numpy().astype(np.int64)
+            key[ism],
+            tbl['mate'].to_numpy(zero_copy_only=False)[ism]
+            .astype(np.int64))
+        keys = key[isp]
         vals, cnt = _side_expand(keys, ru, of, iv)
         idx = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
-        return pd.DataFrame({'key': vals,
-                             'other': prs['other'].to_numpy()[idx]
-                             .astype(np.int64),
-                             'j': prs['j'].to_numpy()[idx]})
+        other = tbl['other'].to_numpy(zero_copy_only=False)[isp] \
+            .astype(np.int64)
+        j = tbl['j'].to_numpy(zero_copy_only=False)[isp] \
+            .astype(np.float64)
+        return pa.table({'key': pa.array(vals),
+                         'other': pa.array(other[idx]),
+                         'j': pa.array(j[idx])})
     expand_group.__name__ = 'lsh_expand_group'
 
     p1 = dupm.map_batches(dupm_tag, batch_format='pyarrow').union(
         verified.map_batches(lambda b: pairs_tag(b, 'l_id', 'r_id'),
                              batch_format='pyarrow'))
-    half = p1.groupby('xb').map_groups(expand_group, batch_format='pandas')
+    half = p1.groupby('xb').map_groups(expand_group, batch_format='pyarrow')
     # half: (key = expanded l member, other = r rep, j)
     p2 = dupm.map_batches(dupm_tag, batch_format='pyarrow').union(
         half.map_batches(lambda b: pairs_tag(b, 'other', 'key'),
                          batch_format='pyarrow'))
-    full = p2.groupby('xb').map_groups(expand_group, batch_format='pandas')
+    full = p2.groupby('xb').map_groups(expand_group, batch_format='pyarrow')
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        a = df['key'].to_numpy().astype(np.int64)
-        b_ = df['other'].to_numpy().astype(np.int64)
-        return pd.DataFrame({'l_id': np.minimum(a, b_),
-                             'r_id': np.maximum(a, b_),
-                             'jaccard': df['j'].to_numpy()})
+    def finish(tbl: pa.Table) -> pa.Table:
+        a = tbl['key'].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ = tbl['other'].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({'l_id': pa.array(np.minimum(a, b_)),
+                         'r_id': pa.array(np.maximum(a, b_)),
+                         'jaccard': pa.array(
+                             tbl['j'].to_numpy(zero_copy_only=False)
+                             .astype(np.float64))})
     finish.__name__ = 'lsh_expand_finish'
-    cross = full.map_batches(finish, batch_format='pandas')
+    cross = full.map_batches(finish, batch_format='pyarrow')
 
-    def intra_group(df: pd.DataFrame) -> pd.DataFrame:
-        memb = df[df['kind'] == 0]
+    def intra_group(tbl: pa.Table) -> pa.Table:
+        ism = tbl['kind'].to_numpy(zero_copy_only=False) == 0
         ru, of, iv = _memb_index(
-            memb['key'].to_numpy().astype(np.int64),
-            memb['mate'].to_numpy().astype(np.int64))
+            tbl['key'].to_numpy(zero_copy_only=False)[ism]
+            .astype(np.int64),
+            tbl['mate'].to_numpy(zero_copy_only=False)[ism]
+            .astype(np.int64))
         ls, rs = [], []
         for ci in range(len(ru)):
             mem = iv[of[ci]:of[ci + 1]]
@@ -492,11 +505,11 @@ def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
             rs.append(ri[msk])
         l = np.concatenate(ls) if ls else np.empty(0, np.int64)
         r = np.concatenate(rs) if rs else np.empty(0, np.int64)
-        return pd.DataFrame({'l_id': l, 'r_id': r,
-                             'jaccard': np.ones(len(l), np.float64)})
+        return pa.table({'l_id': pa.array(l), 'r_id': pa.array(r),
+                         'jaccard': pa.array(np.ones(len(l), np.float64))})
     intra_group.__name__ = 'lsh_intra_group'
     intra = dupm.map_batches(dupm_tag, batch_format='pyarrow') \
-        .groupby('xb').map_groups(intra_group, batch_format='pandas')
+        .groupby('xb').map_groups(intra_group, batch_format='pyarrow')
     return cross.union(intra)
 
 
@@ -999,12 +1012,15 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     posts = sigs.map_batches(quarter_postings, batch_format='pyarrow')
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates('id')
-        ids = sub['id'].to_numpy()
-        hs = sub['simhash'].to_numpy().astype(np.int64)
-        empty = pd.DataFrame({'l_id': np.array([], ids.dtype),
-                              'r_id': np.array([], ids.dtype)})
+    def pairs(tbl: pa.Table) -> pa.Table:
+        ids_all = tbl['id'].to_numpy(zero_copy_only=False)
+        hs_all = tbl['simhash'].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _, uniq_idx = np.unique(ids_all, return_index=True)
+        ids = ids_all[np.sort(uniq_idx)]
+        hs = hs_all[np.sort(uniq_idx)]
+        empty = pa.table({'l_id': pa.array([], pa.int64()),
+                          'r_id': pa.array([], pa.int64())})
         if len(ids) < 2:
             return empty
         # collapse identical simhashes into classes: the XOR matrix runs
@@ -1056,11 +1072,13 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                 out_r.append(np.where(swap, a, b))
         if not out_l:
             return empty
-        return pd.DataFrame({'l_id': np.concatenate(out_l),
-                             'r_id': np.concatenate(out_r)})
+        return pa.table({'l_id': pa.array(np.concatenate(out_l)
+                                          .astype(np.int64)),
+                         'r_id': pa.array(np.concatenate(out_r)
+                                          .astype(np.int64))})
     pairs.__name__ = 'simhash_pairs'
 
-    cand = posts.groupby('bucket').map_groups(pairs, batch_format='pandas')
+    cand = posts.groupby('bucket').map_groups(pairs, batch_format='pyarrow')
     # global pair dedup (a pair can collide in up to 4 quarters): bucketed
     # distinct — pair cardinality is unbounded, ray's native aggregate is
     # pathologically slow at high key cardinality
@@ -1124,18 +1142,24 @@ def near_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                                                       pa.int64())})
     tag_comp.__name__ = 'neardedup_tag_comp'
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df['side'] == 0]
-        right = df[df['side'] == 1]
-        comp_s = pd.Series(right['component'].to_numpy(),
-                           index=right['id'].to_numpy())
-        rep = left['id'].map(comp_s).fillna(left['id']).astype(np.int64)
-        out = pd.DataFrame({id_col: left['id'].to_numpy(),
-                            'rep_id': rep.to_numpy()})
-        out['keep'] = (out[id_col] == out['rep_id']).astype(np.int64)
-        return out
+    def merge(tbl: pa.Table) -> pa.Table:
+        side = tbl['side'].to_numpy(zero_copy_only=False)
+        ids = tbl['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp_ = tbl['component'].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lid = ids[side == 0]
+        rid, rcomp = ids[side == 1], comp_[side == 1]
+        if len(rid):
+            order = np.argsort(rid, kind='stable')
+            rid, rcomp = rid[order], rcomp[order]
+            pos = np.minimum(np.searchsorted(rid, lid), len(rid) - 1)
+            rep = np.where(rid[pos] == lid, rcomp[pos], lid)
+        else:
+            rep = lid
+        return pa.table({id_col: pa.array(lid), 'rep_id': pa.array(rep),
+                         'keep': pa.array((lid == rep).astype(np.int64))})
     merge.__name__ = 'neardedup_attach'
 
     both = ids_ds.map_batches(tag_ids, batch_format='pyarrow').union(
         comp.map_batches(tag_comp, batch_format='pyarrow'))
-    return both.groupby('bucket').map_groups(merge, batch_format='pandas')
+    return both.groupby('bucket').map_groups(merge, batch_format='pyarrow')

@@ -100,10 +100,10 @@ def sessionize(ds: ray.data.Dataset, ts_col: str, key_col: str,
                          '_ts_us': batch[ts_col].cast(pa.timestamp('us'))
                                                 .cast(pa.int64())})
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[key_col].to_numpy()
-        ts = df['_ts_us'].to_numpy().astype(np.int64)
-        ids = df[id_col].to_numpy()
+    def assign(tbl: pa.Table) -> pa.Table:
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        ts = tbl['_ts_us'].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts, keys))
         k, t = keys[order], ts[order]
         new_key = np.empty(len(k), dtype=bool)
@@ -119,10 +119,11 @@ def sessionize(ds: ray.data.Dataset, ts_col: str, key_col: str,
         start = np.where(new_key, sess_global, -1)
         start = np.maximum.accumulate(start)
         seq = sess_global - start
-        return pd.DataFrame({id_col: ids[order], key_col: k,
-                             'session_seq': seq.astype(np.int64)})
+        return pa.table({id_col: pa.array(ids[order]),
+                         key_col: pa.array(k),
+                         'session_seq': pa.array(seq.astype(np.int64))})
     assign.__name__ = 'sessionize_bucket'
 
     return ds.map_batches(bucketed, batch_format='pyarrow') \
         .groupby('sbucket') \
-        .map_groups(assign, batch_format='pandas')
+        .map_groups(assign, batch_format='pyarrow')
