@@ -143,6 +143,37 @@ def q_overlap_coefficient_join_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_jaccard_out_attrs_part(sf_dir):
+    """``l_out_attrs``/``r_out_attrs`` with CUSTOM prefixes through a full
+    set-sim join (reference surface: ``join/jaccard_join.py``
+    l_out_attrs/l_out_prefix docs; the disk-join queries cover out attrs
+    on the ED path, this pins them on the set-sim path)."""
+    part = _t(sf_dir, 'part')
+    out = join.jaccard_join(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                            'p_name', _ws(), 0.5,
+                            l_out_attrs=['p_brand'], r_out_attrs=['p_type'],
+                            l_out_prefix='L_', r_out_prefix='R_')
+    assert list(out.columns) == ['_id', 'L_p_partkey', 'R_p_partkey',
+                                 'L_p_brand', 'R_p_type', '_sim_score'], \
+        list(out.columns)
+    return _keys_int(out[['L_p_partkey', 'R_p_partkey', 'L_p_brand',
+                          'R_p_type', '_sim_score']].copy(),
+                     ['L_p_partkey', 'R_p_partkey'])
+
+
+def q_allow_missing_edit_distance_customer(sf_dir):
+    """allow_missing=True on the EDIT_DISTANCE path: null join-attrs
+    cross-pair with the other side exactly like the set-sim case
+    (reference: ``utils/missing_value_handler.py`` shared by every join)."""
+    cust = _t(sf_dir, 'customer').to_pandas()
+    cust['c_name'] = cust['c_name'].mask(cust['c_custkey'] % 101 == 0)
+    out = join.edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                  'c_name', 'c_name', 2,
+                                  allow_missing=True, out_sim_score=False)
+    return _keys_int(out[['l_c_custkey', 'r_c_custkey']].copy(),
+                     ['l_c_custkey', 'r_c_custkey'])
+
+
 def q_jaccard_join_supplier_qgram3(sf_dir):
     sup = _t(sf_dir, 'supplier')
     out = join.jaccard_join(sup, sup, 's_suppkey', 's_suppkey', 's_name',
@@ -664,6 +695,9 @@ QUERIES = {
     'jaccard_join_part': q_jaccard_join_part,
     'jaccard_dense_id_part': q_jaccard_dense_id_part,
     'jaccard_two_relation_part': q_jaccard_two_relation_part,
+    'jaccard_out_attrs_part': q_jaccard_out_attrs_part,
+    'allow_missing_edit_distance_customer':
+        q_allow_missing_edit_distance_customer,
     'cosine_join_part': q_cosine_join_part,
     'dice_join_part': q_dice_join_part,
     'overlap_join_part': q_overlap_join_part,
@@ -776,6 +810,25 @@ SELECT la AS l_p_partkey, rb AS r_p_partkey,
        o * 1.0 / least(sa.n, sb.n) AS _sim_score
 FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
 WHERE o * 1.0 / least(sa.n, sb.n) >= 0.7
+""",
+    'jaccard_out_attrs_part': f"""
+WITH {_TOK_PART}
+SELECT la AS L_p_partkey, rb AS R_p_partkey,
+       pl.p_brand AS L_p_brand, pr.p_type AS R_p_type,
+       round(o * 1.0 / (sa.n + sb.n - o), 4) AS _sim_score
+FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
+JOIN part pl ON la = pl.p_partkey JOIN part pr ON rb = pr.p_partkey
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 4) >= 0.5
+""",
+    'allow_missing_edit_distance_customer': """
+WITH c AS (SELECT c_custkey, CASE WHEN c_custkey % 101 = 0 THEN NULL
+                                  ELSE c_name END AS nm FROM customer)
+SELECT a.c_custkey AS l_c_custkey, b.c_custkey AS r_c_custkey
+FROM c a, c b
+WHERE (a.nm IS NOT NULL AND b.nm IS NOT NULL
+       AND levenshtein(a.nm, b.nm) <= 2)
+   OR a.nm IS NULL
+   OR (a.nm IS NOT NULL AND b.nm IS NULL)
 """,
     'jaccard_join_supplier_qgram3': """
 WITH padded AS (SELECT s_suppkey AS id, '##' || s_name || '$$' AS s

@@ -68,6 +68,7 @@ def test_all_queries_have_callables():
     'overlap_join_part', 'overlap_join_gt_part',
     'overlap_coefficient_join_part',
     'jaccard_join_supplier_qgram3', 'edit_distance_join_customer',
+    'jaccard_out_attrs_part', 'allow_missing_edit_distance_customer',
     'overlap_filter_part', 'size_filter_documents', 'prefix_filter_part',
     'prefix_filter_dataset_part',
     'position_filter_part', 'apply_matcher_part',
