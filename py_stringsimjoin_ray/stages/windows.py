@@ -91,9 +91,15 @@ def sessionize(ds: ray.data.Dataset, ts_col: str, key_col: str,
     gap_us = int(gap_s) * 1_000_000
 
     def bucketed(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = ((keys.astype(np.uint64) * KNUTH64) >> np.uint64(40)) \
-            % np.uint64(num_buckets)
+        col = batch[key_col]
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            keys = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b = ((keys.astype(np.uint64) * KNUTH64) >> np.uint64(40)) \
+                % np.uint64(num_buckets)
+        else:  # string / binary keys: deterministic cross-block hash
+            b = pd.util.hash_array(col.to_numpy(zero_copy_only=False),
+                                   categorize=False) \
+                % np.uint64(num_buckets)
         return pa.table({'sbucket': pa.array(b.astype(np.int32)),
                          id_col: batch[id_col],
                          key_col: batch[key_col],

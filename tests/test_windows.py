@@ -68,3 +68,20 @@ def test_sessionize_per_key_zero_base_across_buckets():
     second = out[out['event_id'] % 10 == 1]
     assert (first['session_seq'] == 0).all()
     assert (second['session_seq'] == 1).all()
+
+
+def test_sessionize_string_keys():
+    # Arrow-native assign (round 4): string key columns ride the numpy
+    # object path and come back as Arrow strings
+    rows = [(1, 'alice', 0 * US, 0.0), (2, 'alice', 100 * US, 0.0),
+            (3, 'alice', 5000 * US, 0.0), (4, 'bob', 0 * US, 0.0),
+            (5, 'bob', 7200 * US, 0.0)]
+    df = pd.DataFrame(rows, columns=['event_id', 'user_id', 'ts_us',
+                                     'value'])
+    df['ts'] = pd.to_datetime(df['ts_us'], unit='us')
+    ds = ray.data.from_pandas(df[['event_id', 'user_id', 'ts', 'value']])
+    out = sessionize(ds, 'ts', 'user_id', 'event_id', 1800).to_pandas()
+    seq = dict(zip(out['event_id'], out['session_seq']))
+    assert seq[1] == 0 and seq[2] == 0 and seq[3] == 1
+    assert seq[4] == 0 and seq[5] == 1
+    assert set(out['user_id']) == {'alice', 'bob'}
