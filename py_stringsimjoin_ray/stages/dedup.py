@@ -39,6 +39,34 @@ def shingles(text: str, k: int = 5) -> list[str]:
     return [' '.join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
+def _require_int_ids(ds: ray.data.Dataset, id_col: str, op: str) -> None:
+    """The near-dup ops pack ids into int64 pair/bucket keys; fail fast
+    with guidance instead of an opaque cast error deep in a worker.
+    (``exact_dedup`` is dtype-agnostic — its group keys stay Arrow.)"""
+    ok = None
+    try:
+        schema = ds.schema(fetch_if_missing=False)
+        if schema is None:
+            return  # lazy schema unavailable; workers will surface it
+        base = getattr(schema, 'base_schema', None)
+        if isinstance(base, pa.Schema):
+            t = base.field(id_col).type
+            ok = pa.types.is_integer(t)
+        elif hasattr(base, 'names') and hasattr(base, 'types'):
+            t = base.types[list(base.names).index(id_col)]
+            ok = getattr(t, 'kind', '?') in 'iu'
+        else:
+            return
+    except Exception:  # pragma: no cover - unusual schema container
+        return
+    if ok is False:
+        raise TypeError(
+            f'{op} requires an integer {id_col!r} column (ids are packed '
+            f'into int64 pair keys); got {t}. Map ids to int64 first — '
+            f'e.g. a deterministic hash column or '
+            f'py_stringsimjoin_ray.add_dense_id.')
+
+
 # ------------------------------------------------------------- exact dedup
 
 def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
@@ -522,6 +550,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     stream writes as partitioned Parquet + lineage manifest and a matching
     fingerprint skips the whole LSH pipeline on re-run (north-rule
     resumability for the standalone dedup entry point, VERDICT r2 #4)."""
+    _require_int_ids(ds, id_col, 'minhash_lsh_pairs')
     if checkpoint_dir:
         from ..pipelines.join import content_signature
         from ..state import manifests as mf
@@ -994,6 +1023,7 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming, blocked on
     16-bit simhash quarters (a pair within distance 3 shares ≥1 of 4
     quarters by pigeonhole)."""
+    _require_int_ids(ds, id_col, 'simhash_near_dup_pairs')
     sigs = ds.map_batches(SimHashStage(id_col, text_col, k),
                           batch_format='pyarrow')
 
@@ -1104,6 +1134,7 @@ def near_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     The component map attaches to the corpus with one id-hash bucket
     shuffle (no driver materialization, absent ids default to
     themselves)."""
+    _require_int_ids(ds, id_col, 'near_dedup')
     from .cluster import connected_components
     pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold,
                               k=k, num_perm=num_perm, bands=bands,

@@ -708,3 +708,24 @@ class TestNeardupAutoGate:
         forced = ann.cosine_neardup_pairs(ds, threshold=0.8,
                                           method='bruteforce')
         assert len(forced) >= len(auto)
+
+
+def test_dedup_string_ids_rejected_with_guidance(ray_session):
+    # minhash/simhash/near_dedup pack ids into int64 pair keys; a string
+    # id column must fail fast with guidance, not crash in a worker
+    import pytest
+    from py_stringsimjoin_ray.stages.dedup import (exact_dedup,
+                                                   minhash_lsh_pairs,
+                                                   near_dedup,
+                                                   simhash_near_dup_pairs)
+    df = pd.DataFrame({'doc_id': ['a', 'b', 'c'],
+                       'text': ['x y z', 'x y z', 'q r s']})
+    ds = ray.data.from_pandas(df)
+    for fn in (lambda: minhash_lsh_pairs(ds, 'doc_id', 'text'),
+               lambda: simhash_near_dup_pairs(ds, 'doc_id', 'text'),
+               lambda: near_dedup(ds, 'doc_id', 'text')):
+        with pytest.raises(TypeError, match='integer.*doc_id'):
+            fn()
+    # exact_dedup is dtype-agnostic (Arrow group keys)
+    out = exact_dedup(ds, 'doc_id', 'text').to_pandas()
+    assert sorted(out['rep_id']) == ['a', 'c']
