@@ -168,11 +168,19 @@ class BruteForceScore:
                          'cosine': pa.array(np.concatenate(out_s))})
 
 
+def _require_int_ids(ds, id_col: str, op: str) -> None:
+    """ANN kernels cast ids to int64 (pair packing, top-k merges); fail
+    fast with guidance instead of an opaque cast error in a worker."""
+    from .dedup import _require_int_ids as _chk
+    _chk(ds, id_col, op)
+
+
 def ann_topk_bruteforce(ds: ray.data.Dataset, query_matrix: np.ndarray,
                         id_col: str = 'vec_id', vec_col: str = 'embedding',
                         k: int = 5, output: str = 'pandas'):
     """Exact top-k; returns (query_id, vec_id, cosine, rank) — ties broken
     by (−cosine, vec_id) for determinism."""
+    _require_int_ids(ds, id_col, 'ann_topk_bruteforce')
     Q = np.asarray(query_matrix, dtype=np.float64)
     qref = ray.put(Q)
     partials = ds.map_batches(BruteForceScore(qref, id_col, vec_col, k),
@@ -212,6 +220,7 @@ def ann_topk_lsh(ds: ray.data.Dataset, query_matrix: np.ndarray,
     Documented partitioning assumption: recall depends on bucket granularity
     (2^nbits buckets) and the probe radius — measured recall@10 vs brute
     force is the acceptance gate (tests/test_cluster_dedup_ann.py)."""
+    _require_int_ids(ds, id_col, 'ann_topk_lsh')
     Q = np.asarray(query_matrix, dtype=np.float64)
     dim = Q.shape[1]
     hasher = HyperplaneSig(dim, nbits, seed)
@@ -302,6 +311,7 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
     ``output='dataset'`` keeps the pair stream distributed (unsorted) for
     100-TB outputs; ``'pandas'`` collects and sorts (test/driver scale).
     """
+    _require_int_ids(ds, id_col, 'cosine_neardup_pairs')
     if method == 'auto':
         proj = ds.select_columns(
             list(dict.fromkeys([id_col, vec_col]))).materialize()
@@ -499,6 +509,7 @@ def ann_topk_ivf(ds: ray.data.Dataset, query_matrix: np.ndarray,
     (VERDICT r3 #3 — a ``ds.limit`` prefix sample sees one slice of any
     source/time-ordered corpus and recall at nprobe<nlist collapses);
     driver cost stays bounded at ~train_sample rows."""
+    _require_int_ids(ds, id_col, 'ann_topk_ivf')
     Q = np.asarray(query_matrix, dtype=np.float64)
     if spec is None:
         sample = _train_sample_matrix(ds, id_col, vec_col, train_sample,

@@ -729,3 +729,20 @@ def test_dedup_string_ids_rejected_with_guidance(ray_session):
     # exact_dedup is dtype-agnostic (Arrow group keys)
     out = exact_dedup(ds, 'doc_id', 'text').to_pandas()
     assert sorted(out['rep_id']) == ['a', 'c']
+
+
+def test_ann_string_ids_rejected_with_guidance(ray_session):
+    import pytest
+    from py_stringsimjoin_ray.stages.ann import (ann_topk_bruteforce,
+                                                 ann_topk_ivf, ann_topk_lsh,
+                                                 cosine_neardup_pairs)
+    df = pd.DataFrame({'vec_id': ['a', 'b'],
+                       'embedding': [[1.0, 0.0], [0.0, 1.0]]})
+    ds = ray.data.from_pandas(df)
+    Q = np.eye(2)
+    for fn in (lambda: ann_topk_bruteforce(ds, Q, k=1),
+               lambda: ann_topk_lsh(ds, Q, k=1),
+               lambda: ann_topk_ivf(ds, Q, k=1, nlist=1, nprobe=1),
+               lambda: cosine_neardup_pairs(ds, threshold=0.5)):
+        with pytest.raises(TypeError, match='integer.*vec_id'):
+            fn()
