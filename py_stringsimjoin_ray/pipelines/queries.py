@@ -521,6 +521,19 @@ def q_sessionize_events(sf_dir):
                      ['event_id', 'user_id', 'session_seq'])
 
 
+def q_sessionize_bytype_events(sf_dir):
+    """sessionize keyed by a STRING column (event_type): the bucket stage
+    hashes non-numeric keys via a deterministic array hash instead of the
+    int64 cast (round-4 fix; the int-keyed query can't regress this
+    path)."""
+    from ..stages.windows import sessionize
+    ev = _t(sf_dir, 'events')
+    out = sessionize(ev, 'ts', 'event_type', 'event_id', 600).to_pandas()
+    return _keys_int(out[['event_id', 'event_type',
+                          'session_seq']].copy(),
+                     ['event_id', 'session_seq'])
+
+
 # ------------------------------------------------ surface-parity operators
 
 def q_disk_edit_distance_join_customer(sf_dir):
@@ -735,6 +748,7 @@ QUERIES = {
     'media_decode_documents': q_media_decode_documents,
     'window_agg_events': q_window_agg_events,
     'sessionize_events': q_sessionize_events,
+    'sessionize_bytype_events': q_sessionize_bytype_events,
     'disk_edit_distance_join_customer': q_disk_edit_distance_join_customer,
     'disk_edit_distance_join_out_attrs_customer':
         q_disk_edit_distance_join_out_attrs_customer,
@@ -1201,6 +1215,20 @@ SELECT event_id, user_id,
        CAST(sum(CASE WHEN pt IS NULL OR tu - pt > 1800000000
                      THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+FROM lagd
+""",
+    # 10-minute-gap sessions keyed by the STRING event_type column
+    'sessionize_bytype_events': """
+WITH lagd AS (
+  SELECT event_id, event_type, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT event_id, event_type,
+       CAST(sum(CASE WHEN pt IS NULL OR tu - pt > 600000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY event_type ORDER BY tu, event_id
                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
 FROM lagd
 """,

@@ -87,6 +87,7 @@ def test_all_queries_have_callables():
     'suffix_filter_part', 'ann_topk_ivf_embeddings',
     'ann_topk_lsh_embeddings',
     'cosine_neardup_embeddings', 'window_agg_events', 'sessionize_events',
+    'sessionize_bytype_events',
 ])
 def test_query_vs_oracle(name, con):
     _compare(name, con)
