@@ -90,6 +90,23 @@ def _local_byte_cap() -> int:
                               DEFAULT_LOCAL_MAX_BYTES))
 
 
+def _cheap_size_bytes(table) -> int | None:
+    """Metadata-only size estimate, or None when computing it would
+    execute the plan: available for materialized datasets and bare reads
+    (parquet metadata).  Private-API access is fully guarded — any shape
+    change in Ray just disables the shortcut."""
+    try:
+        plan = table._plan
+        if plan.has_computed_output():
+            return table.size_bytes()
+        dag = plan._logical_plan.dag
+        if type(dag).__name__ == 'Read' and not dag.input_dependencies:
+            return table.size_bytes()
+    except Exception:  # pragma: no cover - internal API drift
+        return None
+    return None
+
+
 def _fetch_local(table, cols: list, cap: int,
                  byte_cap: int) -> pa.Table | None:
     """Probe-and-fetch in ONE bounded pass: materialize at most ``cap + 1``
@@ -106,6 +123,15 @@ def _fetch_local(table, cols: list, cap: int,
         t = pa.Table.from_pandas(table[cols].reset_index(drop=True),
                                  preserve_index=False)
         return None if t.nbytes > byte_cap else t
+    # metadata shortcut: when a free full-table size estimate says the
+    # input is so large that even a small column fraction must exceed the
+    # byte gate, reject without reading anything — a 100 TB read must not
+    # pay the O(byte_cap) probe below.  64x margin: size_bytes covers ALL
+    # columns while we fetch only key+join, so only reject when the
+    # projection could not plausibly fit.
+    est = _cheap_size_bytes(table)
+    if est is not None and byte_cap < 2 ** 61 and est > 64 * byte_cap:
+        return None
     try:
         limited = table.select_columns(cols) if cap >= 2 ** 62 \
             else table.select_columns(cols).limit(cap + 1)

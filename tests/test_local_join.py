@@ -215,3 +215,23 @@ def test_fetch_gate(monkeypatch, ray_session):
     out = join.jaccard_join(two, two.copy(), 'id', 'id', 'txt', 'txt',
                             WhitespaceTokenizer(return_set=True), 0.9)
     assert len(out) == 2  # each row matches only itself across tables
+
+
+def test_fetch_metadata_shortcut(ray_session):
+    import ray.data
+    # a bare-read plan exposes a free size estimate; when it exceeds the
+    # byte gate by the 64x margin, _fetch_local must reject WITHOUT
+    # consuming the stream (select_columns poisoned to prove it)
+    ds = ray.data.range(100_000_000)  # est ~800 MB, metadata-only
+    est = localjoin._cheap_size_bytes(ds)
+    assert est is not None and est > 64 * 1024
+    class Poisoned:
+        def __init__(self, inner): self._inner = inner
+        def __getattr__(self, name):
+            if name in ('select_columns', 'iter_batches'):
+                raise AssertionError('shortcut should reject before reading')
+            return getattr(self._inner, name)
+    assert localjoin._fetch_local(Poisoned(ds), ['id'], 2**40, 1024) is None
+    # transformed lazy plans yield no free estimate (must not execute)
+    m = ds.map_batches(lambda b: b, batch_format='pyarrow')
+    assert localjoin._cheap_size_bytes(m) is None
