@@ -136,3 +136,66 @@ def test_allow_missing_matches_reference():
                      None if pd.isna(s) else round(float(s), 4)))
         return out
     assert pairs(got) == pairs(expect)
+
+
+from py_stringsimjoin.join.overlap_join_py import overlap_join_py  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(l=_table(), r=_table(), t=st.sampled_from([1, 2, 3]),
+       op=st.sampled_from(['>=', '>']))
+def test_overlap_join_matches_reference(l, r, t, op):
+    expect = overlap_join_py(l, r, 'id', 'id', 's', 's',
+                             RefWs(return_set=True), t, comp_op=op,
+                             show_progress=False)
+    got = join.overlap_join(l, r, 'id', 'id', 's', 's',
+                            WhitespaceTokenizer(return_set=True), t,
+                            comp_op=op)
+    assert _triples(got) == _triples(expect)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(l=_table(), r=_table(), t=st.sampled_from([1, 2]))
+def test_overlap_filter_candset_matches_reference(l, r, t):
+    from py_stringsimjoin.filter.overlap_filter import \
+        OverlapFilter as RefOverlapFilter
+
+    from py_stringsimjoin_ray.pipelines.filters import OverlapFilter
+    # candset = full cross product, so the filter decides everything
+    cand = l[['id']].rename(columns={'id': 'l_id'}).merge(
+        r[['id']].rename(columns={'id': 'r_id'}), how='cross')
+    cand.insert(0, '_id', range(len(cand)))
+    expect = RefOverlapFilter(RefWs(return_set=True), t).filter_candset(
+        cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's',
+        show_progress=False)
+    got = OverlapFilter(WhitespaceTokenizer(return_set=True), t) \
+        .filter_candset(cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's')
+    keyset = lambda df: set(zip(df['l_id'].astype(np.int64),
+                                df['r_id'].astype(np.int64)))
+    assert keyset(got) == keyset(expect)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(l=_table(), r=_table(), t=st.sampled_from([0.3, 0.6]))
+def test_apply_matcher_matches_reference(l, r, t):
+    from py_stringsimjoin.matcher.apply_matcher import \
+        apply_matcher as ref_apply
+
+    from py_stringsimjoin_ray.core.measures import jaccard
+    from py_stringsimjoin_ray.pipelines.matcher import apply_matcher
+    cand = l[['id']].rename(columns={'id': 'l_id'}).merge(
+        r[['id']].rename(columns={'id': 'r_id'}), how='cross')
+    cand.insert(0, '_id', range(len(cand)))
+
+    def ref_sim(t1, t2):
+        s1, s2 = set(t1), set(t2)
+        return len(s1 & s2) / len(s1 | s2) if s1 | s2 else 0.0
+    expect = ref_apply(cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's',
+                       RefWs(return_set=True), ref_sim, t,
+                       show_progress=False)
+    got = apply_matcher(cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's',
+                        WhitespaceTokenizer(return_set=True), jaccard, t)
+    assert _triples(got) == _triples(expect)
