@@ -199,3 +199,31 @@ def test_apply_matcher_matches_reference(l, r, t):
     got = apply_matcher(cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's',
                         WhitespaceTokenizer(return_set=True), jaccard, t)
     assert _triples(got) == _triples(expect)
+
+
+@pytest.mark.parametrize('fname', ['PrefixFilter', 'PositionFilter',
+                                   'SizeFilter', 'SuffixFilter'])
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(l=_table(), r=_table(), t=st.sampled_from([0.4, 0.7]))
+def test_blocking_filter_candset_matches_reference(fname, l, r, t):
+    import importlib
+    refmod = importlib.import_module(
+        'py_stringsimjoin.filter.' +
+        {'PrefixFilter': 'prefix_filter', 'PositionFilter': 'position_filter',
+         'SizeFilter': 'size_filter',
+         'SuffixFilter': 'suffix_filter'}[fname])
+    from py_stringsimjoin_ray.pipelines import filters as ours_mod
+    RefF = getattr(refmod, fname)
+    OurF = getattr(ours_mod, fname)
+    cand = l[['id']].rename(columns={'id': 'l_id'}).merge(
+        r[['id']].rename(columns={'id': 'r_id'}), how='cross')
+    cand.insert(0, '_id', range(len(cand)))
+    expect = RefF(RefWs(return_set=True), 'JACCARD', t).filter_candset(
+        cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's',
+        show_progress=False)
+    got = OurF(WhitespaceTokenizer(return_set=True), 'JACCARD', t) \
+        .filter_candset(cand, 'l_id', 'r_id', l, r, 'id', 'id', 's', 's')
+    keyset = lambda df: set(zip(df['l_id'].astype(np.int64),
+                                df['r_id'].astype(np.int64)))
+    assert keyset(got) == keyset(expect)
