@@ -82,6 +82,9 @@ def test_all_queries_have_callables():
     'normalize_text_documents', 'simhash_documents',
     'fingerprint_documents', 'media_decode_documents',
     'top_tokens_documents',
+    'allow_missing_jaccard_part', 'col_to_str_customer',
+    'filter_candset_part', 'person_dataset_join',
+    'remove_non_ascii_documents',
     'disk_edit_distance_join_customer',
     'disk_edit_distance_join_out_attrs_customer',
     'suffix_filter_part', 'ann_topk_ivf_embeddings',
