@@ -72,6 +72,10 @@ def _dataset_profile(ds, attrs):
     import os
     from ..stages.localjoin import (DEFAULT_LOCAL_MAX_BYTES,
                                     DEFAULT_LOCAL_MAX_ROWS, _fetch_local)
+    # deliberately NOT _local_row_cap()/_local_byte_cap(): those honor the
+    # SSJ_LOCAL_JOIN=force override, which pins JOIN-path parity in tests
+    # and must not make profiling materialize an unbounded Dataset on the
+    # driver (see the docstring above)
     cap = int(os.environ.get('SSJ_LOCAL_MAX_ROWS', DEFAULT_LOCAL_MAX_ROWS))
     byte_cap = int(os.environ.get('SSJ_LOCAL_MAX_BYTES',
                                   DEFAULT_LOCAL_MAX_BYTES))

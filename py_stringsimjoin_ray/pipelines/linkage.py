@@ -185,7 +185,11 @@ def _attach_components(ingest_slim, comp, num_buckets: int = 64,
             .astype(np.int64)
         lid = ids[lmask]
         rid = ids[~lmask]
-        rcomp = tbl['component'].to_numpy(zero_copy_only=False)[~lmask] \
+        # slice the side-1 rows at the ARROW level: the unioned column
+        # carries nulls on side-0 rows, and a whole-column to_numpy would
+        # convert to float64 — lossy for these 63-bit ids above 2^53
+        rcomp = tbl['component'].take(pa.array(np.flatnonzero(~lmask))) \
+            .combine_chunks().to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         if len(rid):
             order = np.argsort(rid, kind='stable')

@@ -103,6 +103,10 @@ def bucketed_group_agg(ds: ray.data.Dataset, keys: list[str],
         num_buckets = _default_buckets()
     keys = list(keys)
     P = np.uint64(num_buckets)
+    clash = [a[0] for a in aggs if a[0] in keys]
+    if clash:  # would silently overwrite the key column in _grouped
+        raise ValueError(f'aggregate output name(s) {clash} collide with '
+                         f'group keys {keys}')
 
     need = list(dict.fromkeys(keys + [a[1] for a in aggs
                                       if a[1] and a[2] != 'count']))

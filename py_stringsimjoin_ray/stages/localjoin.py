@@ -101,7 +101,12 @@ def _cheap_size_bytes(table) -> int | None:
             return table.size_bytes()
         dag = plan._logical_plan.dag
         if type(dag).__name__ == 'Read' and not dag.input_dependencies:
-            return table.size_bytes()
+            # read the estimate off the Read op's metadata DIRECTLY:
+            # Dataset.size_bytes() on a non-computed plan falls back to
+            # plan.execute() when the datasource reports no size — the
+            # exact full read this shortcut exists to avoid.  size_bytes
+            # is None for such sources, disabling the shortcut.
+            return dag.infer_metadata().size_bytes
     except Exception:  # pragma: no cover - internal API drift
         return None
     return None

@@ -132,3 +132,11 @@ def test_string_keys_shared_agg_columns(ray_session):
     assert out.loc['a', 'lo'] == 1 and out.loc['a', 'lo2'] == 1
     assert out.loc['a', 'hi'] == 5 and out.loc['a', 'n'] == 3
     assert out.loc['b', 'lo'] == 9 and out.loc['b', 'n'] == 1
+
+
+def test_out_name_colliding_with_key_rejected(ray_session):
+    import pytest
+    df = pd.DataFrame({'k': [1, 2], 'v': [3, 4]})
+    with pytest.raises(ValueError, match='collide'):
+        bucketed_group_agg(ray.data.from_pandas(df), ['k'],
+                           [('k', 'v', 'sum')])
