@@ -227,3 +227,29 @@ def test_blocking_filter_candset_matches_reference(fname, l, r, t):
     keyset = lambda df: set(zip(df['l_id'].astype(np.int64),
                                 df['r_id'].astype(np.int64)))
     assert keyset(got) == keyset(expect)
+
+
+@pytest.mark.parametrize('fname', ['PrefixFilter', 'PositionFilter',
+                                   'SizeFilter'])
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(l=_table(), r=_table(), t=st.sampled_from([0.4, 0.7]))
+def test_blocking_filter_tables_matches_reference(fname, l, r, t):
+    """filter_tables (the candidate-pair GENERATOR path) vs the
+    reference's own inverted-index probe, complementing the candset
+    differential above."""
+    import importlib
+    refmod = importlib.import_module(
+        'py_stringsimjoin.filter.' +
+        {'PrefixFilter': 'prefix_filter', 'PositionFilter':
+         'position_filter', 'SizeFilter': 'size_filter'}[fname])
+    from py_stringsimjoin_ray.pipelines import filters as ours_mod
+    RefF = getattr(refmod, fname)
+    OurF = getattr(ours_mod, fname)
+    expect = RefF(RefWs(return_set=True), 'JACCARD', t).filter_tables(
+        l, r, 'id', 'id', 's', 's', show_progress=False)
+    got = OurF(WhitespaceTokenizer(return_set=True), 'JACCARD', t) \
+        .filter_tables(l, r, 'id', 'id', 's', 's')
+    keyset = lambda df: set(zip(df['l_id'].astype(np.int64),
+                                df['r_id'].astype(np.int64)))
+    assert keyset(got) == keyset(expect)
