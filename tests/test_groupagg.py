@@ -140,3 +140,42 @@ def test_out_name_colliding_with_key_rejected(ray_session):
     with pytest.raises(ValueError, match='collide'):
         bucketed_group_agg(ray.data.from_pandas(df), ['k'],
                            [('k', 'v', 'sum')])
+
+
+def test_property_vs_duckdb(ray_session):
+    """Randomized cross-check of the Arrow combine/reduce against DuckDB
+    GROUP BY on the same data — nullable int keys, string keys, negative
+    values, multiple aggregates."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.one_of(st.integers(-3, 3), st.none()),
+                  st.sampled_from(['x', 'y', 'z']),
+                  st.integers(-100, 100)),
+        min_size=1, max_size=40))
+    def check(rows):
+        df = pd.DataFrame(rows, columns=['k1', 'k2', 'v'])
+        df['k1'] = df['k1'].astype('Int64')
+        got = bucketed_group_agg(
+            ray.data.from_pandas(df), ['k1', 'k2'],
+            [('mn', 'v', 'min'), ('mx', 'v', 'max'),
+             ('sm', 'v', 'sum'), ('n', None, 'count')],
+            num_buckets=8).to_pandas()
+        con = duckdb.connect()
+        con.register('t', df)
+        exp = con.sql("""
+            SELECT k1, k2, min(v) mn, max(v) mx, sum(v) sm, count(*) n
+            FROM t GROUP BY 1, 2""").df()
+        key = lambda r: (-10**9 if pd.isnull(r['k1']) else int(r['k1']),
+                         r['k2'])
+        g = {key(r): (r['mn'], r['mx'], r['sm'], r['n'])
+             for _, r in got.iterrows()}
+        e = {key(r): (r['mn'], r['mx'], r['sm'], r['n'])
+             for _, r in exp.iterrows()}
+        assert g == e
+    check()
