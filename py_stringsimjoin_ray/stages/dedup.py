@@ -430,17 +430,35 @@ def _expand_classes(verified: ray.data.Dataset, shingled: ray.data.Dataset,
         cross = verified.map_batches(expand_pairs, batch_format='pandas')
 
         def intra_batch(df: pd.DataFrame) -> pd.DataFrame:
+            # upper-triangle pairs of each duplicate class, fully vectorized
+            # (VERDICT r4 #4): members are ascending within a class
+            # (_memb_index lexsort), so position i < j implies id_i < id_j.
             ru, of, iv = ray.get(mref)
-            ls, rs = [], []
-            for ci in df['id'].to_numpy():
-                mem = iv[of[ci]:of[ci + 1]]
-                li = np.repeat(mem, len(mem))
-                ri = np.tile(mem, len(mem))
-                msk = li < ri
-                ls.append(li[msk])
-                rs.append(ri[msk])
-            l = np.concatenate(ls) if ls else np.empty(0, np.int64)
-            r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+            ci = df['id'].to_numpy().astype(np.int64)
+            m = (of[ci + 1] - of[ci]).astype(np.int64)
+            keep = m > 1
+            ci, m = ci[keep], m[keep]
+            if len(ci) == 0:
+                return pd.DataFrame(
+                    {'l_id': np.empty(0, np.int64),
+                     'r_id': np.empty(0, np.int64),
+                     'jaccard': np.empty(0, np.float64)})
+            base = of[ci]
+            # one row per (class, later-member position p = 1..m-1), then
+            # each row expands to its p earlier members — the same
+            # offset repeat/tile shape as _side_expand
+            nrow = m - 1
+            cls_idx = np.repeat(np.arange(len(ci), dtype=np.int64), nrow)
+            p = (np.arange(len(cls_idx), dtype=np.int64)
+                 - np.repeat(np.concatenate(([0], np.cumsum(nrow)[:-1])),
+                             nrow)) + 1
+            pair_row = np.repeat(np.arange(len(p), dtype=np.int64), p)
+            i_off = (np.arange(len(pair_row), dtype=np.int64)
+                     - np.repeat(np.concatenate(([0], np.cumsum(p)[:-1])),
+                                 p))
+            b = base[cls_idx]
+            l = iv[b[pair_row] + i_off]
+            r = iv[b[pair_row] + p[pair_row]]
             return pd.DataFrame({'l_id': l, 'r_id': r,
                                  'jaccard': np.ones(len(l), np.float64)})
         intra_batch.__name__ = 'lsh_intra_pairs'

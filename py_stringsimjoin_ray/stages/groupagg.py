@@ -58,26 +58,46 @@ def _key_buckets(tbl: pa.Table, keys: list, P: np.uint64) -> np.ndarray:
             .to_numpy() % P).astype(np.int64)
 
 
+def _decode_dict_keys(tbl: pa.Table, keys: list) -> pa.Table:
+    """Cast dictionary-encoded key columns to their value type.  Arrow
+    ``group_by`` support for dictionary keys is version-dependent, and the
+    downstream bucket hash must see one canonical dtype per key regardless
+    of per-block encoding (parquet readers may dict-encode some blocks)."""
+    for k in keys:
+        t = tbl.schema.field(k).type
+        if pa.types.is_dictionary(t):
+            idx = tbl.schema.get_field_index(k)
+            tbl = tbl.set_column(idx, k, tbl[k].cast(t.value_type))
+    return tbl
+
+
 def _grouped(tbl: pa.Table, keys: list, agg_spec: list) -> pa.Table:
     """``tbl.group_by(keys).aggregate(...)`` with the output aggregate
     columns renamed to the requested names.
 
     ``agg_spec``: list of ``(out_name, in_col_or_None, arrow_func)`` where
     ``in_col=None`` means ``count_all`` (row count per group).  Dedupes
-    identical (in_col, func) pairs so two outs can share one pass."""
+    identical (in_col, func) pairs so two outs can share one pass.
+
+    Outputs are resolved POSITIONALLY (pyarrow names them '{col}_{func}' /
+    'count_all', which can collide with a same-named key column — e.g. key
+    'v_sum' while summing 'v' yields duplicate names and res[k] raises)."""
+    tbl = _decode_dict_keys(tbl, keys)
     plan, col_of = [], {}
     for out, col, func in agg_spec:
         src = ('__all__', 'count_all') if col is None else (col, func)
         if src not in col_of:
-            col_of[src] = ('count_all' if col is None
-                           else f'{col}_{func}')
+            col_of[src] = len(plan)
             plan.append(([] if col is None else col,
                          'count_all' if col is None else func))
     res = tbl.group_by(keys, use_threads=False).aggregate(plan)
-    cols = {k: res[k] for k in keys}
+    # pyarrow group_by output layout: key columns first (in ``keys`` order),
+    # then one aggregate column per plan entry, in plan order
+    assert res.num_columns == len(keys) + len(plan)
+    cols = {k: res.column(i) for i, k in enumerate(keys)}
     for out, col, func in agg_spec:
         src = ('__all__', 'count_all') if col is None else (col, func)
-        cols[out] = res[col_of[src]]
+        cols[out] = res.column(len(keys) + col_of[src])
     return pa.table(cols)
 
 

@@ -92,6 +92,14 @@ def sessionize(ds: ray.data.Dataset, ts_col: str, key_col: str,
 
     def bucketed(batch: pa.Table) -> pa.Table:
         col = batch[key_col]
+        # fail fast with a clear message: a null key would hash fine here
+        # but crash opaquely in the per-bucket lexsort (None vs str compare)
+        nulls = pa.compute.sum(pa.compute.is_null(col).cast(pa.int64()))
+        if (nulls.as_py() or 0) > 0:
+            raise ValueError(
+                f'sessionize: key column {key_col!r} contains '
+                f'{nulls.as_py()} null value(s); drop or fill them first '
+                f'(e.g. ds.filter(expr="{key_col} is not null"))')
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
             keys = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
             b = ((keys.astype(np.uint64) * KNUTH64) >> np.uint64(40)) \

@@ -179,3 +179,36 @@ def test_property_vs_duckdb(ray_session):
              for _, r in exp.iterrows()}
         assert g == e
     check()
+
+
+def test_key_named_like_internal_agg_output(frame):
+    """ADVICE r4: a key named '{col}_{func}' (e.g. 'v_sum' while summing
+    'v') collides with Arrow's internal aggregate output name; outputs are
+    now resolved positionally so the clash is harmless."""
+    df = pd.DataFrame({'v_sum': ['x', 'x', 'y', 'y', 'y'],
+                       'v': [1, 2, 3, 4, 5]})
+    got = bucketed_group_agg(_ds(df, blocks=2), ['v_sum'],
+                             [('total', 'v', 'sum'), ('n', None, 'count')],
+                             num_buckets=4) \
+        .to_pandas().sort_values('v_sum', ignore_index=True)
+    assert got['v_sum'].tolist() == ['x', 'y']
+    assert got['total'].tolist() == [3, 12]
+    assert got['n'].tolist() == [2, 3]
+
+
+def test_dictionary_encoded_string_key(frame):
+    """ADVICE r4: dictionary-encoded key columns (e.g. from parquet
+    read_dictionary or dict-encoded blocks) are decoded to their value type
+    before the Arrow group_by."""
+    import pyarrow as pa
+    tbl = pa.table({'k': pa.array(['a', 'b', 'a', 'c', 'b', 'a'])
+                    .dictionary_encode(),
+                    'v': pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = bucketed_group_agg(ds, ['k'], [('s', 'v', 'sum')],
+                             num_buckets=4) \
+        .to_pandas().sort_values('k', ignore_index=True)
+    assert got['k'].tolist() == ['a', 'b', 'c']
+    assert got['s'].tolist() == [10, 7, 4]
+    dd = bucketed_distinct(ds, ['k'], num_buckets=4).to_pandas()
+    assert sorted(dd['k'].tolist()) == ['a', 'b', 'c']

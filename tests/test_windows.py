@@ -85,3 +85,20 @@ def test_sessionize_string_keys():
     assert seq[1] == 0 and seq[2] == 0 and seq[3] == 1
     assert seq[4] == 0 and seq[5] == 1
     assert set(out['user_id']) == {'alice', 'bob'}
+
+
+def test_sessionize_null_key_fails_fast(ray_session):
+    """ADVICE r4: null keys used to crash deep in the per-bucket lexsort
+    (None vs str compare); now the bucketing stage raises a clear error."""
+    import pyarrow as pa
+    import pytest
+    import ray
+    df = pd.DataFrame({
+        'ts': pd.to_datetime(['2024-01-01 00:00:00'] * 3),
+        'user_id': pd.array(['u1', None, 'u2'], dtype=object),
+        'event_id': [1, 2, 3],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match='null'):
+        sessionize(ds, 'ts', 'user_id', 'event_id', 1800).to_pandas()
