@@ -39,45 +39,36 @@ def _sorted_unique(a: np.ndarray) -> np.ndarray:
     return a[np.concatenate(([True], a[1:] != a[:-1]))]
 
 
-def _d(x) -> str:
-    """Float literal rendered with an explicit DOUBLE cast — a bare long
-    decimal like 0.37499999999999994 parses as DECIMAL(18,17) in DuckDB and
-    can overflow when multiplied by an integer column."""
-    return f'CAST({x!r} AS DOUBLE)'
+# 63-bit polynomial signature hash base (shared construction with
+# slimjoin.SigStage) and the triangle-enumeration slab bound (~60 B/pair
+# of transient arrays live at once)
+_SIG_P = np.uint64(0x100000001B3)
+_PAIR_SLAB = 4_000_000
+_POWS = None
 
 
-def _size_bound_sql(sim_type: str, t, l: str, r: str) -> str:
-    """SQL predicate for size_lower_bound(r.sz) <= l.sz <= size_upper_bound
-    (bounds.py formulas, incl. the reference's round(·,4))."""
-    if sim_type == 'JACCARD':
-        return (f'{l}.sz >= ceil(round({_d(t)} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({r}.sz / {_d(t)}, 4))')
-    if sim_type == 'COSINE':
-        tt = t * t
-        return (f'{l}.sz >= ceil(round({_d(tt)} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({r}.sz / {_d(tt)}, 4))')
-    if sim_type == 'DICE':
-        lo, hi = t / (2 - t), (2 - t) / t
-        return (f'{l}.sz >= ceil(round({_d(lo)} * {r}.sz, 4)) AND '
-                f'{l}.sz <= floor(round({_d(hi)} * {r}.sz, 4))')
-    if sim_type == 'OVERLAP':
-        return f'{l}.sz >= {t!r}'
-    raise ValueError(sim_type)
+def _pows(n: int) -> np.ndarray:
+    """P^i power table for the polynomial row hash, grown on demand and
+    cached per process (uint64 wrap == mod 2^64)."""
+    global _POWS
+    if _POWS is None or len(_POWS) < n:
+        m = max(n, 1024)
+        p = np.full(m, _SIG_P, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        _POWS = np.cumprod(p)
+    return _POWS
 
 
-def _overlap_threshold_sql(sim_type: str, t, n1: str, n2: str) -> str:
-    """SQL expression for bounds.overlap_threshold(n1, n2)."""
-    if sim_type == 'JACCARD':
-        c = t / (1 + t)
-        return f'ceil(round({_d(c)} * ({n1} + {n2}), 4))'
-    if sim_type == 'COSINE':
-        return f'ceil(round({_d(t)} * sqrt({n1} * {n2}), 4))'
-    if sim_type == 'DICE':
-        c = t / 2
-        return f'ceil(round({_d(c)} * ({n1} + {n2}), 4))'
-    if sim_type == 'OVERLAP':
-        return f'{t!r}'
-    raise ValueError(sim_type)
+class _CT:
+    """Column-oriented class tables for the numpy bucket kernel (built by
+    ``PairGenVerify._class_tables``)."""
+
+    __slots__ = ('ncls', 'sz', 'plen', 'kh', 's',
+                 'rank_off', 'rank_flat',
+                 'pu_off', 'pu_flat', 'pu_pos',
+                 'u_off', 'u_flat', 'u_cnt',
+                 'lkey_off', 'lkey_flat', 'rkey_off', 'rkey_flat',
+                 'hl', 'hr')
 
 
 def _duck():
@@ -337,212 +328,432 @@ class PairGenVerify:
             return float(bag_product_overlap_sorted(L.ranks, R.ranks))
         raise ValueError(st)
 
-    # ---------------------------------------------------------------- main
+    # ------------------------------------------------------------- main
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # The position-candidates mode reproduces the reference
-        # PositionFilter.filter_tables survivor set, whose per-pair
-        # accumulation stays on the row-wise path; everything else goes
-        # through the vectorized kernel (DuckDB hash joins + numpy).
-        if self.mode != 'position_candidates' and _duck() is not None:
-            return self._call_vectorized(df)
-        return self._call_rowwise(df)
+        import os as _os
+        if _os.environ.get('SSJ_PAIRGEN_ROWWISE') == '1':
+            return self._call_rowwise(df)
+        return self._call_np(df)
 
-    def _call_vectorized(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Same semantics as ``_call_rowwise`` for modes 'join',
-        'prefix_candidates' and 'overlap_candidates', but set up as three
-        relational steps executed by DuckDB's C++ hash joins per bucket:
+    # ------------------------------------------- numpy bucket kernel (r5)
 
-        1. candidates: distinct (L-class, R-class) pairs sharing a group
-           token, with the MIN shared group token ``gmin``;
-        2. dedup: the global min shared (prefix) token ``mintok`` of the
-           pair must equal ``gmin`` — i.e. this bucket owns the pair
-           (min-common-token responsibility rule, see module docstring);
-        3. verify: exact overlap by joining the exploded rank arrays
-           (count(*) = set intersection for unique ranks, bag-product for
-           bags), then vectorized numpy scoring / threshold / emission.
+    def _class_tables(self, df):
+        """Vectorized class build — no per-row Python (VERDICT r4 #1).
 
-        Size/position bounds are skipped here: they only prune verify work,
-        and verification is exact + vectorized, so the surviving pair set is
-        identical (SURVEY.md §2.5 PositionFilter note).
-        """
+        Collapses the bucket's postings into signature classes using a
+        63-bit polynomial hash over (ranks, sz, kh[, s]) — the same
+        construction (and the same accepted collision probability,
+        ~n²/2⁶³) as ``slimjoin.SigStage`` — then builds CSR views:
+
+          rank_off/rank_flat   class rank arrays
+          pu_off/pu_flat/pu_pos  unique prefix tokens (full tokens for
+                               full-postings modes) + FIRST-occurrence
+                               position in the class rank array
+          u_off/u_flat/u_cnt   unique full tokens + bag counts (verify)
+          lkey_off/lkey_flat   side-0 member keys per class (CSR)
+          rkey_off/rkey_flat   side-1 member keys (same arrays when
+                               ``same_relation``)
+
+        Returns ``(ct, run_cls, run_tok, run_pos)`` where the run arrays
+        are the distinct (class, token) postings of this bucket with the
+        token's first-occurrence position, or ``(None, ...)`` when token
+        ids exceed the 32-bit pack (fallback to the row-wise path; the
+        engine-wide slim postings make the same assumption)."""
         import pyarrow as pa
+        if isinstance(df, pd.DataFrame):
+            cols = ['key', 'side', 'tok', 'sz', 'plen', 'ranks']
+            for extra in ('s', 'kh'):
+                if extra in df.columns:
+                    cols.append(extra)
+            df = pa.Table.from_pandas(df[cols], preserve_index=False)
+        n = len(df)
+        keys = df['key'].to_numpy(zero_copy_only=False)
+        sides = df['side'].to_numpy(zero_copy_only=False).astype(np.int8)
+        toks = df['tok'].to_numpy(zero_copy_only=False).astype(np.int64)
+        szs = df['sz'].to_numpy(zero_copy_only=False).astype(np.int64)
+        plens = df['plen'].to_numpy(zero_copy_only=False).astype(np.int64)
+        khs = (df['kh'].to_numpy(zero_copy_only=False).astype(np.int64)
+               if 'kh' in df.column_names else np.full(n, -1, np.int64))
+        if len(toks) and int(toks.max()) >= 2 ** 32:
+            return None, None, None, None
+        ranks_arr = df['ranks'].combine_chunks()
+        off = ranks_arr.offsets.to_numpy().astype(np.int64)
+        flat = (ranks_arr.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                if len(ranks_arr.values) else np.empty(0, np.int64))
+        if len(off) and (off[0] != 0 or off[-1] != len(flat)):
+            flat = flat[off[0]:off[-1]]          # sliced list array
+            off = off - off[0]
 
-        ed = self.sim_type == 'EDIT_DISTANCE'
-        classes, run_df = self._build_classes(df)
-        full_postings = self.mode == 'overlap_candidates' or \
-            self.sim_type == 'OVERLAP_COEFFICIENT'
-        ncls = len(classes)
-        for c in classes:
-            c.uniq = _sorted_unique(c.ranks)
+        # ---- row signatures
+        lens = off[1:] - off[:-1]
+        pw = _pows(int(lens.max()) + 1 if n and len(lens) else 1)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+        posr = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(off[:-1], lens)
+        sig = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            weighted = (flat.astype(np.uint64) + np.uint64(1)) * pw[posr]
+            np.add.at(sig, row_id, weighted)     # uint64 wrap
+        sig = (sig ^ (szs.astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))) * _SIG_P
+        sig ^= (khs + 2).astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        if 's' in df.column_names:
+            from .postings import _token_hashes
+            sig ^= _token_hashes(df['s'].combine_chunks())
 
-        empty = self._empty_frame()
-        if ncls == 0:
-            return empty
+        _uniq, first_idx, row_class = np.unique(
+            sig, return_index=True, return_inverse=True)
+        ncls = len(first_idx)
+        ct = _CT()
+        ct.ncls = ncls
+        ct.sz = szs[first_idx]
+        ct.plen = plens[first_idx]
+        ct.kh = khs[first_idx]
+        ct.s = (df['s'].to_numpy(zero_copy_only=False)[first_idx]
+                if 's' in df.column_names else None)
 
-        con = _duck()
-        sz_arr = np.array([c.sz for c in classes], dtype=np.int64)
-        run_cls = run_df['cls'].to_numpy()
-        run_tok = run_df['tok'].to_numpy().astype(np.int64)
-        # position of each run token within its class's sorted rank array —
-        # feeds the first-shared-token positional bound
-        # (position_filter.py:340-344, the i=0 accumulation step)
-        run_pos = np.empty(len(run_cls), dtype=np.int64)
-        order = np.argsort(run_cls, kind='stable')
-        start = 0
-        while start < len(order):
-            ci = run_cls[order[start]]
-            end = start
-            while end < len(order) and run_cls[order[end]] == ci:
-                end += 1
-            idx = order[start:end]
-            run_pos[idx] = np.searchsorted(classes[ci].ranks, run_tok[idx])
-            start = end
-        runs = pa.table({
-            'tok': run_tok,
-            'cls': run_cls.astype(np.int64),
-            'side': run_df['side'].to_numpy().astype(np.int8),
-            'kh': run_df['kh'].to_numpy().astype(np.int64),
-            'sz': sz_arr[run_cls],
-            'pos': run_pos,
-        })
-        pref_src = [(c.uniq if full_postings else c.prefix_uniq)
-                    for c in classes]
-        pref = pa.table({
-            'cls': np.repeat(np.arange(ncls, dtype=np.int64),
-                             [len(p) for p in pref_src]),
-            'tok': (np.concatenate(pref_src) if pref_src
-                    else np.empty(0, np.int64)).astype(np.int64),
-        })
-        con.register('t_runs', runs)
-        con.register('t_pref', pref)
+        # ---- class rank arrays (CSR gather of each class's first row)
+        src_off = off[first_idx]
+        src_len = lens[first_idx]
+        ct.rank_off = np.concatenate(([0], np.cumsum(src_len)))
+        gpos = (np.arange(ct.rank_off[-1], dtype=np.int64)
+                - np.repeat(ct.rank_off[:-1], src_len))
+        ct.rank_flat = flat[np.repeat(src_off, src_len) + gpos]
 
-        # Each statement has at most ONE join: with no reorder freedom the
-        # planner cannot pick a blow-up order (it otherwise mis-estimates the
-        # tiny registered tables and may join the two exploded token tables
-        # with each other BEFORE the pair semi-filter — observed 100×
-        # regressions on clustered corpora).
-        #
-        # 1. candidates per group token, with size bounds in the join and the
-        #    first-shared-token positional bound as a HAVING gate — both
-        #    computed from posting-local columns, no prefix explode;
-        # 2. ownership: a pair belongs to this bucket iff no shared prefix
-        #    token ranks below gmin (anti-join over the tokens < gmin only);
-        # 3. exact overlap on the owned survivors.
-        size_pred = (' AND ' + _size_bound_sql(self.sim_type, self.threshold,
-                                               'r1', 'r2')
-                     if self._apply_size_bounds else '')
-        gate = ''
-        if self._apply_position:
-            ovt = _overlap_threshold_sql(self.sim_type, self.threshold,
-                                         'any_value(r1.sz)',
-                                         'any_value(r2.sz)')
-            gate = (' HAVING least(any_value(r1.sz) - min_by(r1.pos, r1.tok),'
-                    f' any_value(r2.sz) - min_by(r2.pos, r1.tok)) >= {ovt}')
-        # off-diagonal salted cells only pair ACROSS their two hash groups
-        # (diagonal/unsalted postings carry kh = -1 and pair freely) — the
-        # grid guarantees any record pair meets with compatible roles in
-        # exactly one cell, so no duplicates and no losses
-        salt_pred = ' AND (r1.kh = -1 OR r2.kh = -1 OR r1.kh <> r2.kh)'
-        side_pred = ('1 = 1' if self.same_relation
-                     else 'r1.side = 0 AND r2.side = 1') + salt_pred
-        con.execute(f"""
-            CREATE OR REPLACE TEMP TABLE t_cand AS
-            SELECT r1.cls AS la, r2.cls AS rb, min(r1.tok) AS gmin
-            FROM t_runs r1 JOIN t_runs r2 ON r1.tok = r2.tok
-            WHERE {side_pred}{size_pred}
-            GROUP BY 1, 2{gate}""")
-        con.execute("""
-            CREATE OR REPLACE TEMP TABLE t_lt AS
-            SELECT c.la, c.rb, p1.tok
-            FROM t_cand c JOIN t_pref p1 ON p1.cls = c.la
-                                        AND p1.tok < c.gmin""")
-        con.execute("""
-            CREATE OR REPLACE TEMP TABLE t_bad AS
-            SELECT DISTINCT e.la, e.rb
-            FROM t_lt e JOIN t_pref p2 ON p2.cls = e.rb AND p2.tok = e.tok""")
-        con.execute("""
-            CREATE OR REPLACE TEMP TABLE t_resp AS
-            SELECT c.la, c.rb
-            FROM t_cand c ANTI JOIN t_bad b ON c.la = b.la AND c.rb = b.rb""")
+        # ---- unique prefix tokens + first-occurrence positions (bags may
+        # repeat a token inside the prefix; sorted order makes the dedup a
+        # consecutive-run mask)
+        full = self.mode == 'overlap_candidates' \
+            or self.sim_type == 'OVERLAP_COEFFICIENT'
+        pl = src_len if full else np.minimum(ct.plen, src_len)
+        seg = np.concatenate(([0], np.cumsum(pl)))
+        ppos = (np.arange(seg[-1], dtype=np.int64)
+                - np.repeat(seg[:-1], pl))
+        pf = ct.rank_flat[np.repeat(ct.rank_off[:-1], pl) + ppos]
+        firstel = ppos == 0
+        ne = np.empty(len(pf), bool)
+        if len(pf):
+            ne[0] = True
+            ne[1:] = pf[1:] != pf[:-1]
+        keep = firstel | ne
+        ct.pu_flat = pf[keep]
+        ct.pu_pos = ppos[keep]
+        cls_of = np.repeat(np.arange(ncls, dtype=np.int64), pl)[keep]
+        ct.pu_off = np.concatenate(
+            ([0], np.cumsum(np.bincount(cls_of, minlength=ncls))))
 
-        if ed or self.mode == 'prefix_candidates':
-            res = con.execute('SELECT la, rb FROM t_resp').arrow()
-            la = res['la'].to_numpy().astype(np.int64)
-            rb = res['rb'].to_numpy().astype(np.int64)
-            o = None
+        # ---- unique full tokens + bag counts (verify-side)
+        need_u = self.mode == 'overlap_candidates' or (
+            self.mode == 'join' and self.sim_type != 'EDIT_DISTANCE')
+        if need_u:
+            if full:
+                kept_idx = np.flatnonzero(keep)
+                ends = np.concatenate((kept_idx[1:], [len(pf)]))
+                ct.u_flat, ct.u_off = ct.pu_flat, ct.pu_off
+                ct.u_cnt = ends - kept_idx
+            else:
+                f_first = gpos == 0
+                ne2 = np.empty(len(ct.rank_flat), bool)
+                if len(ct.rank_flat):
+                    ne2[0] = True
+                    ne2[1:] = ct.rank_flat[1:] != ct.rank_flat[:-1]
+                keep2 = f_first | ne2
+                ct.u_flat = ct.rank_flat[keep2]
+                kept2 = np.flatnonzero(keep2)
+                ends2 = np.concatenate((kept2[1:], [len(ct.rank_flat)]))
+                ct.u_cnt = ends2 - kept2
+                cls2 = np.repeat(np.arange(ncls, dtype=np.int64),
+                                 src_len)[keep2]
+                ct.u_off = np.concatenate(
+                    ([0], np.cumsum(np.bincount(cls2, minlength=ncls))))
         else:
-            toks = pa.table({
-                'cls': np.repeat(np.arange(ncls, dtype=np.int64),
-                                 [len(c.ranks) for c in classes]),
-                'tok': (np.concatenate([c.ranks for c in classes])
-                        if classes else np.empty(0, np.int64)).astype(np.int64),
-            })
-            con.register('t_toks', toks)
-            con.execute("""
-                CREATE OR REPLACE TEMP TABLE t_oexp AS
-                SELECT r.la, r.rb, t1.tok
-                FROM t_resp r JOIN t_toks t1 ON t1.cls = r.la""")
-            res = con.execute("""
-                SELECT e.la, e.rb, count(*) AS o
-                FROM t_oexp e JOIN t_toks t2 ON t2.cls = e.rb
-                                            AND t2.tok = e.tok
-                GROUP BY 1, 2""").arrow()
-            con.unregister('t_toks')
-            la = res['la'].to_numpy().astype(np.int64)
-            rb = res['rb'].to_numpy().astype(np.int64)
-            o = res['o'].to_numpy().astype(np.int64)
-        con.unregister('t_runs')
-        con.unregister('t_pref')
+            ct.u_flat = ct.u_off = ct.u_cnt = None
 
-        # drop class pairs with no member on the needed side
-        l_cnt = np.array([len(c.l_keys) for c in classes], dtype=np.int64)
-        r_cnt = np.array([len(c.r_keys) for c in classes], dtype=np.int64)
-        keep = (l_cnt[la] > 0) & (r_cnt[rb] > 0)
-        if not keep.all():
-            la, rb = la[keep], rb[keep]
-            o = o[keep] if o is not None else None
+        # ---- memberships: distinct (side, key, class) -> per-side CSR
+        kcodes, _lv = pd.factorize(keys, sort=False)
+        order = np.lexsort((kcodes, sides, row_class))
+        rc, sd, kc = row_class[order], sides[order], kcodes[order]
+        dup = np.zeros(len(order), bool)
+        if len(order) > 1:
+            dup[1:] = ((rc[1:] == rc[:-1]) & (sd[1:] == sd[:-1])
+                       & (kc[1:] == kc[:-1]))
+        ent = order[~dup]
+        m0 = sides[ent] == 0
+        l_rows = ent[m0]
+        ct.lkey_off = np.concatenate(([0], np.cumsum(
+            np.bincount(row_class[l_rows], minlength=ncls))))
+        ct.lkey_flat = keys[l_rows]
+        if self.same_relation:
+            ct.rkey_off, ct.rkey_flat = ct.lkey_off, ct.lkey_flat
+        else:
+            r_rows = ent[~m0]
+            ct.rkey_off = np.concatenate(([0], np.cumsum(
+                np.bincount(row_class[r_rows], minlength=ncls))))
+            ct.rkey_flat = keys[r_rows]
+        ct.hl = np.diff(ct.lkey_off) > 0
+        ct.hr = np.diff(ct.rkey_off) > 0
+
+        # ---- distinct (class, token) runs + first-occurrence positions
+        ro = np.lexsort((toks, row_class))
+        rcq, rtq = row_class[ro], toks[ro]
+        dupr = np.zeros(len(ro), bool)
+        if len(ro) > 1:
+            dupr[1:] = (rcq[1:] == rcq[:-1]) & (rtq[1:] == rtq[:-1])
+        run_cls = rcq[~dupr]
+        run_tok = rtq[~dupr]
+        pk = ((np.repeat(np.arange(ncls, dtype=np.uint64), src_len)
+               << np.uint64(32)) | ct.rank_flat.astype(np.uint64))
+        qk = ((run_cls.astype(np.uint64) << np.uint64(32))
+              | run_tok.astype(np.uint64))
+        run_pos = np.searchsorted(pk, qk) - ct.rank_off[run_cls]
+        return ct, run_cls, run_tok, run_pos
+
+    @staticmethod
+    def _intersect_pairs(flat, offsets, la, lenA, rb, lenB):
+        """Sorted-merge intersection of per-class sorted-unique token
+        slices for each pair (la[i], rb[i]); slice i covers the first
+        ``lenA[i]`` / ``lenB[i]`` elements of the class's CSR slice.
+        Returns (hit_pid, a_flat_idx, b_flat_idx), hits sorted by
+        (pid, token) — i.e. per pair in ascending rank order."""
+        npairs = len(la)
+
+        def side_keys(cls_idx, ln):
+            tot = int(ln.sum())
+            segs = np.concatenate(([0], np.cumsum(ln)))
+            pid = np.repeat(np.arange(npairs, dtype=np.int64), ln)
+            d = np.arange(tot, dtype=np.int64) - np.repeat(segs[:-1], ln)
+            gidx = np.repeat(offsets[cls_idx], ln) + d
+            key = ((pid.astype(np.uint64) << np.uint64(32))
+                   | flat[gidx].astype(np.uint64))
+            return key, pid, gidx
+
+        keyA, _pa, gA = side_keys(la, lenA)
+        keyB, pidB, gB = side_keys(rb, lenB)
+        if len(keyA) == 0 or len(keyB) == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        loc = np.searchsorted(keyA, keyB)
+        loc = np.minimum(loc, len(keyA) - 1)
+        hit = keyA[loc] == keyB
+        return pidB[hit], gA[loc[hit]], gB[hit]
+
+    def _call_np(self, df) -> pd.DataFrame:
+        """Vectorized per-bucket kernel for ALL modes — the lexsort/
+        triangle candidate enumeration of ``slimjoin._np_candidates``
+        ported to the filter_tables candidates modes (VERDICT r4 #1),
+        replacing the per-bucket DuckDB (bucket, tok) self-join:
+
+        1. class build (``_class_tables``), fully vectorized;
+        2. per-token-group triangle enumeration over the distinct
+           (class, token) runs, sz-ascending, with mode-dependent
+           positional eligibility pruning of the preceding side
+           (sound only where the emitted pair set is overlap-bounded:
+           'join' set measures and 'position_candidates'; the pure
+           candidates modes enumerate everything — their output IS the
+           candidate set, so the volume is irreducible);
+        3. per-pair dedup with the bucket-min shared group token
+           ``gmin``, then the min-common-token ownership rule (no shared
+           prefix token < gmin anywhere — one truncated sorted-merge
+           intersection), reproducing the reference's exact-once pair
+           accounting (``filter/overlap_filter.py:256-267`` /
+           ``filter/position_filter.py:307-366`` semantics);
+        4. mode verify: size-bound LUTs + the reference position-filter
+           accumulation (``filter/position_filter.py:340-362``) for
+           'position_candidates'; bag-product overlap counting for
+           'overlap_candidates'; exact set verification for 'join';
+           banded Levenshtein for EDIT_DISTANCE;
+        5. vectorized CSR membership expansion to record pairs.
+        """
+        ed = self.sim_type == 'EDIT_DISTANCE'
+        mode = self.mode
+        empty = self._empty_frame()
+        if len(df) == 0:
+            return empty
+        ct, run_cls, run_tok, run_pos = self._class_tables(df)
+        if ct is None:
+            return self._call_rowwise(df)
+        if ct.ncls == 0 or len(run_cls) == 0:
+            return empty
+        sz = ct.sz
+        from .slimjoin import _cand_luts
+        max_sz = int(sz.max())
+        size_lo, size_hi, ovt_sum, ovt_min = _cand_luts(
+            self.sim_type, self.threshold, max_sz)
+        use_size = mode in ('join', 'position_candidates')
+
+        # ---- runs sorted into (token, size, class) groups
+        o = np.lexsort((run_cls, sz[run_cls], run_tok))
+        g_tok = run_tok[o]
+        g_cls = run_cls[o]
+        g_sz = sz[g_cls]
+        g_pos = run_pos[o]
+        nr = len(o)
+        rem = g_sz - g_pos
+
+        # positional eligibility of the preceding (size-smaller) side:
+        # rem >= ovt(sz, sz).  Sound only for overlap-bounded outputs.
+        if mode == 'position_candidates' or (mode == 'join' and not ed):
+            if ed:  # position_candidates with EDIT_DISTANCE
+                elig = g_pos <= self.qval * self.threshold
+            elif ovt_sum is not None:
+                elig = rem >= ovt_sum[2 * g_sz]
+            elif ovt_min is not None:
+                elig = rem >= ovt_min[g_sz]
+            elif self.sim_type == 'COSINE':
+                elig = rem >= np.ceil(np.round(
+                    self.threshold * g_sz.astype(np.float64), 4)
+                ).astype(np.int64)
+            else:  # OVERLAP
+                elig = rem >= np.int64(int(np.ceil(self.threshold)))
+        else:
+            elig = np.ones(nr, dtype=bool)
+
+        hl, hr, kh = ct.hl, ct.hr, ct.kh
+        la_parts, rb_parts, gt_parts = [], [], []
+
+        def emit(ii, ji):
+            ci, cj = g_cls[ii], g_cls[ji]
+            khi, khj = kh[ci], kh[cj]
+            keep = (khi == -1) | (khj == -1) | (khi != khj)
+            ci, cj, ii = ci[keep], cj[keep], ii[keep]
+            gt = g_tok[ii]
+            fwd = hl[ci] & hr[cj]
+            rev = hl[cj] & hr[ci]
+            la_parts.append(np.concatenate([ci[fwd], cj[rev]]))
+            rb_parts.append(np.concatenate([cj[fwd], ci[rev]]))
+            gt_parts.append(np.concatenate([gt[fwd], gt[rev]]))
+
+        gfirst = np.concatenate(([True], g_tok[1:] != g_tok[:-1]))
+        gstart = np.flatnonzero(gfirst)
+        grp = (np.cumsum(gfirst) - 1).astype(np.int64)
+        ec = np.cumsum(elig)
+        start_c = np.zeros(len(gstart), np.int64)
+        start_c[1:] = ec[gstart[1:] - 1]
+        cnt = ec - elig - start_c[grp]
+        e_idx = np.flatnonzero(elig)
+        e_base = start_c[grp]
+        rows = np.flatnonzero(cnt > 0)
+        if len(rows):
+            cnt_j = cnt[rows]
+            csum = np.concatenate(([0], np.cumsum(cnt_j)))
+            lo = 0
+            while lo < len(rows):
+                hi = int(np.searchsorted(csum, csum[lo] + _PAIR_SLAB,
+                                         'left'))
+                hi = min(max(hi, lo + 1), len(rows))
+                rj, cj_ = rows[lo:hi], cnt_j[lo:hi]
+                base = csum[lo:hi] - csum[lo]
+                lo = hi
+                ji = np.repeat(rj, cj_)
+                d = (np.arange(len(ji), dtype=np.int64)
+                     - np.repeat(base, cj_))
+                ii = e_idx[np.repeat(e_base[rj], cj_) + d]
+                emit(ii, ji)
+
+        if la_parts:
+            la = np.concatenate(la_parts)
+            rb = np.concatenate(rb_parts)
+            gt = np.concatenate(gt_parts)
+        else:
+            la = rb = gt = np.empty(0, np.int64)
+
+        # ---- per-pair dedup (min group token) + ownership
+        if len(la):
+            pairkey = (la << np.int64(32)) | rb
+            po = np.lexsort((gt, pairkey))
+            pk_s, gt_s = pairkey[po], gt[po]
+            firstp = np.concatenate(([True], pk_s[1:] != pk_s[:-1]))
+            la = (pk_s[firstp] >> np.int64(32))
+            rb = (pk_s[firstp] & np.int64(0xFFFFFFFF))
+            gmin = gt_s[firstp]
+            # ownership: no shared prefix token ranked below gmin anywhere
+            # (== the global min shared token is gmin, so THIS bucket owns
+            # the pair).  One truncated intersection over tokens < gmin.
+            pu_key = ((np.repeat(np.arange(ct.ncls, dtype=np.uint64),
+                                 np.diff(ct.pu_off))
+                       << np.uint64(32))
+                      | ct.pu_flat.astype(np.uint64))
+            limA = np.searchsorted(
+                pu_key, (la.astype(np.uint64) << np.uint64(32))
+                | gmin.astype(np.uint64)) - ct.pu_off[la]
+            limB = np.searchsorted(
+                pu_key, (rb.astype(np.uint64) << np.uint64(32))
+                | gmin.astype(np.uint64)) - ct.pu_off[rb]
+            hpid, _ga, _gb = self._intersect_pairs(
+                ct.pu_flat, ct.pu_off, la, limA, rb, limB)
+            owned = np.ones(len(la), dtype=bool)
+            owned[hpid] = False
+            la, rb = la[owned], rb[owned]
+        # identity pairs: exactly once, via the class's min-prefix-token
+        # posting (pos == 0) in its unsalted/diagonal (kh == -1) role
+        idm = (g_pos == 0) & (kh[g_cls] == -1) & hl[g_cls] & hr[g_cls]
+        idc = g_cls[idm]
+        la = np.concatenate([la, idc])
+        rb = np.concatenate([rb, idc])
         if len(la) == 0:
             return empty
 
+        # ---- size bounds (position_candidates parity; cheap LUT for join)
+        if use_size:
+            szl, szr = sz[la], sz[rb]
+            keep = (szl >= size_lo[szr]) & (szl <= size_hi[szr])
+            la, rb = la[keep], rb[keep]
+            if len(la) == 0:
+                return empty
+
+        l_cnt = np.diff(ct.lkey_off)
+        r_cnt = np.diff(ct.rkey_off)
         checked = int(np.sum(l_cnt[la] * r_cnt[rb]))
 
+        # ---- mode verification
         scores = None
-        # mode gate FIRST (matching _call_rowwise): prefix_candidates emits
-        # every responsible pair unverified even for EDIT_DISTANCE
-        if ed and self.mode != 'prefix_candidates':
-            s_len = np.array([len(c.s) for c in classes], dtype=np.int64)
+        if mode == 'position_candidates':
+            la, rb = self._position_filter_np(ct, la, rb)
+        elif ed and mode != 'prefix_candidates':
+            s_len = np.fromiter((len(x) for x in ct.s), np.int64, ct.ncls)
             keep = np.abs(s_len[la] - s_len[rb]) <= self.threshold
             la, rb = la[keep], rb[keep]
             if len(la):
-                dists = _lev_many([classes[a].s for a in la],
-                                  [classes[b].s for b in rb]).astype(np.float64)
+                dists = _lev_many(ct.s[la].tolist(),
+                                  ct.s[rb].tolist()).astype(np.float64)
                 keep = self.comp_fn(dists, self.threshold)
                 la, rb, scores = la[keep], rb[keep], dists[keep]
-        elif self.mode == 'join' or self.mode == 'overlap_candidates':
+        elif mode in ('join', 'overlap_candidates'):
+            hpid, ga, gb = self._intersect_pairs(
+                ct.u_flat, ct.u_off, la, np.diff(ct.u_off)[la],
+                rb, np.diff(ct.u_off)[rb])
             st = self.sim_type
-            of = o.astype(np.float64)
-            if st == 'OVERLAP':
+            if st == 'OVERLAP' and mode == 'overlap_candidates':
+                # bag-product counting (OverlapFilter semantics)
+                of = np.bincount(hpid,
+                                 weights=(ct.u_cnt[ga] * ct.u_cnt[gb]),
+                                 minlength=len(la))
                 scores = of
             elif st == 'OVERLAP_COEFFICIENT':
-                # reference divides by min of the RAW token counts
-                # (``join/overlap_coefficient_join_py.py:299-303``), unrounded
-                sz = np.array([c.sz for c in classes], dtype=np.float64)
+                of = np.bincount(hpid,
+                                 weights=(ct.u_cnt[ga] * ct.u_cnt[gb]),
+                                 minlength=len(la))
                 scores = of / np.minimum(sz[la], sz[rb])
             else:
-                n = np.array([len(c.uniq) for c in classes], dtype=np.float64)
-                n1, n2 = n[la], n[rb]
+                of = np.bincount(hpid, minlength=len(la)) \
+                    .astype(np.float64)
+                n_u = np.diff(ct.u_off).astype(np.float64)
+                n1, n2 = n_u[la], n_u[rb]
                 if st == 'JACCARD':
                     scores = of / (n1 + n2 - of)
                 elif st == 'COSINE':
                     scores = of / np.sqrt(n1 * n2)
-                else:  # DICE
+                elif st == 'DICE':
                     scores = 2.0 * of / (n1 + n2)
-                if self.round_score:
+                else:  # OVERLAP join: set semantics
+                    scores = of
+                if self.round_score and st in _SET_MEASURES:
                     scores = np.round(scores, 4)
             keep = self.comp_fn(scores, self.threshold)
             la, rb, scores = la[keep], rb[keep], scores[keep]
-        # prefix_candidates: all responsible pairs pass, no score column
+        # prefix_candidates: every owned pair passes, no score column
 
         if self.counter_name and checked:
             try:
@@ -550,10 +761,70 @@ class PairGenVerify:
                 _ray.get_actor(self.counter_name).add.remote(checked)
             except ValueError:
                 pass
-
         if len(la) == 0:
             return empty
-        return self._emit_many(classes, la, rb, scores, l_cnt, r_cnt)
+        return self._emit_csr(ct, la, rb, scores)
+
+    def _position_filter_np(self, ct, la, rb):
+        """Reference PositionFilter accumulation, vectorized: for the i-th
+        shared prefix token (ascending rank order) require
+        ``i + min(r_sz - r_pos_i, l_sz - l_pos_i) >= overlap_threshold``
+        for ALL i (``filter/position_filter.py:340-362``)."""
+        if len(la) == 0:
+            return la, rb
+        sz = ct.sz
+        if self.sim_type == 'EDIT_DISTANCE':
+            T = (np.maximum(sz[la] + self.qval - 1, sz[rb] + self.qval - 1)
+                 - self.qval + 1 - self.qval * self.threshold)
+        else:
+            T = bounds.overlap_threshold_many(
+                sz[la], sz[rb], self.sim_type, self.threshold)
+        hpid, ga, gb = self._intersect_pairs(
+            ct.pu_flat, ct.pu_off, la, np.diff(ct.pu_off)[la],
+            rb, np.diff(ct.pu_off)[rb])
+        bad = np.zeros(len(la), dtype=bool)
+        if len(hpid):
+            firsth = np.concatenate(([True], hpid[1:] != hpid[:-1]))
+            run_start = np.zeros(len(hpid), np.int64)
+            run_start[firsth] = np.flatnonzero(firsth)
+            run_start = np.maximum.accumulate(run_start)
+            i_idx = np.arange(len(hpid), dtype=np.int64) - run_start
+            # L is la (side-0 class), positions from the prefix build
+            bound = np.minimum(sz[rb][hpid] - ct.pu_pos[gb],
+                               sz[la][hpid] - ct.pu_pos[ga])
+            viol = (i_idx + bound) < T[hpid]
+            bad[hpid[viol]] = True
+        keep = ~bad
+        return la[keep], rb[keep]
+
+    def _emit_csr(self, ct, la, rb, scores) -> pd.DataFrame:
+        """Expand surviving class pairs into record pairs via the CSR
+        membership arrays — the cross product of a's side-0 keys with b's
+        side-1 keys per pair, fully vectorized."""
+        l_cnt = np.diff(ct.lkey_off)
+        r_cnt = np.diff(ct.rkey_off)
+        nl, nr = l_cnt[la], r_cnt[rb]
+        tot = nl * nr
+        total = int(tot.sum())
+        pair_idx = np.repeat(np.arange(len(la)), tot)
+        d = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(tot)))[:-1], tot)
+        nr_p = nr[pair_idx]
+        out_l = ct.lkey_flat[ct.lkey_off[la][pair_idx] + d // nr_p]
+        out_r = ct.rkey_flat[ct.rkey_off[rb][pair_idx] + d % nr_p]
+        out_s = scores[pair_idx] if scores is not None else None
+        if self.self_join:
+            keep = out_l < out_r
+            out_l, out_r = out_l[keep], out_r[keep]
+            if out_s is not None:
+                out_s = out_s[keep]
+        cols = {'l_key': out_l, 'r_key': out_r}
+        if self.out_sim_score and self.mode not in ('prefix_candidates',
+                                                    'position_candidates'):
+            cols['_sim_score'] = (out_s if out_s is not None
+                                  else np.full(len(out_l), np.nan))
+        return pd.DataFrame(cols)
+
 
     def _empty_frame(self) -> pd.DataFrame:
         cols = {'l_key': np.array([], dtype=object),

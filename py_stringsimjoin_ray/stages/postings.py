@@ -25,6 +25,10 @@ import pyarrow as pa
 from ..core import bounds
 
 KNUTH = np.uint64(2654435761)
+# hard cap on heavy-token grid size (every heavy builder clamps g to this);
+# per-token cell ranges stride by its AREA so ranges never overlap
+MAX_GRID = 16
+MAX_GRID_AREA = MAX_GRID * MAX_GRID
 
 def _token_hashes(values: pa.Array) -> np.ndarray:
     """Deterministic vectorized 64-bit string hashes via DuckDB's C kernel
@@ -561,7 +565,15 @@ class PostingsStage:
                 key_hash = _stable_key_hash(batch['key'].combine_chunks())
                 sel = np.nonzero(hmask)[0]
                 g = hg_arr[p[sel]].astype(np.int64)
-                base = self.num_buckets + hidx_arr[p[sel]] * hg_arr[p[sel]] ** 2
+                # disjoint per-token cell ranges: stride by the GLOBAL max
+                # grid area, not this token's g² — per-token strides overlap
+                # when g varies (token A's range [hidx_A·g_A², +g_A²) can
+                # intersect token B's), merging cells of DIFFERENT tokens
+                # into one shuffle bucket.  The join path survives that
+                # (global memberships + downstream pair dedup); the
+                # candidates path builds CELL-LOCAL memberships and emitted
+                # duplicate pairs from the polluted cells.
+                base = self.num_buckets + hidx_arr[p[sel]] * MAX_GRID_AREA
                 kh = (key_hash[row_idx[sel]] % g.astype(np.uint64)).astype(np.int64)
                 # expand: each salted posting replicates across its g cells
                 rep = np.repeat(np.arange(len(sel)), g)

@@ -45,7 +45,7 @@ import ray.data
 from ..core import bounds
 from ..core.comp_ops import COMP_OP_MAP
 from .pairgen import _lev_many
-from .postings import KNUTH, _token_hashes
+from .postings import KNUTH, MAX_GRID_AREA, _token_hashes
 
 _MASK63 = np.uint64((1 << 63) - 1)
 
@@ -181,7 +181,11 @@ class SlimPostingsStage:
             if hmask.any():
                 sel = np.nonzero(hmask)[0]
                 g = hg_arr[p[sel]]
-                base = self.num_buckets + hidx_arr[p[sel]] * g * g
+                # stride by the global MAX grid area (see PostingsStage:
+                # per-token g² strides let different tokens' cell ranges
+                # overlap; harmless here only because pair64 dedup is
+                # global, but kept disjoint for consistency)
+                base = self.num_buckets + hidx_arr[p[sel]] * MAX_GRID_AREA
                 khv = (sig[row_idx[sel]].astype(np.uint64)
                        % g.astype(np.uint64)).astype(np.int64)
                 rep = np.repeat(np.arange(len(sel)), g)
