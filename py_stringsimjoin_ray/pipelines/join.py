@@ -171,6 +171,20 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
         pairs = _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation)
         return pairs, _empty_key_sets(cfg, tok_l, tok_r)
 
+    partial_ds = None
+    if cfg.mode == 'join' and cfg.sim_type == 'EDIT_DISTANCE':
+        # volume gate for the driver-merged vocabulary (VERDICT r4 #5): the
+        # ED path's partial merge is (blocks × vocab)-sized; beyond the gate
+        # the driver never sees the partials — auto-route to the fully
+        # distributed ordering instead of requiring the env escape hatch
+        from ..stages.tokenize import token_partials
+        gate = int(_os.environ.get('SSJ_ORDERING_PARTIAL_GATE', 30_000_000))
+        partial_ds = token_partials(tok_l if same_relation
+                                    else tok_l.union(tok_r))
+        if partial_ds.count() > gate:
+            pairs = _dist_ordering_pairs(cfg, tok_l, tok_r, same_relation)
+            return pairs, _empty_key_sets(cfg, tok_l, tok_r)
+
     # corpus-wide ordering over BOTH join columns (token_ordering.py:24-42
     # semantics; one global artifact instead of per-worker rebuilds).  For a
     # self-join doubling every count leaves the ordering unchanged, so the
@@ -186,7 +200,8 @@ def match_pairs_dataset(l_ds, r_ds, l_key_attr, r_key_attr,
             cfg.salt_df_threshold)
     else:
         freq = token_frequencies(tok_l if same_relation
-                                 else tok_l.union(tok_r))
+                                 else tok_l.union(tok_r),
+                                 partial=partial_ds)
         lut = make_rank_lookup(freq)
         heavy = heavy_token_table(freq, lut, cfg.salt_df_threshold)
         ordering_ref = ray.put(lut)

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..core.comp_ops import COMP_OP_MAP
 from .postings import RankPrefixStage, heavy_token_table, make_rank_lookup
 from .slimjoin import (BroadcastVerify, SigStage, SlimPostingsStage,
                        _np_candidates, _TsigBroadcast)
@@ -259,6 +260,247 @@ def _candgen_chunk(tbl: pa.Table, sim_type: str, threshold, same_relation):
     return np.unique((sa << np.int64(32)) | sb)
 
 
+# ---------------------------------------------------------------------------
+# absolute-threshold OVERLAP counting kernel (VERDICT r4 #3)
+
+# raw pair-occurrence buffer compaction threshold and enumeration slab
+_COUNT_COMPACT = 48_000_000
+_COUNT_SLAB = 8_000_000
+
+
+def _overlap_count_route(cfg, bc) -> bool:
+    """Route OVERLAP joins with a LOW relative threshold to the counting
+    kernel: prefix filtering prunes a fraction ≈ (t-1)/n of each record's
+    postings, so at t/n below ~0.5 candidate generation enumerates nearly
+    the full token-incidence volume anyway — counting shared tokens
+    directly (the reference's full-inverted-index scan,
+    ``/root/reference/py_stringsimjoin/join/overlap_join_py.py`` →
+    ``index/inverted_index.py`` probe loop, in batched numpy form) skips
+    the per-pair verify re-intersection entirely."""
+    if cfg.sim_type != 'OVERLAP' or cfg.mode != 'join':
+        return False
+    rel = float(os.environ.get('SSJ_OVERLAP_COUNT_REL', '0.8'))
+    if rel <= 0:
+        return False
+    w = (np.diff(bc.l_key_off) + np.diff(bc.r_key_off)).astype(np.float64)
+    tot = float(w.sum())
+    if tot == 0:
+        return False
+    mean_sz = float((bc.sz * w).sum()) / tot
+    return mean_sz > 0 and float(cfg.threshold) / mean_sz <= rel
+
+
+def _sig_token_postings(bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tok, si) incidence over each signature's DISTINCT tokens (OVERLAP
+    join verifies |uniq ∩ uniq| — set semantics even for bag inputs),
+    plus the per-signature distinct-token count."""
+    nsig = len(bc.sigs)
+    ro, rf = bc.rank_off, bc.rank_flat
+    lens = np.diff(ro)
+    pos_in = (np.arange(len(rf), dtype=np.int64)
+              - np.repeat(ro[:-1], lens))
+    first = pos_in == 0
+    ne = np.empty(len(rf), bool)
+    if len(rf):
+        ne[0] = True
+        ne[1:] = rf[1:] != rf[:-1]
+    keep = first | ne
+    toks = rf[keep]
+    sis = np.repeat(np.arange(nsig, dtype=np.int64), lens)[keep]
+    return toks, sis, np.bincount(sis, minlength=nsig)
+
+
+_COUNT_SLAB = 8_000_000
+
+
+def _overlap_count_task(bc_or_ref, lpost_or_ref, toksR, sisR,
+                        idc, id_cnt, same_rel, threshold, comp_op,
+                        canonical: bool) -> pd.DataFrame:
+    """Count-and-expand one probe slice: emit a pair64 per (R-incidence,
+    matching L-posting), one np.unique turns occurrences into exact
+    overlap counts (the count IS the score — no verify pass), filter by
+    comp_op, expand memberships.  Each (L, R) signature pair lives in
+    exactly ONE task (the one owning R), so tasks need no cross merge —
+    the same probe-side split the reference's joblib path uses."""
+    bc = ray.get(bc_or_ref) if isinstance(bc_or_ref, ray.ObjectRef) \
+        else bc_or_ref
+    tokL, siL = (ray.get(lpost_or_ref)
+                 if isinstance(lpost_or_ref, ray.ObjectRef)
+                 else lpost_or_ref)
+    lstart = np.searchsorted(tokL, toksR, 'left')
+    cnt = np.searchsorted(tokL, toksR, 'right') - lstart
+    rows = np.flatnonzero(cnt > 0)
+    parts = []
+    if len(rows):
+        cnt_j = cnt[rows]
+        csum = np.concatenate(([0], np.cumsum(cnt_j)))
+        lo = 0
+        while lo < len(rows):
+            hi = int(np.searchsorted(csum, csum[lo] + _COUNT_SLAB, 'left'))
+            hi = min(max(hi, lo + 1), len(rows))
+            rj, cj = rows[lo:hi], cnt_j[lo:hi]
+            seg = csum[lo:hi] - csum[lo]
+            lo = hi
+            ji = np.repeat(rj, cj)
+            d = np.arange(len(ji), dtype=np.int64) - np.repeat(seg, cj)
+            a = siL[lstart[ji] + d]           # oriented (L, R)
+            b = sisR[ji]
+            parts.append((a << np.int64(32)) | b)
+    if parts:
+        pair64, counts = np.unique(np.concatenate(parts),
+                                   return_counts=True)
+        counts = counts.astype(np.int64)
+        ia = pair64 >> np.int64(32)
+        ib = pair64 & np.int64(0xFFFFFFFF)
+    else:
+        ia = ib = counts = np.empty(0, np.int64)
+    if same_rel:
+        # same-relation enumeration emits self pairs too (each signature
+        # is in both posting streams); identity is added in closed form
+        # below, so drop the enumerated ones
+        keep = ia != ib
+        ia, ib, counts = ia[keep], ib[keep], counts[keep]
+    if canonical:
+        # self-join output: keep one orientation per unordered pair (the
+        # mirror lives in the task owning the other signature)
+        keep = ia < ib
+        ia, ib, counts = ia[keep], ib[keep], counts[keep]
+    if len(idc):
+        # identity pairs in closed form: overlap(sig, sig) = n_distinct
+        ia = np.concatenate([ia, idc])
+        ib = np.concatenate([ib, idc])
+        counts = np.concatenate([counts, id_cnt])
+    scores = counts.astype(np.float64)
+    keep = COMP_OP_MAP[comp_op](scores, threshold)
+    ia, ib, scores = ia[keep], ib[keep], scores[keep]
+    return _expand_sig_pairs(bc, ia, ib, scores, canonical)
+
+
+def _expand_sig_pairs(bc, ia, ib, scores, canonical: bool) -> pd.DataFrame:
+    """CSR membership expansion of matched signature pairs — the same
+    slabbed expansion as ``BroadcastVerify.__call__``'s tail.  Oriented
+    pairs expand plainly (both orientations are present in the pair
+    stream); ``canonical`` applies the self-join upper-triangle rule."""
+    if len(ia) == 0:
+        return _empty_pairs()
+    nl = (bc.l_key_off[ia + 1] - bc.l_key_off[ia]).astype(np.int64)
+    nr = (bc.r_key_off[ib + 1] - bc.r_key_off[ib]).astype(np.int64)
+    tot = nl * nr
+    cum = np.concatenate(([0], np.cumsum(tot)))
+    total = int(cum[-1])
+    offA = bc.l_key_off[ia]
+    offB = bc.r_key_off[ib]
+    parts_l, parts_r, parts_s = [], [], []
+    for s in range(0, total, _COUNT_SLAB):
+        e = min(s + _COUNT_SLAB, total)
+        flat = np.arange(s, e, dtype=np.int64)
+        pair_idx = np.searchsorted(cum, flat, 'right') - 1
+        off = flat - cum[pair_idx]
+        nr_p = nr[pair_idx]
+        out_l = bc.l_key_flat[offA[pair_idx] + off // nr_p]
+        out_r = bc.r_key_flat[offB[pair_idx] + off % nr_p]
+        out_s = scores[pair_idx]
+        if canonical:
+            ident = (ia == ib)[pair_idx]
+            lo = np.minimum(out_l, out_r)
+            hi = np.maximum(out_l, out_r)
+            keep = (lo < hi) & (~ident | (out_l < out_r))
+            out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
+        parts_l.append(out_l)
+        parts_r.append(out_r)
+        parts_s.append(out_s)
+    return pd.DataFrame({
+        'l_key': np.concatenate(parts_l) if parts_l else
+        np.empty(0, object),
+        'r_key': np.concatenate(parts_r) if parts_r else
+        np.empty(0, object),
+        '_sim_score': np.concatenate(parts_s) if parts_s else
+        np.empty(0, np.float64)})
+
+
+def _overlap_count_pairs(bc, cfg, same_relation: bool) -> pd.DataFrame:
+    """Exact OVERLAP join via token-incidence counting (the reference's
+    full-inverted-index scan, ``join/overlap_join_py.py`` →
+    ``index/inverted_index.py``, in batched numpy form at SIGNATURE
+    granularity): work = Σ_tok df_L·df_R pair emissions + one grouped
+    count.  The probe side splits into cost-balanced signature slices
+    fanned out as plain Ray tasks — a pair lives in exactly one slice,
+    so results concatenate with no merge."""
+    toks, sis, n_dist = _sig_token_postings(bc)
+    hl = np.diff(bc.l_key_off) > 0
+    hr = np.diff(bc.r_key_off) > 0
+    canonical = bool(same_relation and cfg.self_join)
+
+    if same_relation:
+        tokL, siL = toks, sis            # all signatures are both sides
+        rmask = np.ones(len(toks), bool)
+    else:
+        lm = hl[sis]
+        tokL, siL = toks[lm], sis[lm]
+        rmask = hr[sis]
+    oL = np.argsort(tokL, kind='stable')
+    tokL, siL = tokL[oL], siL[oL]
+    toksR, sisR = toks[rmask], sis[rmask]
+    if same_relation:
+        idc_all = np.arange(len(bc.sigs), dtype=np.int64)
+        idcnt_all = n_dist
+    else:
+        idc_all = idcnt_all = np.empty(0, np.int64)
+        # two-table identity (same signature on both sides) arises from
+        # the enumeration itself — no closed form needed
+
+    # per-R-incidence cost = df_L of its token; per-signature probe cost
+    lstart = np.searchsorted(tokL, toksR, 'left')
+    inc_cost = np.searchsorted(tokL, toksR, 'right') - lstart
+    nsig = len(bc.sigs)
+    sig_cost = np.bincount(sisR, weights=inc_cost.astype(np.float64),
+                           minlength=nsig)
+    total_cost = float(sig_cost.sum())
+
+    cpus = int(ray.cluster_resources().get('CPU', 8)) \
+        if ray.is_initialized() else 1
+    nchunks = int(min(max(1, cpus), max(1, total_cost // 2_000_000))) \
+        if cpus > 1 else 1
+
+    if nchunks <= 1:
+        df = _overlap_count_task(bc, (tokL, siL), toksR, sisR,
+                                 idc_all, idcnt_all, same_relation,
+                                 cfg.threshold, cfg.comp_op, canonical)
+    else:
+        # contiguous signature ranges balanced by cumulative probe cost
+        csum = np.cumsum(sig_cost)
+        bounds = [int(np.searchsorted(csum, total_cost * k / nchunks))
+                  for k in range(1, nchunks)]
+        edges = [0] + bounds + [nsig]
+        bc_ref = ray.put(bc)
+        lp_ref = ray.put((tokL, siL))
+        rem = ray.remote(num_cpus=1)(_overlap_count_task)
+        refs = []
+        for a, b in zip(edges[:-1], edges[1:]):
+            if a >= b:
+                continue
+            m = (sisR >= a) & (sisR < b)
+            im = (idc_all >= a) & (idc_all < b)
+            if not m.any() and not im.any():
+                continue
+            refs.append(rem.remote(bc_ref, lp_ref, toksR[m], sisR[m],
+                                   idc_all[im], idcnt_all[im],
+                                   same_relation,
+                                   cfg.threshold, cfg.comp_op, canonical))
+        dfs = ray.get(refs)
+        df = (pd.concat(dfs, ignore_index=True) if dfs
+              else _empty_pairs())
+
+    if cfg.counter_name:
+        # best-effort telemetry: signature-level token-incidence volume
+        # (the counting kernel has no separate verify stage to count)
+        try:
+            ray.get_actor(cfg.counter_name).add.remote(int(inc_cost.sum()))
+        except ValueError:
+            pass
+    return df
+
+
 def _verify_chunk(bc_or_ref, pair64: np.ndarray, sim_type, threshold,
                   comp_op, qval, same_relation, self_join,
                   counter_name) -> pd.DataFrame:
@@ -317,6 +559,9 @@ def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
     bc, tsig_tbl = _local_tsig(tagged, same_relation, keep_string)
     if bc is None:
         return _empty_pairs(), empties
+
+    if _overlap_count_route(cfg, bc):
+        return _overlap_count_pairs(bc, cfg, same_relation), empties
 
     nb = int(min(cfg.num_buckets, max(32, len(tsig_tbl) // 4 + 16)))
     postings = SlimPostingsStage(nb, heavy or None,

@@ -177,3 +177,29 @@ def test_sharded_path_many_shards(parts, monkeypatch):
     sharded = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
                            'p_name', 'p_name', tok, 0.5)
     assert _pairs(base) == _pairs(sharded)
+
+
+def test_ed_ordering_auto_routes_past_partial_gate(monkeypatch):
+    """VERDICT r4 #5: an EDIT_DISTANCE join whose vocabulary-partial volume
+    exceeds SSJ_ORDERING_PARTIAL_GATE must auto-route to the distributed
+    ordering (driver never merges the partials) and still produce the
+    identical pair set."""
+    cust = pd.read_parquet('/root/testdata/sf0.001/customer.parquet')
+    cust = cust[['c_custkey', 'c_name']].head(300).copy()
+    tok = QgramTokenizer(qval=2, return_set=False)
+    from py_stringsimjoin_ray.pipelines.join import edit_distance_join
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')  # exercise the gated path
+    base = edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                              'c_name', 'c_name', 2, tokenizer=tok)
+    monkeypatch.setenv('SSJ_ORDERING_PARTIAL_GATE', '1')  # force the route
+    import py_stringsimjoin_ray.pipelines.join as join_mod
+    took_route = []
+    orig = join_mod._dist_ordering_pairs
+    monkeypatch.setattr(join_mod, '_dist_ordering_pairs',
+                        lambda *a, **k: took_route.append(1) or orig(*a, **k))
+    routed = edit_distance_join(cust, cust, 'c_custkey', 'c_custkey',
+                                'c_name', 'c_name', 2, tokenizer=tok)
+    assert took_route, 'partial-volume gate did not engage'
+    cols = ('l_c_custkey', 'r_c_custkey', '_sim_score')
+    assert _pairs(base, cols) == _pairs(routed, cols)
+    assert len(base) > 0
