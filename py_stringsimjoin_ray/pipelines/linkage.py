@@ -295,6 +295,17 @@ def _record_linkage_impl(repos_path, checkpoint_dir, threshold, tokenizer,
                           num_buckets=num_buckets,
                           salt_df_threshold=salt_df_threshold,
                           counter_name=counter_name)
+        # per-task skew roll-up (VERDICT r4 #7): the candgen/verify kernels
+        # report their task volumes to this actor; the summary lands in the
+        # matches manifest so a skewed corpus is diagnosable from the
+        # checkpoint dir alone
+        skew_actor = None
+        if checkpoint_dir:
+            import uuid as _uuid
+
+            from ..state.skewstats import SkewStats
+            cfg.skew_name = f'ssj_skew_{_uuid.uuid4().hex[:8]}'
+            skew_actor = SkewStats.options(name=cfg.skew_name).remote()
         pairs, _ = match_pairs_dataset(ingest, ingest, 'record_id',
                                        'record_id', 'content', 'content', cfg)
         if isinstance(pairs, pd.DataFrame):
@@ -310,6 +321,23 @@ def _record_linkage_impl(repos_path, checkpoint_dir, threshold, tokenizer,
         if checkpoint_dir:
             matches = mf.write_stage(matches, checkpoint_dir, 'matches',
                                      fp_ingest)
+            if skew_actor is not None:
+                # the write above forced execution; reports are
+                # fire-and-forget, so poll briefly for in-flight adds
+                import time as _time
+                skew = {}
+                for _ in range(20):
+                    skew = ray.get(skew_actor.summary.remote())
+                    if 'candgen' in skew and 'verify' in skew:
+                        break
+                    _time.sleep(0.05)
+                if skew:
+                    mf.update_manifest_counters(
+                        checkpoint_dir, 'matches',
+                        {f'skew_{st}_{k}': v
+                         for st, d in skew.items() for k, v in d.items()})
+                    counters['skew'] = skew
+                ray.kill(skew_actor)
         else:
             matches = matches.materialize()
     counters['num_matches'] = matches.count()

@@ -41,7 +41,7 @@ def ann_gate_bytes() -> int:
 
 
 def _group_topk(X: np.ndarray, xnorm: np.ndarray, ids: np.ndarray,
-                Qm: np.ndarray, qidx: np.ndarray, k: int) -> pd.DataFrame:
+                Qm: np.ndarray, qidx: np.ndarray, k: int) -> pa.Table:
     """Exact cosine top-k of one bucket/list's vectors against its probing
     queries with ONE GEMM (``X @ Qm[qidx].T``) instead of a GEMV per query
     (VERDICT r3 #6) — identical outputs, 5-10x matmul throughput on large
@@ -53,9 +53,9 @@ def _group_topk(X: np.ndarray, xnorm: np.ndarray, ids: np.ndarray,
     top = np.argpartition(-S, kk - 1, axis=0)[:kk]     # (kk, m)
     rows = top.T.ravel()                               # grouped per query
     cols = np.repeat(np.arange(len(qidx)), kk)
-    return pd.DataFrame({'query_id': np.repeat(qidx, kk),
-                         'vec_id': ids[rows],
-                         'cosine': S[rows, cols]})
+    return pa.table({'query_id': pa.array(np.repeat(qidx, kk)),
+                     'vec_id': pa.array(ids[rows].astype(np.int64)),
+                     'cosine': pa.array(S[rows, cols])})
 
 
 def _topk_per_query(partials: ray.data.Dataset, k: int,
@@ -71,24 +71,31 @@ def _topk_per_query(partials: ray.data.Dataset, k: int,
     that size.  ``output='dataset'`` keeps the merged stream distributed."""
     import os
 
-    # deliberately pandas (the one remaining pandas map_groups): the body
-    # is shared verbatim with the driver fast path below, and each bucket
-    # group is bounded at ≤ per-block-partials × k rows by construction —
-    # the conversion cost is noise, the single shared kernel is not
-    def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((df['vec_id'].to_numpy(),
-                            -df['cosine'].to_numpy(),
-                            df['query_id'].to_numpy()))
-        df = df.iloc[order]
-        ranks = df.groupby('query_id', sort=False).cumcount().to_numpy() + 1
+    # ONE numpy kernel shared by the distributed Arrow group body and the
+    # driver fast path (VERDICT r4 #6 — the former pandas map_groups body):
+    # lexsort by (query, -cosine, vec_id), rank within each query run,
+    # keep rank ≤ k.  Output comes out sorted by (query_id, rank).
+    def topk_arrays(q, v, c):
+        order = np.lexsort((v, -c, q))
+        qs = q[order]
+        n = len(qs)
+        firstq = np.concatenate(([True], qs[1:] != qs[:-1])) \
+            if n else np.zeros(0, bool)
+        start = np.where(firstq, np.arange(n, dtype=np.int64), 0)
+        start = np.maximum.accumulate(start)
+        ranks = np.arange(n, dtype=np.int64) - start + 1
         keep = ranks <= k
-        out = df.loc[keep, ['query_id', 'vec_id', 'cosine']].copy()
-        out['query_id'] = out['query_id'].astype(np.int64)
-        out['vec_id'] = out['vec_id'].astype(np.int64)
-        out['cosine'] = out['cosine'].astype(np.float64)
-        out['rank'] = ranks[keep].astype(np.int64)
-        return out
-    reduce_frame.__name__ = 'topk_merge'
+        sel = order[keep]
+        return q[sel], v[sel], c[sel], ranks[keep]
+
+    def reduce_tbl(tbl: pa.Table) -> pa.Table:
+        q = tbl['query_id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl['vec_id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl['cosine'].to_numpy(zero_copy_only=False).astype(np.float64)
+        q2, v2, c2, r = topk_arrays(q, v, c)
+        return pa.table({'query_id': pa.array(q2), 'vec_id': pa.array(v2),
+                         'cosine': pa.array(c2), 'rank': pa.array(r)})
+    reduce_tbl.__name__ = 'topk_merge'
 
     driver_gate = int(os.environ.get('SSJ_TOPK_DRIVER_QUERIES', 10_000))
     if output == 'pandas' and nqueries is not None \
@@ -96,8 +103,12 @@ def _topk_per_query(partials: ray.data.Dataset, k: int,
         df = partials.to_pandas()  # bounded: ≤ nqueries·k rows per block
         if len(df.columns) == 0:
             df = pd.DataFrame({'query_id': [], 'vec_id': [], 'cosine': []})
-        return reduce_frame(df).sort_values(['query_id', 'rank']) \
-            .reset_index(drop=True)
+        q2, v2, c2, r = topk_arrays(
+            df['query_id'].to_numpy().astype(np.int64),
+            df['vec_id'].to_numpy().astype(np.int64),
+            df['cosine'].to_numpy().astype(np.float64))
+        return pd.DataFrame({'query_id': q2, 'vec_id': v2, 'cosine': c2,
+                             'rank': r})
 
     try:
         P = max(32, int(ray.cluster_resources().get('CPU', 8)) * 2)
@@ -112,7 +123,7 @@ def _topk_per_query(partials: ray.data.Dataset, k: int,
     add_bucket.__name__ = 'topk_bucket'
 
     merged = partials.map_batches(add_bucket, batch_format='pyarrow') \
-        .groupby('qb').map_groups(reduce_frame, batch_format='pandas')
+        .groupby('qb').map_groups(reduce_tbl, batch_format='pyarrow')
     if output == 'dataset':
         return merged
     out = merged.to_pandas()
@@ -157,15 +168,15 @@ class BruteForceScore:
         xnorm[xnorm == 0] = 1.0
         sims = (self.Q @ X.T) / (self.qnorm[:, None] * xnorm[None, :])
         k = min(self.k, sims.shape[1])
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
-            out_q.append(np.full(k, qi, dtype=np.int64))
-            out_v.append(ids[idx].astype(np.int64))
-            out_s.append(sims[qi][idx])
-        return pa.table({'query_id': pa.array(np.concatenate(out_q)),
-                         'vec_id': pa.array(np.concatenate(out_v)),
-                         'cosine': pa.array(np.concatenate(out_s))})
+        # one axis-wise argpartition for ALL queries (no per-query loop)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (m, k)
+        m = sims.shape[0]
+        out_q = np.repeat(np.arange(m, dtype=np.int64), k)
+        cols = top.ravel()
+        return pa.table({'query_id': pa.array(out_q),
+                         'vec_id': pa.array(ids[cols].astype(np.int64)),
+                         'cosine': pa.array(
+                             sims[np.repeat(np.arange(m), k), cols])})
 
 
 def _require_int_ids(ds, id_col: str, op: str) -> None:
@@ -241,22 +252,23 @@ def ann_topk_lsh(ds: ray.data.Dataset, query_matrix: np.ndarray,
 
     bucketed = ds.map_batches(bucket_batch, batch_format='pyarrow')
 
-    def search_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def search_bucket(tbl: pa.Table) -> pa.Table:
         Qm, pmap = ray.get(qref)
-        b = int(df['bucket'].iloc[0])
+        b = int(tbl['bucket'][0].as_py())
         qidx = np.asarray(pmap.get(b, ()), dtype=np.int64)
         if len(qidx) == 0:
-            return pd.DataFrame({'query_id': [], 'vec_id': [], 'cosine': []})
-        X = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in df[vec_col]])
-        ids = df[id_col].to_numpy()
+            return pa.table({'query_id': pa.array([], pa.int64()),
+                             'vec_id': pa.array([], pa.int64()),
+                             'cosine': pa.array([], pa.float64())})
+        X = _batch_matrix(tbl, vec_col)   # zero-copy reshape, no row boxing
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
         xnorm = np.linalg.norm(X, axis=1)
         xnorm[xnorm == 0] = 1.0
         return _group_topk(X, xnorm, ids, Qm, qidx, k)
     search_bucket.__name__ = 'lsh_search_bucket'
 
     res = bucketed.groupby('bucket').map_groups(
-        search_bucket, batch_format='pandas')
+        search_bucket, batch_format='pyarrow')
     return _topk_per_query(res, k, output=output, nqueries=len(Q))
 
 
@@ -380,23 +392,24 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
 
     posts = ds.map_batches(sig_postings, batch_format='pyarrow')
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({'l_id': pd.Series([], dtype=np.int64),
-                                 'r_id': pd.Series([], dtype=np.int64)})
-        X = np.stack([np.asarray(v, np.float64) for v in df['vec']])
-        ids = df['id'].to_numpy().astype(np.int64)
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        if len(tbl) < 2:
+            return pa.table({'l_id': pa.array([], pa.int64()),
+                             'r_id': pa.array([], pa.int64())})
+        X = _batch_matrix(tbl, 'vec')     # zero-copy reshape, no row boxing
+        ids = tbl['id'].to_numpy(zero_copy_only=False).astype(np.int64)
         n = np.linalg.norm(X, axis=1)
         n[n == 0] = 1.0
         Xn = X / n[:, None]
         S = Xn @ Xn.T
         li, rj = np.nonzero((S >= threshold) &
                             (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({'l_id': ids[li], 'r_id': ids[rj]})
+        return pa.table({'l_id': pa.array(ids[li]),
+                         'r_id': pa.array(ids[rj])})
     bucket_pairs.__name__ = 'cosine_bucket_pairs'
 
     cand = posts.groupby(['tbl', 'sig']).map_groups(
-        bucket_pairs, batch_format='pandas')
+        bucket_pairs, batch_format='pyarrow')
     # bucketed pair dedup (stages/groupagg.py): unbounded pair cardinality
     from .groupagg import bucketed_distinct
     uniq_ds = bucketed_distinct(cand, ['l_id', 'r_id'])
@@ -540,19 +553,21 @@ def ann_topk_ivf(ds: ray.data.Dataset, query_matrix: np.ndarray,
 
     listed = ds.map_batches(assign_batch, batch_format='pyarrow')
 
-    def search_list(df: pd.DataFrame) -> pd.DataFrame:
+    def search_list(tbl: pa.Table) -> pa.Table:
         Qm, pmap = ray.get(qref)
-        lst = int(df['ivf_list'].iloc[0])
+        lst = int(tbl['ivf_list'][0].as_py())
         qidx = np.asarray(pmap.get(lst, ()), dtype=np.int64)
         if len(qidx) == 0:
-            return pd.DataFrame({'query_id': [], 'vec_id': [], 'cosine': []})
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-        ids = df[id_col].to_numpy()
+            return pa.table({'query_id': pa.array([], pa.int64()),
+                             'vec_id': pa.array([], pa.int64()),
+                             'cosine': pa.array([], pa.float64())})
+        X = _batch_matrix(tbl, vec_col)   # zero-copy reshape, no row boxing
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
         xnorm = np.linalg.norm(X, axis=1)
         xnorm[xnorm == 0] = 1.0
         return _group_topk(X, xnorm, ids, Qm, qidx, k)
     search_list.__name__ = 'ivf_search_list'
 
     res = listed.groupby('ivf_list').map_groups(
-        search_list, batch_format='pandas')
+        search_list, batch_format='pyarrow')
     return _topk_per_query(res, k, output=output, nqueries=len(Q))

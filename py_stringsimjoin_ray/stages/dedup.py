@@ -786,26 +786,30 @@ def _minhash_lsh_pairs_impl(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     posts = sigs.map_batches(band_postings, batch_format='pyarrow')
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
         # class-collapsed all-pairs: identical shingle sets (equal dg) share
         # every band digest, so a class's members ALL land in this bucket and
         # min(id) is the class's GLOBAL representative.  Pairs are emitted
         # between distinct classes only — a degenerate bucket of d exact
         # duplicates costs O(1), not O(d²); intra-class pairs (Jaccard 1.0
         # by construction) are regenerated exactly once in the expansion.
-        reps = np.unique(df.groupby('dg')['id'].min().to_numpy()
-                         .astype(np.int64))
+        dg = tbl['dg'].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl['id'].to_numpy(zero_copy_only=False).astype(np.int64)
+        _u, inv = np.unique(dg, return_inverse=True)
+        mins = np.full(len(_u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, ids)
+        reps = np.unique(mins)
         if len(reps) < 2:
-            return pd.DataFrame({'l_id': np.array([], np.int64),
-                                 'r_id': np.array([], np.int64)})
+            return pa.table({'l_id': pa.array([], pa.int64()),
+                             'r_id': pa.array([], pa.int64())})
         li = np.repeat(reps, len(reps))
         ri = np.tile(reps, len(reps))
         m = li < ri
-        return pd.DataFrame({'l_id': li[m], 'r_id': ri[m]})
+        return pa.table({'l_id': pa.array(li[m]), 'r_id': pa.array(ri[m])})
     bucket_pairs.__name__ = 'lsh_bucket_pairs'
 
     cands = posts.groupby('bucket').map_groups(bucket_pairs,
-                                               batch_format='pandas') \
+                                               batch_format='pyarrow') \
         .materialize()
 
     # semi-join pushdown: only documents that appear in some candidate pair

@@ -252,12 +252,17 @@ def _local_tsig(tagged: pa.Table, same_relation: bool, keep_string: bool):
     return bc, tsig_tbl
 
 
-def _candgen_chunk(tbl: pa.Table, sim_type: str, threshold, same_relation):
+def _candgen_chunk(tbl: pa.Table, sim_type: str, threshold, same_relation,
+                   skew_name=None):
     """Candidate pair64s for one postings slice (whole buckets only)."""
     sa, sb = _np_candidates(tbl, sim_type, threshold, same_relation)
     if len(sa) == 0:
         return np.empty(0, np.int64)
-    return np.unique((sa << np.int64(32)) | sb)
+    out = np.unique((sa << np.int64(32)) | sb)
+    if skew_name:
+        from ..state.skewstats import report as _skew_report
+        _skew_report(skew_name, 'candgen', len(out))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +313,6 @@ def _sig_token_postings(bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     toks = rf[keep]
     sis = np.repeat(np.arange(nsig, dtype=np.int64), lens)[keep]
     return toks, sis, np.bincount(sis, minlength=nsig)
-
-
-_COUNT_SLAB = 8_000_000
 
 
 def _overlap_count_task(bc_or_ref, lpost_or_ref, toksR, sisR,
@@ -503,10 +505,11 @@ def _overlap_count_pairs(bc, cfg, same_relation: bool) -> pd.DataFrame:
 
 def _verify_chunk(bc_or_ref, pair64: np.ndarray, sim_type, threshold,
                   comp_op, qval, same_relation, self_join,
-                  counter_name) -> pd.DataFrame:
+                  counter_name, skew_name=None) -> pd.DataFrame:
     vf = BroadcastVerify(bc_or_ref, sim_type, threshold, comp_op, qval,
                          same_relation=same_relation, self_join=self_join,
-                         round_score=True, counter_name=counter_name)
+                         round_score=True, counter_name=counter_name,
+                         skew_name=skew_name)
     if not isinstance(bc_or_ref, ray.ObjectRef):
         vf._bc = bc_or_ref
     return vf(pa.table({'vb': pa.array(np.zeros(len(pair64), np.int32)),
@@ -586,14 +589,16 @@ def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
         chunk_of = assign[np.searchsorted(uniq, buckets)]
         rem = ray.remote(num_cpus=1)(_candgen_chunk)
         refs = [rem.remote(postings.filter(pa.array(chunk_of == i)),
-                           cfg.sim_type, cfg.threshold, same_relation)
+                           cfg.sim_type, cfg.threshold, same_relation,
+                           getattr(cfg, 'skew_name', None))
                 for i in range(ntasks)]
         parts = [p for p in ray.get(refs) if len(p)]
         pair64 = (np.unique(np.concatenate(parts))
                   if parts else np.empty(0, np.int64))
     else:
         pair64 = _candgen_chunk(postings, cfg.sim_type, cfg.threshold,
-                                same_relation)
+                                same_relation,
+                                getattr(cfg, 'skew_name', None))
     if len(pair64) == 0:
         return _empty_pairs(), empties
 
@@ -603,11 +608,13 @@ def local_match_pairs(ltable, rtable, l_key_attr, r_key_attr,
         chunks = [c for c in np.array_split(pair64, cpus) if len(c)]
         dfs = ray.get([rem.remote(bc_ref, c, cfg.sim_type, cfg.threshold,
                                   cfg.comp_op, cfg.qval, same_relation,
-                                  cfg.self_join, cfg.counter_name)
+                                  cfg.self_join, cfg.counter_name,
+                                  getattr(cfg, 'skew_name', None))
                        for c in chunks])
         df = pd.concat(dfs, ignore_index=True) if dfs else _empty_pairs()
     else:
         df = _verify_chunk(bc, pair64, cfg.sim_type, cfg.threshold,
                            cfg.comp_op, cfg.qval, same_relation,
-                           cfg.self_join, cfg.counter_name)
+                           cfg.self_join, cfg.counter_name,
+                           getattr(cfg, 'skew_name', None))
     return df, empties

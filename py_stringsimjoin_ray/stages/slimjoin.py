@@ -810,8 +810,10 @@ class BroadcastCandGen:
     def __init__(self, sim_type: str, threshold, qval=None,
                  same_relation: bool = False, num_vbuckets: int = 512,
                  bc_ref=None, heavy=None, shard_bases=None,
-                 shard_sub: int = 8):
+                 shard_sub: int = 8, skew_name: str | None = None):
         self.__name__ = 'BroadcastCandGen'
+        self.skew_name = skew_name
+        self._skew_cache: dict = {}
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
@@ -859,6 +861,10 @@ class BroadcastCandGen:
         if len(sa) == 0:
             return empty
         pair64 = np.unique((sa << np.int64(32)) | sb)
+        if self.skew_name:
+            from ..state.skewstats import report as _skew_report
+            _skew_report(self.skew_name, 'candgen', len(pair64),
+                         self._skew_cache)
         if sharded:
             kk = np.int64(len(self.shard_bases))
             ss = np.int64(self.shard_sub)
@@ -895,8 +901,11 @@ class BroadcastVerify:
     def __init__(self, bc_ref, sim_type: str, threshold, comp_op: str,
                  qval=None, same_relation: bool = False,
                  self_join: bool = False, round_score: bool = True,
-                 counter_name=None, shard_refs=None, shard_bases=None):
+                 counter_name=None, shard_refs=None, shard_bases=None,
+                 skew_name: str | None = None):
         self.__name__ = 'BroadcastVerify'
+        self.skew_name = skew_name
+        self._skew_cache: dict = {}
         self.bc_ref = bc_ref
         self.sim_type = sim_type
         self.threshold = threshold
@@ -1027,6 +1036,10 @@ class BroadcastVerify:
         # counter semantics: unique candidate pairs entering verification
         # (== round 2's ownership survivors), record-pair weighted
         checked = int((cntA * cntB).sum())
+        if self.skew_name:
+            from ..state.skewstats import report as _skew_report
+            _skew_report(self.skew_name, 'verify', checked,
+                         self._skew_cache)
         if self.counter_name and checked:
             try:
                 if self._counter is None:
@@ -1309,14 +1322,16 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                 BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
                                  same_relation=same_relation,
                                  num_vbuckets=nb, bc_ref=bc_ref,
-                                 heavy=heavy),
+                                 heavy=heavy,
+                                 skew_name=getattr(cfg, 'skew_name', None)),
                 batch_format='pyarrow')
             if os.environ.get('SSJ_JOIN_STAGE_BARRIERS') == '1':
                 cand = cand.materialize()
             fn = BroadcastVerify(
                 bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
                 same_relation=same_relation, self_join=cfg.self_join,
-                round_score=True, counter_name=cfg.counter_name)
+                round_score=True, counter_name=cfg.counter_name,
+                skew_name=getattr(cfg, 'skew_name', None))
             return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
         finally:
             ctx.shuffle_strategy = prev_strategy
@@ -1377,12 +1392,14 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                              same_relation=same_relation,
                              heavy=heavy, shard_bases=bases,
                              shard_sub=int(os.environ.get(
-                                 'SSJ_SHARD_SUB', '8'))),
+                                 'SSJ_SHARD_SUB', '8')),
+                             skew_name=getattr(cfg, 'skew_name', None)),
             batch_format='pyarrow')
         fn = BroadcastVerify(
             None, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
             same_relation=same_relation, self_join=cfg.self_join,
             round_score=True, counter_name=cfg.counter_name,
+            skew_name=getattr(cfg, 'skew_name', None),
             shard_refs=shard_refs, shard_bases=bases)
         return cand.groupby('vb').map_groups(fn, batch_format='pyarrow')
     finally:

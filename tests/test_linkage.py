@@ -159,3 +159,25 @@ def test_bucketed_attach_preserves_63bit_component_ids(ray_session):
     got = dict(zip(out['record_id'], out['component']))
     assert got[big] == big and got[big + 2] == big
     assert got[7] == 7  # singleton defaults to itself
+
+
+def test_skew_counters_in_matches_manifest(corpus, tmp_path, monkeypatch):
+    """VERDICT r4 #7: the matches-stage manifest carries per-task
+    candgen/verify volume roll-ups (tasks / total / max / skew ratio) so a
+    skewed corpus is diagnosable from the checkpoint dir alone.  Forced
+    salting (every token heavy) exercises the grid path too."""
+    repos, _truth = corpus
+    ckpt = str(tmp_path / 'ckpt_skew')
+    res = record_linkage(repos, checkpoint_dir=ckpt, threshold=0.7,
+                         salt_df_threshold=4)
+    m = mf.load_manifest(ckpt, 'matches')
+    assert m and m['completed']
+    c = m['counters']
+    assert c.get('skew_candgen_tasks', 0) >= 1
+    assert c.get('skew_verify_tasks', 0) >= 1
+    assert c.get('skew_candgen_max_task', 0) >= 1
+    assert c.get('skew_verify_max_task', 0) >= 1
+    assert c.get('skew_candgen_total', 0) >= c['skew_candgen_max_task']
+    assert c['skew_verify_skew_ratio'] >= 1.0
+    assert res['counters']['skew']['verify']['total'] \
+        == c['skew_verify_total']
