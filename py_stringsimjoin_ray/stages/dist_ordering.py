@@ -184,8 +184,8 @@ def distributed_ranked(tok_ds: ray.data.Dataset,
     ranked_rows = j1.groupby('vb').map_groups(join_ranks,
                                               batch_format='pyarrow')
 
-    def regroup(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
+    def regroup(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
             cols = {'key': pa.array([], key_type),
                     'sz': pa.array([], pa.int32()),
                     'ranks': pa.array([], pa.list_(pa.int32())),
@@ -193,14 +193,20 @@ def distributed_ranked(tok_ds: ray.data.Dataset,
             if keep_string:
                 cols['s'] = pa.array([], pa.string())
             return pa.table(cols)
-        df = df.sort_values(['key', 'rank'], kind='stable')
-        keys = df['key'].to_numpy()
+        keys0 = tbl['key'].to_numpy(zero_copy_only=False)
+        ranks0 = tbl['rank'].to_numpy(zero_copy_only=False)
+        # stable (key, rank) sort — keys may be strings: factorize once so
+        # the lexsort runs over int codes, not object comparisons
+        kcodes, _lv = pd.factorize(keys0, sort=True)
+        order = np.lexsort((ranks0, kcodes))
+        keys = keys0[order]
         first = np.concatenate(([True], keys[1:] != keys[:-1]))
         group_id = np.cumsum(first) - 1
         counts = np.bincount(group_id)
         off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
         firsts = np.nonzero(first)[0]
-        sz = df['sz'].to_numpy()[firsts].astype(np.int32)
+        sz = tbl['sz'].to_numpy(zero_copy_only=False)[order][firsts] \
+            .astype(np.int32)
         plens = bounds.prefix_length_many(sz, sim_type, threshold,
                                           qval).astype(np.int32)
         cols = {
@@ -209,13 +215,13 @@ def distributed_ranked(tok_ds: ray.data.Dataset,
             'sz': pa.array(sz, pa.int32()),
             'ranks': pa.ListArray.from_arrays(
                 pa.array(off, pa.int32()),
-                pa.array(df['rank'].to_numpy().astype(np.int32),
-                         pa.int32())),
+                pa.array(ranks0[order].astype(np.int32), pa.int32())),
             'plen': pa.array(plens, pa.int32()),
         }
         if keep_string:
-            cols['s'] = pa.array(df['s'].to_numpy()[firsts]).cast(
-                pa.string())
+            cols['s'] = pa.array(
+                tbl['s'].to_numpy(zero_copy_only=False)[order][firsts]) \
+                .cast(pa.string())
         return pa.table(cols)
     regroup.__name__ = 'dist_rank_regroup'
 
@@ -236,8 +242,8 @@ def distributed_ranked(tok_ds: ray.data.Dataset,
 
     return ranked_rows.map_batches(keyb, batch_format='pyarrow') \
         .groupby('kb').map_groups(
-            lambda df: regroup(df.drop(columns=['kb'])),
-            batch_format='pandas')
+            lambda t: regroup(t.drop_columns(['kb'])),
+            batch_format='pyarrow')
 
 
 def empty_key_rows(tok_ds: ray.data.Dataset,
