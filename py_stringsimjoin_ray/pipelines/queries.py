@@ -219,6 +219,20 @@ def q_prefix_filter_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey'])
 
 
+def q_prefix_filter_salted_part(sf_dir):
+    """PrefixFilter.filter_tables under FORCED heavy-token salting (every
+    token df >= 2 is grid-salted): the output must be identical to the
+    unsalted run — this pins the round-5 grid-cell-range fix (overlapping
+    per-token strides polluted cell-local memberships and emitted
+    duplicate pairs) with a driver-hash-checked row."""
+    part = _t(sf_dir, 'part')
+    f = filters.PrefixFilter(_ws(), 'JACCARD', 0.8)
+    out = f.filter_tables(part, part, 'p_partkey', 'p_partkey', 'p_name',
+                          'p_name', salt_df_threshold=2)
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey']].copy(),
+                     ['l_p_partkey', 'r_p_partkey'])
+
+
 def q_prefix_filter_dataset_part(sf_dir):
     """PrefixFilter.filter_tables through output='dataset' — the candset
     stays a distributed pair stream (the 100-TB path feeding
@@ -721,6 +735,7 @@ QUERIES = {
     'overlap_filter_part': q_overlap_filter_part,
     'size_filter_documents': q_size_filter_documents,
     'prefix_filter_part': q_prefix_filter_part,
+    'prefix_filter_salted_part': q_prefix_filter_salted_part,
     'prefix_filter_dataset_part': q_prefix_filter_dataset_part,
     'position_filter_part': q_position_filter_part,
     'suffix_filter_part': q_suffix_filter_part,
@@ -879,6 +894,22 @@ WHERE a.n > 0 AND b.n > 0
   AND a.n >= ceil(round(0.7 * b.n, 4)) AND a.n <= floor(round(b.n / 0.7, 4))
 """,
     'prefix_filter_part': """
+WITH tok AS (SELECT p_partkey AS id,
+                    unnest(list_distinct(list_filter(
+                        string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
+             FROM part),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+rk AS (SELECT t, row_number() OVER (ORDER BY c, t) AS r FROM freq),
+ranked AS (SELECT id, r,
+                  row_number() OVER (PARTITION BY id ORDER BY r) AS pos,
+                  count(*) OVER (PARTITION BY id) AS n
+           FROM tok JOIN rk USING (t)),
+prefix AS (SELECT id, r FROM ranked
+           WHERE pos <= n - ceil(round(0.8 * n, 4)) + 1)
+SELECT DISTINCT a.id AS l_p_partkey, b.id AS r_p_partkey
+FROM prefix a JOIN prefix b ON a.r = b.r
+""",
+    'prefix_filter_salted_part': """
 WITH tok AS (SELECT p_partkey AS id,
                     unnest(list_distinct(list_filter(
                         string_split_regex(p_name, '\\s+'), x -> x <> ''))) AS t
