@@ -121,6 +121,27 @@ def q_overlap_join_part(sf_dir):
                      ['l_p_partkey', 'r_p_partkey', '_sim_score'])
 
 
+def q_overlap_join_candgen_part(sf_dir):
+    """The same OVERLAP join with the counting-kernel route disabled —
+    the prefix-candgen + verify regime gets its own driver-hash-checked
+    row (both regimes must produce the identical oracle pair set;
+    routing is by relative threshold, stages/localjoin.py)."""
+    import os as _os
+    old = _os.environ.get('SSJ_OVERLAP_COUNT_REL')
+    _os.environ['SSJ_OVERLAP_COUNT_REL'] = '0'
+    try:
+        part = _t(sf_dir, 'part')
+        out = join.overlap_join(part, part, 'p_partkey', 'p_partkey',
+                                'p_name', 'p_name', _ws(), 2)
+    finally:
+        if old is None:
+            _os.environ.pop('SSJ_OVERLAP_COUNT_REL', None)
+        else:
+            _os.environ['SSJ_OVERLAP_COUNT_REL'] = old
+    return _keys_int(out[['l_p_partkey', 'r_p_partkey', '_sim_score']].copy(),
+                     ['l_p_partkey', 'r_p_partkey', '_sim_score'])
+
+
 def q_overlap_join_gt_part(sf_dir):
     """``comp_op='>'`` through a full join at driver scale (the reference
     supports '>=', '>' and '=' on every join — ``join/overlap_join.py``
@@ -728,6 +749,7 @@ QUERIES = {
     'cosine_join_part': q_cosine_join_part,
     'dice_join_part': q_dice_join_part,
     'overlap_join_part': q_overlap_join_part,
+    'overlap_join_candgen_part': q_overlap_join_candgen_part,
     'overlap_join_gt_part': q_overlap_join_gt_part,
     'overlap_coefficient_join_part': q_overlap_coefficient_join_part,
     'jaccard_join_supplier_qgram3': q_jaccard_join_supplier_qgram3,
@@ -824,6 +846,11 @@ FROM ov JOIN sz sa ON la = sa.id JOIN sz sb ON rb = sb.id
 WHERE round(2.0 * o / (sa.n + sb.n), 4) >= 0.6
 """,
     'overlap_join_part': f"""
+WITH {_TOK_PART}
+SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
+FROM ov WHERE o >= 2
+""",
+    'overlap_join_candgen_part': f"""
 WITH {_TOK_PART}
 SELECT la AS l_p_partkey, rb AS r_p_partkey, CAST(o AS BIGINT) AS _sim_score
 FROM ov WHERE o >= 2

@@ -66,6 +66,7 @@ def test_all_queries_have_callables():
     'jaccard_two_relation_part', 'cosine_join_part',
     'dice_join_part',
     'overlap_join_part', 'overlap_join_gt_part',
+    'overlap_join_candgen_part', 'prefix_filter_salted_part',
     'overlap_coefficient_join_part',
     'jaccard_join_supplier_qgram3', 'edit_distance_join_customer',
     'jaccard_out_attrs_part', 'allow_missing_edit_distance_customer',
