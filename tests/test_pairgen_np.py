@@ -117,3 +117,22 @@ def test_np_kernel_salted_dup_classes(ray_session, monkeypatch):
     assert _canon(fast) == _canon(slow)
     pairs = list(zip(fast['l_id'], fast['r_id']))
     assert len(pairs) == len(set(pairs))
+
+
+def test_np_kernel_position_edit_distance(ray_session, monkeypatch):
+    """The EDIT_DISTANCE position-filter path (qgram bags, ED overlap
+    threshold with qval, ED size bounds) through the numpy kernel must
+    match the row-wise reference path."""
+    names = ['martha', 'marhta', 'marta', 'jones', 'jonse', 'joness',
+             'aaaaaa', 'aaaaab', 'zzzzz', 'different']
+    l = pd.DataFrame({'id': range(len(names)), 's': names})
+    r = pd.DataFrame({'id': range(200, 200 + len(names)),
+                      's': [n + x for n, x in
+                            zip(names, ['', 's', '', 'x', '', '', 'a', '',
+                                        '', 'ly'])]})
+    f = PositionFilter(QgramTokenizer(qval=2, return_set=False),
+                       'EDIT_DISTANCE', 2)
+    fast, slow = _both_paths(
+        monkeypatch, lambda: f.filter_tables(l, r, 'id', 'id', 's', 's'))
+    assert _canon(fast) == _canon(slow)
+    assert len(fast) > 0
