@@ -292,7 +292,21 @@ def _overlap_count_route(cfg, bc) -> bool:
     if tot == 0:
         return False
     mean_sz = float((bc.sz * w).sum()) / tot
-    return mean_sz > 0 and float(cfg.threshold) / mean_sz <= rel
+    if mean_sz <= 0 or float(cfg.threshold) / mean_sz > rel:
+        return False
+    # incidence cap: the counting kernel enumerates Σ_tok df_L·df_R pairs
+    # with NO heavy-token mitigation — a stopword-like token (df ≈ n)
+    # makes that quadratic, where the candgen path grid-salts it.  One
+    # cheap pass estimates the volume and falls back past the cap.
+    cap = float(os.environ.get('SSJ_OVERLAP_COUNT_MAX_INC', 2e8))
+    toks, sis, _nd = _sig_token_postings(bc)
+    hl = np.diff(bc.l_key_off) > 0
+    hr = np.diff(bc.r_key_off) > 0
+    tl = np.sort(toks[hl[sis]])
+    tr = toks[hr[sis]]
+    inc = float((np.searchsorted(tl, tr, 'right')
+                 - np.searchsorted(tl, tr, 'left')).sum())
+    return inc <= cap
 
 
 def _sig_token_postings(bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -300,3 +300,26 @@ class TestOverlapCountKernel:
         assert self._canon(fast) == self._canon(slow)
         pairs = list(zip(fast['l_id'], fast['r_id']))
         assert len(pairs) == len(set(pairs))
+
+    def test_incidence_cap_falls_back_to_candgen(self, ray_session,
+                                                 monkeypatch):
+        # a stopword-shaped corpus must NOT route to the counting kernel
+        # (its token-incidence volume is quadratic there); the candgen path
+        # grid-salts the heavy token and produces the same pairs
+        from py_stringsimjoin_ray.pipelines.join import overlap_join
+        from py_stringsimjoin_ray.stages import localjoin
+        A, B = self._tables(300)
+        A['s'] = 'stopword ' + A['s']
+        B['s'] = 'stopword ' + B['s']
+        tok = WhitespaceTokenizer(return_set=True)
+        monkeypatch.setenv('SSJ_OVERLAP_COUNT_MAX_INC', '1000')
+        routed = []
+        orig = localjoin._overlap_count_pairs
+        monkeypatch.setattr(localjoin, '_overlap_count_pairs',
+                            lambda *a, **k: routed.append(1) or orig(*a, **k))
+        capped = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
+        assert not routed, 'counting kernel routed past the incidence cap'
+        monkeypatch.setenv('SSJ_OVERLAP_COUNT_MAX_INC', '1000000000')
+        counted = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
+        assert routed
+        assert self._canon(capped) == self._canon(counted)
