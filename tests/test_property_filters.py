@@ -134,3 +134,32 @@ def test_suffix_filter_matches_oracle(tok, l, r, t):
     f = SuffixFilter(tok, 'JACCARD', t)
     out = f.filter_tables(l, r, 'id', 'id', 's', 's')
     assert _pairs(out) == _suffix_oracle(l, r, tok, 'JACCARD', t, f)
+
+
+@pytest.mark.parametrize('build', [
+    lambda: OverlapFilter(WhitespaceTokenizer(return_set=True), 2),
+    lambda: OverlapFilter(QgramTokenizer(qval=2, return_set=False), 2),
+    lambda: PrefixFilter(WhitespaceTokenizer(return_set=True),
+                         'JACCARD', 0.4),
+    lambda: PositionFilter(WhitespaceTokenizer(return_set=True),
+                           'COSINE', 0.6),
+], ids=['ov_set', 'ov_bag', 'pf_jac', 'pos_cos'])
+@settings(**_SETTINGS)
+@given(l=_table(), r=_table(), salt=st.sampled_from([10 ** 9, 2]))
+def test_np_kernel_path_equality(build, l, r, salt):
+    """Path-vs-path differential under hypothesis inputs (nulls, empties,
+    duplicate rows, tiny vocab): the numpy bucket kernel and the row-wise
+    reference path must emit identical pair multisets, salted or not."""
+    import os
+    f = build()
+    os.environ.pop('SSJ_PAIRGEN_ROWWISE', None)
+    fast = f.filter_tables(l, r, 'id', 'id', 's', 's',
+                           salt_df_threshold=salt)
+    os.environ['SSJ_PAIRGEN_ROWWISE'] = '1'
+    try:
+        slow = f.filter_tables(l, r, 'id', 'id', 's', 's',
+                               salt_df_threshold=salt)
+    finally:
+        os.environ.pop('SSJ_PAIRGEN_ROWWISE', None)
+    assert sorted(map(tuple, fast[['l_id', 'r_id']].itertuples(index=False))) \
+        == sorted(map(tuple, slow[['l_id', 'r_id']].itertuples(index=False)))
