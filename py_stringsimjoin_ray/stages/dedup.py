@@ -24,11 +24,31 @@ import ray.data
 _M61 = (1 << 61) - 1
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of tokens (md5-derived, platform independent)."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], 'little')
-         for t in tokens), dtype=np.uint64, count=len(tokens))
+def _token_hashes(tokens) -> np.ndarray:
+    """Stable 64-bit hashes of tokens (md5-derived, platform independent).
+
+    Vectorized through DuckDB's C md5 kernel: ``md5_number_upper(t)`` is
+    bit-identical to ``int.from_bytes(md5(t).digest()[:8], 'little')``
+    (pinned by tests), so signatures/digests are unchanged — only the
+    per-token Python hashlib loop is gone.  Falls back to hashlib when
+    duckdb is unavailable."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    from .pairgen import _duck
+    con = _duck()
+    if con is None or n < 64:  # tiny lists: the round-trip costs more
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], 'little')
+             for t in tokens), dtype=np.uint64, count=n)
+    arr = tokens if isinstance(tokens, pa.Array) \
+        else pa.array(list(tokens), pa.string())
+    tbl = pa.table({'t': arr})
+    con.register('t_md5_in', tbl)
+    out = con.execute(
+        'SELECT md5_number_upper(t) AS h FROM t_md5_in').fetchnumpy()
+    con.unregister('t_md5_in')
+    return next(iter(out.values())).astype(np.uint64)
 
 
 def shingles(text: str, k: int = 5) -> list[str]:
@@ -75,11 +95,27 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     per-group min-id representative (SURVEY.md §2.6 pattern)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        if normalize:
-            texts = [' '.join((t or '').split()) for t in texts]
-        h = [hashlib.md5((t or '').encode()).hexdigest() for t in texts]
-        return pa.table({'content_hash': pa.array(h, pa.string()),
+        from .pairgen import _duck
+        con = _duck()
+        col = batch[text_col].combine_chunks() \
+            if isinstance(batch[text_col], pa.ChunkedArray) \
+            else batch[text_col]
+        if normalize or con is None:
+            texts = col.to_pylist()
+            if normalize:
+                # python str.split() semantics (all unicode whitespace)
+                texts = [' '.join((t or '').split()) for t in texts]
+            if con is None:  # pragma: no cover - duckdb always present
+                h = pa.array([hashlib.md5((t or '').encode()).hexdigest()
+                              for t in texts], pa.string())
+                return pa.table({'content_hash': h, id_col: batch[id_col]})
+            col = pa.array(texts, pa.string())
+        # DuckDB's C md5 kernel; hexdigest-identical to hashlib (pinned)
+        con.register('t_cthash_in', pa.table({'t': col}))
+        h = con.execute(
+            "SELECT md5(coalesce(t, '')) AS h FROM t_cthash_in").arrow()['h']
+        con.unregister('t_cthash_in')
+        return pa.table({'content_hash': h.combine_chunks(),
                          id_col: batch[id_col]})
 
     hashed = ds.map_batches(hash_batch, batch_format='pyarrow')
@@ -1032,9 +1068,24 @@ class SimHashStage:
         self.id_col, self.text_col, self.k = id_col, text_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # one md5 pass over the batch's concatenated shingles, then the
+        # per-document ±1 bit votes as a single scatter-add — identical
+        # values to per-row simhash64, no per-document hashing round-trip
         texts = batch[self.text_col].to_pylist()
-        vals = np.fromiter((simhash64(t or '', self.k) for t in texts),
-                           dtype=np.uint64, count=len(texts))
+        n = len(texts)
+        sh_lists = [shingles(t or '', self.k) for t in texts]
+        lens = np.fromiter((len(s) for s in sh_lists), np.int64, n)
+        flat = [x for s in sh_lists for x in s]
+        hs = _token_hashes(flat)
+        vals = np.zeros(n, np.uint64)
+        if len(hs):
+            bits = ((hs[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)) \
+                .astype(np.int64)
+            contrib = 2 * bits - 1
+            votes = np.zeros((n, 64), np.int64)
+            np.add.at(votes, np.repeat(np.arange(n), lens), contrib)
+            vals = ((votes > 0).astype(np.uint64)
+                    << _BIT_SHIFTS[None, :]).sum(axis=1)
         return pa.table({'id': batch[self.id_col],
                          'simhash': pa.array(vals.astype(np.int64))})
 

@@ -774,3 +774,15 @@ def test_ann_string_ids_rejected_with_guidance(ray_session):
                lambda: cosine_neardup_pairs(ds, threshold=0.5)):
         with pytest.raises(TypeError, match='integer.*vec_id'):
             fn()
+
+    def test_md5_kernels_match_hashlib(self):
+        """The DuckDB md5 vectorization must be BIT-identical to the
+        hashlib forms it replaced (signatures and content hashes depend
+        on it)."""
+        import hashlib
+        toks = ['hello world', '', 'café ünïcode', 'a' * 100, 'x y z']
+        got = dedup._token_hashes(toks)
+        exp = np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], 'little')
+            for t in toks], np.uint64)
+        assert (got == exp).all()
