@@ -268,8 +268,8 @@ def _candgen_chunk(tbl: pa.Table, sim_type: str, threshold, same_relation,
 # ---------------------------------------------------------------------------
 # absolute-threshold OVERLAP counting kernel (VERDICT r4 #3)
 
-# raw pair-occurrence buffer compaction threshold and enumeration slab
-_COUNT_COMPACT = 48_000_000
+# enumeration / expansion slab for the counting kernel (~60 B/pair of
+# transient arrays live at once)
 _COUNT_SLAB = 8_000_000
 
 
