@@ -293,7 +293,8 @@ _EXPAND_SLAB = 8_000_000
 
 def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
                    same_relation: bool, bc=None,
-                   heavy_arrays=None) -> tuple[np.ndarray, np.ndarray]:
+                   heavy_arrays=None,
+                   count_mode: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-partition candidate generation over slim postings.
 
     Replaces the DuckDB (bucket, tok) self-join + pair-level HAVING gate.
@@ -363,21 +364,28 @@ def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
     rem = (sz - pos).astype(np.int64)
 
     out_a, out_b = [], []
-    # identity pairs: exactly once, via the signature's first prefix token
-    idm = pos == 0
-    if two_table:
-        idm &= hl & hr
-    idd = si[idm]
-    out_a.append(idd)
-    out_b.append(idd)
+    if not count_mode:
+        # identity pairs: exactly once, via the sig's first prefix token
+        idm = pos == 0
+        if two_table:
+            idm &= hl & hr
+        idd = si[idm]
+        out_a.append(idd)
+        out_b.append(idd)
 
     def emit(ii: np.ndarray, ji: np.ndarray) -> None:
         szi, szj = sz[ii], sz[ji]
-        if size_lo is not None:
+        if count_mode:
+            # counts must be group-consistent: the positional ovt term
+            # varies by group and would corrupt them; the (pair-level)
+            # size bounds only drop pairs that can never reach the
+            # threshold, so skipping them is merely conservative
+            keep = np.ones(len(ii), dtype=bool)
+        elif size_lo is not None:
             keep = (szi >= size_lo[szj]) & (szi <= size_hi[szj])
         else:
             keep = np.ones(len(ii), dtype=bool)
-        if set_measure:
+        if set_measure and not count_mode:
             if ovt_sum is not None:
                 ovt = ovt_sum[szi + szj]
             elif ovt_min is not None:
@@ -404,7 +412,11 @@ def _np_candidates(tbl: pa.Table, sim_type: str, threshold,
             out_b.append(np.concatenate([b[fwd], a[rev]]))
 
     # positional eligibility of the size-smaller pair side: rem >= ovt(sz, sz)
-    if not set_measure:           # EDIT_DISTANCE: no positional gate
+    if count_mode:
+        # counting mode: every shared token must be enumerated (each
+        # emission IS one unit of the exact overlap count) — no pruning
+        elig = np.ones(n, dtype=bool)
+    elif not set_measure:         # EDIT_DISTANCE: no positional gate
         elig = np.ones(n, dtype=bool)
     elif ovt_sum is not None:     # JACCARD / DICE
         elig = rem >= ovt_sum[2 * sz.astype(np.int64)]
@@ -810,10 +822,18 @@ class BroadcastCandGen:
     def __init__(self, sim_type: str, threshold, qval=None,
                  same_relation: bool = False, num_vbuckets: int = 512,
                  bc_ref=None, heavy=None, shard_bases=None,
-                 shard_sub: int = 8, skew_name: str | None = None):
+                 shard_sub: int = 8, skew_name: str | None = None,
+                 count_mode: bool = False):
         self.__name__ = 'BroadcastCandGen'
         self.skew_name = skew_name
         self._skew_cache: dict = {}
+        # count_mode (OVERLAP counting join): enumerate EVERY shared-token
+        # pair occurrence (no eligibility/size pruning, no identity) and
+        # emit per-partition partial counts; the verify groups sum them —
+        # the sum IS the exact set overlap (routed only for corpora with
+        # no heavy tokens, so the enumeration volume is provably
+        # <= salt_df_threshold x total token occurrences)
+        self.count_mode = count_mode
         self.sim_type = sim_type
         self.threshold = threshold
         self.qval = qval
@@ -849,18 +869,42 @@ class BroadcastCandGen:
             vb_np, vb_pa = np.int16, pa.int16()
         else:
             vb_np, vb_pa = np.int32, pa.int32()
-        empty = pa.table({'vb': pa.array([], vb_pa),
-                          'pair64': pa.array([], pa.int64())})
+        empty_cols = {'vb': pa.array([], vb_pa),
+                      'pair64': pa.array([], pa.int64())}
+        if self.count_mode:
+            empty_cols['cnt'] = pa.array([], pa.int32())
+        empty = pa.table(empty_cols)
         if len(tbl) == 0:
             return empty
         if self._bc is None and self.bc_ref is not None:
             self._bc = ray.get(self.bc_ref)
         sa, sb = _np_candidates(tbl, self.sim_type, self.threshold,
                                 self.same_relation, bc=self._bc,
-                                heavy_arrays=(self._hr, self._hg))
-        if len(sa) == 0:
-            return empty
-        pair64 = np.unique((sa << np.int64(32)) | sb)
+                                heavy_arrays=(self._hr, self._hg),
+                                count_mode=self.count_mode)
+        if self.count_mode:
+            raw = (sa << np.int64(32)) | sb if len(sa) else                 np.empty(0, np.int64)
+            pair64, cnts = (np.unique(raw, return_counts=True)
+                            if len(raw) else
+                            (np.empty(0, np.int64), np.empty(0, np.int64)))
+            # identity markers: one per signature whose min-token posting
+            # lives in this partition (counts filled closed-form in the
+            # verify group — cnt 0 here)
+            pos = tbl['pos'].to_numpy(zero_copy_only=False)
+            sig = tbl['sig'].to_numpy(zero_copy_only=False).astype(np.int64)
+            idm = pos == 0
+            if not self.same_relation:
+                idm = idm & (tbl['hl'].to_numpy(zero_copy_only=False) > 0)                     & (tbl['hr'].to_numpy(zero_copy_only=False) > 0)
+            idd = sig[idm]
+            pair64 = np.concatenate(
+                [pair64, (idd << np.int64(32)) | idd])
+            cnts = np.concatenate([cnts, np.zeros(len(idd), np.int64)])
+            if len(pair64) == 0:
+                return empty
+        else:
+            if len(sa) == 0:
+                return empty
+            pair64 = np.unique((sa << np.int64(32)) | sb)
         if self.skew_name:
             from ..state.skewstats import report as _skew_report
             _skew_report(self.skew_name, 'candgen', len(pair64),
@@ -886,8 +930,11 @@ class BroadcastCandGen:
                 f.write(_json.dumps(
                     {'n_post': len(tbl), 'n_cand': len(pair64),
                      'sec': round(_time.perf_counter() - _t0, 4)}) + '\n')
-        return pa.table({'vb': pa.array(vb.astype(vb_np), vb_pa),
-                         'pair64': pa.array(pair64, pa.int64())})
+        out_cols = {'vb': pa.array(vb.astype(vb_np), vb_pa),
+                    'pair64': pa.array(pair64, pa.int64())}
+        if self.count_mode:
+            out_cols['cnt'] = pa.array(cnts.astype(np.int32), pa.int32())
+        return pa.table(out_cols)
 
 
 class BroadcastVerify:
@@ -1103,53 +1150,8 @@ class BroadcastVerify:
         if len(ia) == 0:
             return self._empty()
 
-        # ---- membership expansion ------------------------------------
-        # slabbed over the FLAT expansion space (like _CAND_SLAB in
-        # candgen): a single giant duplicate class (m identical records →
-        # one sig pair with tot = m² expanded rows) must not drive one
-        # unbounded np.repeat/np.arange allocation — each slab's transient
-        # arrays are bounded regardless of per-pair tot
-        nl, nr = cntA, cntB
-        tot = (nl * nr).astype(np.int64)
-        cum = np.concatenate(([0], np.cumsum(tot)))
-        total = int(cum[-1])
-        offA_k = bcA.l_key_off[la]
-        offB_k = bcB.r_key_off[lb]
-        parts_l, parts_r, parts_s = [], [], []
-        for s in range(0, total, _EXPAND_SLAB):
-            e = min(s + _EXPAND_SLAB, total)
-            flat = np.arange(s, e, dtype=np.int64)
-            pair_idx = np.searchsorted(cum, flat, 'right') - 1
-            off = flat - cum[pair_idx]
-            nr_p = nr[pair_idx]
-            out_l = bcA.l_key_flat[offA_k[pair_idx] + off // nr_p]
-            out_r = bcB.r_key_flat[offB_k[pair_idx] + off % nr_p]
-            out_s = scores[pair_idx]
-            if self.self_join:
-                # candidates are canonical (ia <= ib): orient each expanded
-                # record pair (min, max).  Identity sig pairs (ia == ib)
-                # expand to the full A x A cross — keep only the upper
-                # triangle or min/max would double-count each unordered pair
-                ident = (ia == ib)[pair_idx]
-                lo = np.minimum(out_l, out_r)
-                hi = np.maximum(out_l, out_r)
-                keep = (lo < hi) & (~ident | (out_l < out_r))
-                out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
-            elif self.same_relation:
-                # full pair-matrix semantics (jaccard_join(A, A)):
-                # canonical sig pairs carry both record-pair orientations;
-                # identity sig pairs already expand to the full A x A cross
-                mirror = (ia != ib)[pair_idx]
-                ml, mr, ms = out_r[mirror], out_l[mirror], out_s[mirror]
-                out_l = np.concatenate([out_l, ml])
-                out_r = np.concatenate([out_r, mr])
-                out_s = np.concatenate([out_s, ms])
-            parts_l.append(out_l); parts_r.append(out_r)
-            parts_s.append(out_s)
-        out_l = np.concatenate(parts_l) if parts_l else np.empty(0, np.int64)
-        out_r = np.concatenate(parts_r) if parts_r else np.empty(0, np.int64)
-        out_s = np.concatenate(parts_s) if parts_s else \
-            np.empty(0, np.float64)
+        out_l, out_r, out_s = self._expand_members(
+            bcA, la, bcB, lb, ia, ib, cntA, cntB, scores)
         _mark('expand')
         if prof:
             import json as _json
@@ -1198,6 +1200,127 @@ class BroadcastVerify:
         if hit.any():
             np.add.at(out, pidB[hit], 1)
         return out
+
+    def _expand_members(self, bcA, la, bcB, lb, ia, ib, cntA, cntB,
+                        scores):
+        """Membership expansion of surviving sig pairs, slabbed over the
+        FLAT expansion space (like _CAND_SLAB in candgen): a single giant
+        duplicate class (m identical records → one sig pair with tot = m²
+        expanded rows) must not drive one unbounded np.repeat/np.arange
+        allocation — each slab's transient arrays are bounded regardless
+        of per-pair tot."""
+        nl, nr = cntA, cntB
+        tot = (nl * nr).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(tot)))
+        total = int(cum[-1])
+        offA_k = bcA.l_key_off[la]
+        offB_k = bcB.r_key_off[lb]
+        parts_l, parts_r, parts_s = [], [], []
+        for s in range(0, total, _EXPAND_SLAB):
+            e = min(s + _EXPAND_SLAB, total)
+            flat = np.arange(s, e, dtype=np.int64)
+            pair_idx = np.searchsorted(cum, flat, 'right') - 1
+            off = flat - cum[pair_idx]
+            nr_p = nr[pair_idx]
+            out_l = bcA.l_key_flat[offA_k[pair_idx] + off // nr_p]
+            out_r = bcB.r_key_flat[offB_k[pair_idx] + off % nr_p]
+            out_s = scores[pair_idx]
+            if self.self_join:
+                # candidates are canonical (ia <= ib): orient each expanded
+                # record pair (min, max).  Identity sig pairs (ia == ib)
+                # expand to the full A x A cross — keep only the upper
+                # triangle or min/max would double-count each unordered pair
+                ident = (ia == ib)[pair_idx]
+                lo = np.minimum(out_l, out_r)
+                hi = np.maximum(out_l, out_r)
+                keep = (lo < hi) & (~ident | (out_l < out_r))
+                out_l, out_r, out_s = lo[keep], hi[keep], out_s[keep]
+            elif self.same_relation:
+                # full pair-matrix semantics (jaccard_join(A, A)):
+                # canonical sig pairs carry both record-pair orientations;
+                # identity sig pairs already expand to the full A x A cross
+                mirror = (ia != ib)[pair_idx]
+                ml, mr, ms = out_r[mirror], out_l[mirror], out_s[mirror]
+                out_l = np.concatenate([out_l, ml])
+                out_r = np.concatenate([out_r, mr])
+                out_s = np.concatenate([out_s, ms])
+            parts_l.append(out_l)
+            parts_r.append(out_r)
+            parts_s.append(out_s)
+        return (np.concatenate(parts_l) if parts_l else np.empty(0, np.int64),
+                np.concatenate(parts_r) if parts_r else np.empty(0, np.int64),
+                np.concatenate(parts_s) if parts_s else
+                np.empty(0, np.float64))
+
+
+def _distinct_counts(bc: _TsigBroadcast, idx: np.ndarray) -> np.ndarray:
+    """Per-signature DISTINCT token counts over the (sorted, possibly
+    bag) rank slices — one consecutive-dedup pass, vectorized."""
+    lens = (bc.rank_off[idx + 1] - bc.rank_off[idx]).astype(np.int64)
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.zeros(len(idx), np.int64)
+    seg = np.concatenate(([0], np.cumsum(lens)))
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(seg[:-1], lens)
+    v = bc.rank_flat[np.repeat(bc.rank_off[idx], lens) + pos]
+    first = pos == 0
+    ne = np.empty(tot, bool)
+    ne[0] = True
+    ne[1:] = v[1:] != v[:-1]
+    keep = first | ne
+    row = np.repeat(np.arange(len(idx), dtype=np.int64), lens)
+    return np.bincount(row[keep], minlength=len(idx))
+
+
+class CountVerify(BroadcastVerify):
+    """OVERLAP counting reduce (the distributed twin of the local
+    counting kernel, reference anchor
+    ``/root/reference/py_stringsimjoin/join/overlap_join_py.py`` full-
+    index counting): sums the per-partition partial counts per unique
+    pair — the sum IS the exact set overlap, so there is NO intersection
+    pass — fills identity pairs' counts in closed form from the
+    signature table, applies comp_op, and expands memberships."""
+
+    def __call__(self, tbl) -> pd.DataFrame:
+        if isinstance(tbl, pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if len(tbl) == 0:
+            return self._empty()
+        p64 = tbl['pair64'].to_numpy(zero_copy_only=False)
+        cnt = tbl['cnt'].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand, inv = np.unique(p64, return_inverse=True)
+        counts = np.bincount(inv, weights=cnt).astype(np.int64)
+        ia = (cand >> np.int64(32)).astype(np.int64)
+        ib = (cand & np.int64(0xFFFFFFFF)).astype(np.int64)
+        bcA, la, bcB, lb = self._sides(ia, ib)
+        ident = ia == ib
+        if ident.any():
+            sel = np.flatnonzero(ident)
+            counts[sel] = _distinct_counts(bcA, la[sel])
+        cntA = bcA.l_key_off[la + 1] - bcA.l_key_off[la]
+        cntB = bcB.r_key_off[lb + 1] - bcB.r_key_off[lb]
+        checked = int((cntA * cntB).sum())
+        if self.skew_name:
+            from ..state.skewstats import report as _skew_report
+            _skew_report(self.skew_name, 'verify', checked,
+                         self._skew_cache)
+        if self.counter_name and checked:
+            try:
+                if self._counter is None:
+                    self._counter = ray.get_actor(self.counter_name)
+                self._counter.add.remote(checked)
+            except ValueError:
+                pass
+        scores = counts.astype(np.float64)
+        keep = self.comp_fn(scores, self.threshold)
+        ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+        cntA, cntB, scores = cntA[keep], cntB[keep], scores[keep]
+        if len(ia) == 0:
+            return self._empty()
+        out_l, out_r, out_s = self._expand_members(
+            bcA, la, bcB, lb, ia, ib, cntA, cntB, scores)
+        return pd.DataFrame({'l_key': out_l, 'r_key': out_r,
+                             '_sim_score': out_s})
 
 
 # Above this estimated signature-table size the broadcast regime gives way
@@ -1318,16 +1441,19 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             # (measured within noise of the fused plan at bench scale)
             if os.environ.get('SSJ_JOIN_STAGE_BARRIERS') == '1':
                 postings = postings.materialize()
+            count_join = getattr(cfg, 'count_join', False)
             cand = postings.groupby('part').map_groups(
                 BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
                                  same_relation=same_relation,
                                  num_vbuckets=nb, bc_ref=bc_ref,
                                  heavy=heavy,
-                                 skew_name=getattr(cfg, 'skew_name', None)),
+                                 skew_name=getattr(cfg, 'skew_name', None),
+                                 count_mode=count_join),
                 batch_format='pyarrow')
             if os.environ.get('SSJ_JOIN_STAGE_BARRIERS') == '1':
                 cand = cand.materialize()
-            fn = BroadcastVerify(
+            vcls = CountVerify if count_join else BroadcastVerify
+            fn = vcls(
                 bc_ref, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
                 same_relation=same_relation, self_join=cfg.self_join,
                 round_score=True, counter_name=cfg.counter_name,
@@ -1387,15 +1513,18 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
             SlimPostingsStage(nb, heavy_ref, emit_sides=not same_relation,
                               num_parts=256),
             batch_format='pyarrow')
+        count_join = getattr(cfg, 'count_join', False)
         cand = postings.groupby('part').map_groups(
             BroadcastCandGen(cfg.sim_type, cfg.threshold, cfg.qval,
                              same_relation=same_relation,
                              heavy=heavy, shard_bases=bases,
                              shard_sub=int(os.environ.get(
                                  'SSJ_SHARD_SUB', '8')),
-                             skew_name=getattr(cfg, 'skew_name', None)),
+                             skew_name=getattr(cfg, 'skew_name', None),
+                             count_mode=count_join),
             batch_format='pyarrow')
-        fn = BroadcastVerify(
+        vcls = CountVerify if count_join else BroadcastVerify
+        fn = vcls(
             None, cfg.sim_type, cfg.threshold, cfg.comp_op, cfg.qval,
             same_relation=same_relation, self_join=cfg.self_join,
             round_score=True, counter_name=cfg.counter_name,

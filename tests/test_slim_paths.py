@@ -203,3 +203,37 @@ def test_ed_ordering_auto_routes_past_partial_gate(monkeypatch):
     cols = ('l_c_custkey', 'r_c_custkey', '_sim_score')
     assert _pairs(base, cols) == _pairs(routed, cols)
     assert len(base) > 0
+
+
+def test_distributed_overlap_counting_matches_candgen(monkeypatch):
+    """Opt-in distributed OVERLAP counting (SSJ_DIST_OVERLAP_COUNT=1,
+    full-token postings + partial-count exchange + CountVerify) must emit
+    the identical pair set as the eligibility-pruned candgen path, in
+    BOTH the broadcast and sharded-broadcast regimes, including identity
+    pairs on a same-relation join."""
+    import numpy as np
+
+    from py_stringsimjoin_ray.pipelines.join import overlap_join
+    rng = np.random.RandomState(5)
+    words = [f'w{i}' for i in range(150)]
+    A = pd.DataFrame({'id': np.arange(400),
+                      's': [' '.join(rng.choice(words, rng.randint(2, 8)))
+                            for _ in range(400)]})
+    B = pd.DataFrame({'id': np.arange(400) + 10000, 's': A['s'].tolist()})
+    tok = WhitespaceTokenizer(return_set=True)
+
+    def canon(df):
+        return sorted(map(tuple, df[['l_id', 'r_id', '_sim_score']]
+                          .itertuples(index=False)))
+
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    base2 = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
+    base_same = overlap_join(A, A, 'id', 'id', 's', 's', tok, 2)
+    monkeypatch.setenv('SSJ_DIST_OVERLAP_COUNT', '1')
+    cnt2 = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
+    cnt_same = overlap_join(A, A, 'id', 'id', 's', 's', tok, 2)
+    assert canon(cnt2) == canon(base2) and len(base2) > 0
+    assert canon(cnt_same) == canon(base_same)
+    monkeypatch.setenv('SSJ_BROADCAST_GATE_BYTES', '1')  # sharded regime
+    cnt2s = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
+    assert canon(cnt2s) == canon(base2)
