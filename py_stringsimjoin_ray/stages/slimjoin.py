@@ -491,20 +491,36 @@ def _build_tsig_shard(shard, nshards, same_relation, keep_string, *blocks):
     63-bit signature falls in this shard's HIGH-BIT range (so shard order ==
     global signature sort order) into sorted per-shard arrays.  Runs as one
     of ``nshards`` parallel Ray tasks; blocks are zero-copy object-store
-    reads."""
+    reads.
+
+    Split blocks arrive SIG-SORTED (``_tsig_split_block``), so each block
+    contributes a binary-search SLICE — a builder touches only its own
+    shard's bytes plus O(log block) per block, not O(block) per block.
+    That removes the former O(nshards × data) build cost that motivated
+    the low shard-count cap: shard count now scales freely with data size
+    (a 100 TB Tsig can use thousands of target-sized shards)."""
     shift = np.uint64(63 - int(nshards).bit_length() + 1)
+    lo_sig = np.int64(np.uint64(shard) << shift)
+    # top shard: the exclusive bound (shard+1)<<shift is 2^63, past every
+    # 63-bit sig — take the block tail instead of a searchsorted bound
+    top = bool((np.uint64(shard + 1) << shift) >= np.uint64(1 << 63))
+    hi_sig = np.int64(0) if top else np.int64(np.uint64(shard + 1) << shift)
     pay_parts, mem_parts = [], []
     for t in blocks:
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
         if 'kind' not in t.column_names:  # schemaless empty block
             continue
-        sig = t['sig'].to_numpy(zero_copy_only=False).astype(np.uint64)
-        in_range = (sig >> shift) == np.uint64(shard)
-        kind = t['kind'].to_numpy(zero_copy_only=False)
-        pay_parts.append(t.filter(pa.array(in_range & (kind == 0))))
-        mem_parts.append(t.filter(pa.array(in_range & (kind == 1)))
-                          .select(['sig', 'side', 'key']))
+        sig = t['sig'].to_numpy(zero_copy_only=False)
+        a = int(np.searchsorted(sig, lo_sig, 'left'))
+        b = len(sig) if top else int(np.searchsorted(sig, hi_sig, 'left'))
+        if b <= a:
+            continue
+        sl = t.slice(a, b - a)
+        kind = sl['kind'].to_numpy(zero_copy_only=False)
+        pay_parts.append(sl.filter(pa.array(kind == 0)))
+        mem_parts.append(sl.filter(pa.array(kind == 1))
+                           .select(['sig', 'side', 'key']))
 
     pay = pa.concat_tables(pay_parts).combine_chunks() if pay_parts else None
     mem = pa.concat_tables(mem_parts).combine_chunks() if mem_parts else None
@@ -628,7 +644,9 @@ def _rebase_piece_tbl(base: int, nslices: int, piece):
 
 def _tsig_split_block(b: pa.Table, keep_string: bool) -> pa.Table:
     """Per-block combiner feeding the shard builders: block-distinct payload
-    per sig tagged kind=0, memberships kind=1."""
+    per sig tagged kind=0, memberships kind=1 — SORTED BY SIG so each
+    shard builder takes a binary-search slice of the block instead of
+    scanning it (see ``_build_tsig_shard``)."""
     sigs = b['sig'].to_numpy()
     order = np.argsort(sigs, kind='stable')
     ss = sigs[order]
@@ -658,7 +676,9 @@ def _tsig_split_block(b: pa.Table, keep_string: bool) -> pa.Table:
     if keep_string:
         cols['s'] = pa.concat_arrays(
             [sub['s'].combine_chunks(), pa.nulls(n1, pa.string())])
-    return pa.table(cols)
+    out = pa.table(cols)
+    final = np.concatenate([ss[first], sigs]) if len(b) else sigs
+    return out.take(pa.array(np.argsort(final, kind='stable')))
 
 
 def _wrap_shard(piece):
@@ -1491,11 +1511,12 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
         target = int(os.environ.get('SSJ_SHARD_TARGET_BYTES',
                                     str(256 * 1024 ** 2)))
         est = size_bytes_hint or (2 * _BROADCAST_GATE_FLOOR)
-        # every shard builder scans all split blocks (zero-copy filter), so
-        # build cost is nsh × O(data) — the cap bounds that; beyond cap ×
-        # target the per-shard size grows past the target proportionally
-        # (raise SSJ_MAX_SHARDS on clusters with more aggregate CPU)
-        max_sh = int(os.environ.get('SSJ_MAX_SHARDS', '64'))
+        # shard builders take binary-search SLICES of the sig-sorted split
+        # blocks (round 5), so per-shard build cost is its own bytes plus
+        # O(blocks · log) — shard count scales freely with data size and
+        # the cap is only a task-count sanity bound (it previously had to
+        # be 64 because each builder scanned ALL blocks)
+        max_sh = int(os.environ.get('SSJ_MAX_SHARDS', '1024'))
         nsh = min(max(8, -(-int(est) // target)), max_sh)
         nsh = 1 << (int(nsh) - 1).bit_length()  # pow2: no empty top shards
         shard_refs, bases, tbl_refs, nsig = collect_tsig_shards(

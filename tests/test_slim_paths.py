@@ -237,3 +237,19 @@ def test_distributed_overlap_counting_matches_candgen(monkeypatch):
     monkeypatch.setenv('SSJ_BROADCAST_GATE_BYTES', '1')  # sharded regime
     cnt2s = overlap_join(A, B, 'id', 'id', 's', 's', tok, 2)
     assert canon(cnt2s) == canon(base2)
+
+
+def test_sharded_path_shard_count_beyond_old_cap(parts, monkeypatch):
+    """Round 5: shard builders slice sig-sorted blocks, so the shard count
+    scales freely (default cap 64 → 1024).  Max it out on a tiny input —
+    ~1024 mostly-EMPTY shards, the top-shard boundary, and shard-pair
+    verify routing must still reproduce the broadcast pair set."""
+    tok = WhitespaceTokenizer(return_set=True)
+    base = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                        'p_name', 'p_name', tok, 0.5)
+    monkeypatch.setenv('SSJ_FORCE_DISTRIBUTED', '1')
+    monkeypatch.setenv('SSJ_SHARD_TARGET_BYTES', '1')
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    sharded = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                           'p_name', 'p_name', tok, 0.5)
+    assert _pairs(base) == _pairs(sharded)
