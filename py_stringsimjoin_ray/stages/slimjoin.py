@@ -283,6 +283,17 @@ def _cand_luts(sim_type: str, threshold, max_sz: int):
     return size_lo, size_hi, ovt_sum, ovt_min
 
 
+def _candgen_parts(nsig: int) -> int:
+    """Candidate-generation partition count: constant 256 at bench scales
+    (identical kernel-call counts at every parallelism level, which the
+    scaling protocol requires), growing with the DATA beyond ~25M distinct
+    signatures so one partition never has to hold an unbounded slice of a
+    corpus-scale postings stream.  Depends only on the input, never on
+    cluster size.  Capped at 32768: the slim-wire postings carry 'part'
+    as int16 (16 B rows — the whole point of the slim wire)."""
+    return int(min(32768, max(256, nsig // 100_000)))
+
+
 # triangle-enumeration slab: bounds peak memory of the per-pair arrays
 # (~60 B/pair live at once -> ~250 MB per concurrent task)
 _CAND_SLAB = 4_000_000
@@ -1442,10 +1453,13 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                     'l_key': np.array([], object),
                     'r_key': np.array([], object),
                     '_sim_score': np.array([], np.float64)}))
-            # constant across parallelism levels: the kernel-call count
+            # data-dependent, CLUSTER-independent: the kernel-call count
             # (and so the total candgen work) must not depend on cluster
-            # size, only the packing does
-            nparts = 256
+            # size, only the packing does — but a fixed count would make
+            # each partition group unboundedly large at corpus scale, so
+            # it grows with the signature count (256 up to ~25M sigs,
+            # ~100k sigs per partition beyond)
+            nparts = _candgen_parts(nsig)
             heavy = {}
             if heavy_ref is not None:
                 heavy = (ray.get(heavy_ref)
@@ -1532,7 +1546,7 @@ def slim_match_pairs(ranked_l, ranked_r, cfg, heavy_ref,
                      if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref)
         postings = tsig_postings_input(tbl_refs, nsig).map_batches(
             SlimPostingsStage(nb, heavy_ref, emit_sides=not same_relation,
-                              num_parts=256),
+                              num_parts=_candgen_parts(nsig)),
             batch_format='pyarrow')
         count_join = getattr(cfg, 'count_join', False)
         cand = postings.groupby('part').map_groups(

@@ -253,3 +253,17 @@ def test_sharded_path_shard_count_beyond_old_cap(parts, monkeypatch):
     sharded = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
                            'p_name', 'p_name', tok, 0.5)
     assert _pairs(base) == _pairs(sharded)
+
+
+def test_candgen_parts_scale_with_sigs(parts, monkeypatch):
+    """Partition count is data-dependent and cluster-independent; force
+    the beyond-256 branch on a small input and pin the pair set."""
+    import py_stringsimjoin_ray.stages.slimjoin as sj
+    tok = WhitespaceTokenizer(return_set=True)
+    base = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                        'p_name', 'p_name', tok, 0.5)
+    monkeypatch.setenv('SSJ_LOCAL_JOIN', '0')
+    monkeypatch.setattr(sj, '_candgen_parts', lambda n: 1024)
+    many = jaccard_join(parts, parts.copy(), 'p_partkey', 'p_partkey',
+                        'p_name', 'p_name', tok, 0.5)
+    assert _pairs(base) == _pairs(many)
